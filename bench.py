@@ -1,0 +1,141 @@
+"""Benchmark harness: decode throughput (headline) + train throughput.
+
+Headline metric (BASELINE.json): MSVD decode captions/sec/chip with
+batched on-device beam search (beam=5, length norm) at reference scale
+(dim~3518->3584 MXU-aligned, ctx 1024, vocab 13056, K=28, maxlen=30).
+
+vs_baseline: the reference decodes ONE video at a time with a
+host<->device round-trip per token (SURVEY.md §3.3).  Estimated legacy
+throughput (documented in BASELINE.md): beam=5, ~30 steps/video,
+>=5 f_next round-trips+top-k per step at ~2-3 ms each on the legacy
+stack => ~0.4 s/video => ~2.5 captions/sec.  vs_baseline = ours / 2.5
+(the BASELINE north-star target is vs_baseline >= 50x... i.e. >=125).
+
+Usage: python bench.py [--what decode|train|all] [--small] [--kernel]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+LEGACY_CAPTIONS_PER_SEC = 2.5   # documented estimate, see module docstring
+
+
+def _cfgs(small: bool):
+    from stvd.config import ModelConfig, TrainConfig, DecodeConfig
+    if small:
+        m = ModelConfig(n_words=1024, dim_word=128, dim=256, ctx_dim=256,
+                        n_frames=8, compute_dtype="bfloat16")
+        t = TrainConfig(batch_size=16, maxlen=16)
+        d = DecodeConfig(beam_size=5, maxlen=16, decode_batch=16)
+    else:
+        # reference scale, MXU-aligned (dim 3518 -> 3584, vocab -> 13056)
+        m = ModelConfig(n_words=13056, dim_word=512, dim=3584, ctx_dim=1024,
+                        n_frames=28, compute_dtype="bfloat16")
+        t = TrainConfig(batch_size=64, maxlen=30)
+        d = DecodeConfig(beam_size=5, maxlen=30, decode_batch=64)
+    return m, t, d
+
+
+def _batch(mcfg, tcfg, b, seed=0):
+    import jax.numpy as jnp
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    return {
+        "frames": jnp.asarray(rng.randn(b, mcfg.n_frames, mcfg.ctx_dim),
+                              jnp.float32),
+        "frame_mask": jnp.ones((b, mcfg.n_frames), jnp.float32),
+        "tokens": jnp.asarray(
+            rng.randint(0, mcfg.n_words, (b, tcfg.maxlen)), jnp.int32),
+        "token_mask": jnp.ones((b, tcfg.maxlen), jnp.float32),
+    }
+
+
+def bench_decode(small: bool, use_kernel: bool, iters: int = 8):
+    import jax
+    from stvd.decode.beam import beam_decode
+    from stvd.model.decoder import init_params
+    from stvd.model.kernel import get_step_fn
+
+    mcfg, tcfg, dcfg = _cfgs(small)
+    params = init_params(jax.random.PRNGKey(0), mcfg)
+    b = dcfg.decode_batch
+    batch = {k: v for k, v in _batch(mcfg, tcfg, b).items()
+             if k in ("frames", "frame_mask")}
+    step_fn = get_step_fn(use_kernel)
+
+    @jax.jit
+    def run(params, batch):
+        return beam_decode(params, mcfg, batch, beam_size=dcfg.beam_size,
+                           maxlen=dcfg.maxlen, length_norm=0.6,
+                           step_fn=step_fn).tokens
+
+    toks = run(params, batch)
+    jax.block_until_ready(toks)              # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        toks = run(params, batch)
+    jax.block_until_ready(toks)
+    dt = time.perf_counter() - t0
+    cps = b * iters / dt
+    return cps, dt / iters
+
+
+def bench_train(small: bool, use_kernel: bool, iters: int = 10):
+    import jax
+    from stvd.model.kernel import get_step_fn
+    from stvd.train.loop import init_train_state, make_train_step
+
+    mcfg, tcfg, _ = _cfgs(small)
+    state = init_train_state(jax.random.PRNGKey(0), mcfg, tcfg)
+    step = make_train_step(mcfg, tcfg, step_fn=get_step_fn(use_kernel))
+    batch = _batch(mcfg, tcfg, tcfg.batch_size)
+    batch["weight"] = batch["token_mask"][:, 0]
+    state, m = step(state, batch)
+    jax.block_until_ready(m["loss"])          # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    return iters / dt, dt / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--what", default="decode",
+                    choices=["decode", "train", "all"])
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--kernel", action="store_true",
+                    help="use the Pallas fused attention kernel")
+    ap.add_argument("--iters", type=int, default=8)
+    args = ap.parse_args()
+
+    extras = {}
+    if args.what in ("train", "all"):
+        sps, spt = bench_train(args.small, args.kernel)
+        extras["train_steps_per_sec"] = round(sps, 3)
+        extras["train_step_ms"] = round(spt * 1e3, 2)
+        if args.what == "train":
+            print(json.dumps({
+                "metric": "train_steps_per_sec", "value": round(sps, 3),
+                "unit": "steps/s", "vs_baseline": None, **extras}))
+            return
+    cps, per_batch = bench_decode(args.small, args.kernel, args.iters)
+    out = {
+        "metric": "decode_captions_per_sec_per_chip",
+        "value": round(cps, 2),
+        "unit": "captions/s",
+        "vs_baseline": round(cps / LEGACY_CAPTIONS_PER_SEC, 1),
+        "beam": 5,
+        "batch_decode_ms": round(per_batch * 1e3, 1),
+        **extras,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""Generate + score captions for a split from a saved checkpoint
+(reference ``metrics.py`` standalone usage — SURVEY.md §3.5).
+
+Usage:
+    python -m stvd.cli.sample --run-dir runs/default [--split test]
+        [--beam 5] [--use-kernel]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import jax
+
+from ..config import Config
+from ..data.corpus import load_splits
+from ..model.kernel import get_step_fn
+from ..train.evaluate import evaluate_split
+from ..train.loop import init_train_state, restore_checkpoint
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--run-dir", required=True)
+    ap.add_argument("--split", default="test",
+                    choices=["train", "valid", "test"])
+    ap.add_argument("--beam", type=int, default=None)
+    ap.add_argument("--best", action="store_true",
+                    help="load ckpt_best instead of the latest ckpt")
+    ap.add_argument("--use-kernel", action="store_true")
+    args = ap.parse_args(argv)
+
+    with open(os.path.join(args.run_dir, "config.json")) as f:
+        cfg = Config.from_json(f.read())
+    if args.beam is not None:
+        cfg = dataclasses.replace(
+            cfg, decode=dataclasses.replace(cfg.decode, beam_size=args.beam))
+
+    splits = load_splits(cfg)
+    template = init_train_state(jax.random.PRNGKey(0), cfg.model, cfg.train)
+    name = "ckpt_best" if args.best else "ckpt"
+    state = restore_checkpoint(os.path.join(args.run_dir, name), template)
+    scores = evaluate_split(state["params"], cfg, splits[args.split],
+                            split=args.split, save_dir=args.run_dir,
+                            step_fn=get_step_fn(args.use_kernel))
+    print(json.dumps(scores, indent=2, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,85 @@
+"""Training entry point (reference ``train.py``: build options dict,
+call ``model_attention.train(**options)`` — SURVEY.md §3.1).
+
+Usage:
+    python -m stvd.cli.train --config cfg.json [--preset msvd-beam]
+        [--set train.max_epochs=3] [--max-updates N] [--use-kernel]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+from ..config import Config, preset, validate
+from ..data.corpus import load_splits
+from ..model.kernel import get_step_fn
+from ..train import parallel
+from ..train.loop import fit
+from ..utils.logging import MetricsLogger
+
+
+def apply_overrides(cfg: Config, sets) -> Config:
+    """--set section.key=value overrides (typed via the dataclass)."""
+    for s in sets or []:
+        path, _, raw = s.partition("=")
+        section, _, key = path.partition(".")
+        sub = getattr(cfg, section)
+        old = getattr(sub, key)
+        if isinstance(old, bool):
+            val = raw.lower() in ("1", "true", "yes")
+        elif isinstance(old, int):
+            val = int(raw)
+        elif isinstance(old, float):
+            val = float(raw)
+        else:
+            val = raw
+        cfg = dataclasses.replace(
+            cfg, **{section: dataclasses.replace(sub, **{key: val})})
+    return cfg
+
+
+def build_config(args) -> Config:
+    if args.config:
+        with open(args.config) as f:
+            cfg = Config.from_json(f.read())
+    elif args.preset:
+        cfg = preset(args.preset)
+    else:
+        cfg = Config()
+    return validate(apply_overrides(cfg, args.set))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", help="config json path")
+    ap.add_argument("--preset", help="named preset (see stvd.config.preset)")
+    ap.add_argument("--set", action="append",
+                    help="override: section.key=value")
+    ap.add_argument("--max-updates", type=int, default=None)
+    ap.add_argument("--use-kernel", action="store_true",
+                    help="use the Pallas fused attention kernel")
+    ap.add_argument("--data-parallel", action="store_true",
+                    help="shard the batch over all local devices")
+    args = ap.parse_args(argv)
+
+    cfg = build_config(args)
+    os.makedirs(cfg.train.save_dir, exist_ok=True)
+    with open(os.path.join(cfg.train.save_dir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    splits = load_splits(cfg)
+    step_fn = get_step_fn(args.use_kernel)
+    mesh = parallel.make_mesh() if args.data_parallel else None
+    logger = MetricsLogger(cfg.train.save_dir)
+    result = fit(cfg, splits["train"], splits.get("valid"), step_fn=step_fn,
+                 mesh=mesh, logger=logger, max_updates=args.max_updates)
+    logger.log("done", best_metric=result.best_metric,
+               best_step=result.best_step)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

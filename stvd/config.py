@@ -1,0 +1,179 @@
+"""Configuration for the stvd framework.
+
+Frozen dataclasses mirroring the reference's Jobman-``DD`` option keys
+(reference: ``config.py`` + ``model_attention.py:§validate_options`` — see
+SURVEY.md §5 "Config / flag system"), so that reference recipes translate
+1:1.  Unlike the reference's mutable dict, configs here are immutable and
+hashable, which lets them ride through ``jax.jit`` as static arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyperparameters.
+
+    Mirrors the reference option keys (``dim_word``, ``dim``, ``ctx_dim``,
+    ``n_words`` ... — reference ``config.py``); defaults follow SURVEY.md §5.
+    """
+
+    n_words: int = 13010            # vocab size (MSVD ~13k; reference caps at 20k)
+    dim_word: int = 468             # word-embedding dim
+    dim: int = 512                  # LSTM hidden dim (reference default ≈3518)
+    ctx_dim: int = 1024             # frame-feature dim (GoogLeNet pool5)
+    n_frames: int = 28              # K: frames per video after subsampling
+    # --- spatial attention (the tuyunbin addition; reference
+    #     model_attention.py:§lstm_cond_layer spatial stage) ---
+    use_spatial: bool = False       # enable region-level spatial attention
+    n_regions: int = 49             # R: regions per frame (7x7 conv grid)
+    region_dim: int = 1024          # Dr: region-feature dim
+    # --- dual-stream fusion (MSR-VTT: ResNet appearance + C3D motion) ---
+    use_motion: bool = False        # enable second (motion) feature stream
+    motion_dim: int = 2048          # C3D/motion feature dim
+    # --- structure knobs (reference option names) ---
+    selector: bool = True           # gating scalar beta on the context vector
+    use_dropout: bool = True        # dropout before the logit projection
+    dropout_rate: float = 0.5
+    prev_word_logit: bool = True    # ff_logit_prev: add prev-word emb to logit
+    alpha_c: float = 0.0            # attention-entropy regularizer weight
+    # --- numerics ---
+    param_dtype: str = "float32"    # parameter storage dtype
+    compute_dtype: str = "bfloat16"  # activation dtype inside matmuls (MXU)
+
+    @property
+    def attn_dim(self) -> int:
+        """Projection width of the temporal-attention MLP (== ctx_dim in
+        the reference: Wc_att is (ctx_dim, ctx_dim))."""
+        return self.ctx_dim
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training-loop hyperparameters (reference ``config.py`` keys)."""
+
+    batch_size: int = 64
+    valid_batch_size: int = 200
+    maxlen: int = 30                # max caption length (tokens incl. EOS)
+    optimizer: str = "adadelta"     # adadelta | rmsprop | sgd | adam
+    lr: float = 1.0                 # adadelta is lr-insensitive (reference lr≈1e-4..1e-2 w/ scaling)
+    clip_c: float = 10.0            # global-norm gradient clip
+    patience: int = 20              # early-stop patience (validation rounds)
+    max_epochs: int = 500
+    disp_freq: int = 10             # print cost every N updates
+    sample_freq: int = 200          # sample captions every N updates
+    valid_freq: int = 2000          # validate every N updates
+    save_freq: int = 2000           # checkpoint every N updates
+    metric: str = "meteor"          # early-stop metric: meteor|bleu4|cider|nll
+    ss_prob: float = 0.0            # scheduled-sampling probability
+    seed: int = 1234
+    reload_: bool = False           # resume from save_dir checkpoint
+    save_dir: str = "runs/default"
+    # --- parallelism (no reference equivalent; SURVEY.md §2 rows 9-10) ---
+    data_parallel: bool = True      # shard batch over the 'data' mesh axis
+    donate_state: bool = True       # donate train-state buffers to jit
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeConfig:
+    """Decoding hyperparameters (reference ``gen_sample`` args)."""
+
+    beam_size: int = 5              # reference k=5; 1 == greedy
+    maxlen: int = 30
+    length_norm: float = 0.6        # GNMT-style length-norm alpha (0 = off);
+    # reference normalizes by plain length when `normalize=True`
+    decode_batch: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset paths and shapes (reference ``config.py`` dataset keys)."""
+
+    dataset: str = "synthetic"      # synthetic | youtube2text (MSVD) | msrvtt
+    data_dir: str = "data"
+    feature_file: Optional[str] = None   # packed .npz bank (see data/bank.py)
+    region_feature_file: Optional[str] = None
+    motion_feature_file: Optional[str] = None
+    vocab_file: Optional[str] = None
+    captions_file: Optional[str] = None
+    # synthetic-dataset knobs (tests / benchmarking without real features)
+    synthetic_videos: int = 64
+    synthetic_captions_per_video: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    decode: DecodeConfig = dataclasses.field(default_factory=DecodeConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        d = json.loads(s)
+        return Config(
+            model=ModelConfig(**d.get("model", {})),
+            train=TrainConfig(**d.get("train", {})),
+            decode=DecodeConfig(**d.get("decode", {})),
+            data=DataConfig(**d.get("data", {})),
+        )
+
+
+def validate(cfg: Config) -> Config:
+    """Sanity-check a config (reference: model_attention.py:§validate_options)."""
+    m = cfg.model
+    if m.n_words < 4:
+        raise ValueError("n_words must be >= 4 (eos/unk/bos + >=1 real word)")
+    if m.use_spatial and m.n_regions < 1:
+        raise ValueError("use_spatial requires n_regions >= 1")
+    if cfg.decode.beam_size < 1:
+        raise ValueError("beam_size must be >= 1")
+    if cfg.train.optimizer not in ("adadelta", "rmsprop", "sgd", "adam"):
+        raise ValueError(f"unknown optimizer {cfg.train.optimizer!r}")
+    if not 0.0 <= cfg.train.ss_prob <= 1.0:
+        raise ValueError("ss_prob must be in [0, 1]")
+    return cfg
+
+
+# Named presets mirroring the five BASELINE.json target configs.
+def preset(name: str) -> Config:
+    """Return a named config preset.
+
+    Presets 1-5 correspond to BASELINE.json targets (see BASELINE.md):
+      msvd-temporal   (1) temporal attention, MSVD GoogLeNet features, greedy
+      msvd-spatial    (2) full spatial-temporal attention
+      msvd-beam       (3) beam=5 + length norm, batched on-device
+      msrvtt-fused    (4) MSR-VTT, ResNet appearance + C3D motion streams
+      msvd-dp         (5) data-parallel training over ICI
+    """
+    base = Config()
+    if name in ("msvd-temporal", "1"):
+        return base.replace(
+            decode=dataclasses.replace(base.decode, beam_size=1))
+    if name in ("msvd-spatial", "2"):
+        return base.replace(
+            model=dataclasses.replace(base.model, use_spatial=True))
+    if name in ("msvd-beam", "3"):
+        return base.replace(
+            decode=dataclasses.replace(base.decode, beam_size=5,
+                                       length_norm=0.6))
+    if name in ("msrvtt-fused", "4"):
+        return base.replace(
+            model=dataclasses.replace(
+                base.model, use_motion=True, motion_dim=2048,
+                ctx_dim=2048, n_words=20000),
+            data=dataclasses.replace(base.data, dataset="msrvtt"))
+    if name in ("msvd-dp", "5"):
+        return base.replace(
+            train=dataclasses.replace(base.train, data_parallel=True))
+    raise KeyError(f"unknown preset {name!r}")

@@ -1,0 +1,148 @@
+"""Batched beam-search decoding, fully on device.
+
+Replaces the reference's host-side python beam search (reference
+``model_attention.py:§gen_sample`` — SURVEY.md §3.3: python lists of
+hypotheses, one video at a time, a host<->device round-trip per token).
+Here the full batch x beam state lives in HBM; every step is one fused
+XLA program (vectorized top-k over beam*vocab, EOS retirement as masks,
+static shapes throughout) under ``lax.scan``.
+
+Invariant (tested): ``beam_decode(k=1)`` emits exactly the greedy tokens.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..data.text import EOS_ID
+from ..model import step as step_mod
+from ..model.decoder import StepFn, encode_context
+from ..model.step import StepContext, StepState, init_state, logits_from_states, precompute
+
+_NEG = -1.0e30
+
+
+class BeamOut(NamedTuple):
+    tokens: jax.Array       # (B, maxlen) best beam, EOS-terminated
+    scores: jax.Array       # (B,) raw log-prob of best beam
+    norm_scores: jax.Array  # (B,) length-normalized score used for selection
+    lengths: jax.Array      # (B,) tokens incl. EOS of best beam
+    all_tokens: jax.Array   # (B, k, maxlen)
+    all_scores: jax.Array   # (B, k)
+
+
+def _length_penalty(lengths: jax.Array, alpha: float, mode: str) -> jax.Array:
+    """lp(l): 'gnmt' = ((5+l)/6)^alpha; 'linear' = l (the reference's
+    ``normalize=True`` divides by plain length); 'none' = 1."""
+    lf = jnp.maximum(lengths.astype(jnp.float32), 1.0)
+    if mode == "linear":
+        return lf
+    if mode == "gnmt" and alpha > 0.0:
+        return ((5.0 + lf) / 6.0) ** alpha
+    return jnp.ones_like(lf)
+
+
+def _expand_context(sc: StepContext, k: int) -> StepContext:
+    """Tile the per-sequence context k times along batch (B -> B*k)."""
+    def rep(x):
+        return None if x is None else jnp.repeat(x, k, axis=0)
+    return StepContext(ctx=rep(sc.ctx), pctx=rep(sc.pctx),
+                       ctx_mask=rep(sc.ctx_mask), mean_ctx=rep(sc.mean_ctx),
+                       regions=rep(sc.regions), pregion=rep(sc.pregion),
+                       w_sf_att=sc.w_sf_att)  # weight — shared, not tiled
+
+
+def beam_decode(
+    params,
+    cfg: ModelConfig,
+    batch: Dict[str, jax.Array],
+    beam_size: int = 5,
+    maxlen: int = 30,
+    length_norm: float = 0.6,
+    norm_mode: str = "gnmt",
+    step_fn: Optional[StepFn] = None,
+) -> BeamOut:
+    step_fn = step_fn or step_mod.step
+    k = beam_size
+    B = batch["frames"].shape[0]
+    V = cfg.n_words
+
+    ctx = encode_context(params, cfg, batch["frames"], batch.get("motion"))
+    sc = precompute(params, cfg, ctx, batch["frame_mask"],
+                    batch.get("regions"))
+    state0 = init_state(params, cfg, sc)
+    sck = _expand_context(sc, k)
+    h0 = jnp.repeat(state0.h, k, axis=0)
+    c0 = jnp.repeat(state0.c, k, axis=0)
+
+    # beam 0 starts live, beams 1..k-1 start dead (all beams are identical
+    # at t=0 — this avoids k duplicate hypotheses)
+    scores0 = jnp.tile(
+        jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), _NEG)]), (B, 1))
+
+    def body(carry, t):
+        h, c, prev, scores, finished, lengths, buf = carry
+        emb_t = jnp.where(
+            t == 0, jnp.zeros((B * k, cfg.dim_word), params["Wemb"].dtype),
+            params["Wemb"][prev.reshape(B * k)])
+        out = step_fn(params, cfg, StepState(h, c), sck, emb_t)
+        logits = logits_from_states(params, cfg, out.h, out.ctx_t, emb_t,
+                                    train=False)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        logp = logp.reshape(B, k, V)
+
+        # finished beams may only extend with EOS at zero cost
+        eos_only = jnp.full((V,), _NEG).at[EOS_ID].set(0.0)
+        logp = jnp.where(finished[..., None], eos_only[None, None, :], logp)
+
+        cand = (scores[..., None] + logp).reshape(B, k * V)
+        new_scores, flat_idx = jax.lax.top_k(cand, k)          # (B, k)
+        parent = (flat_idx // V).astype(jnp.int32)
+        word = (flat_idx % V).astype(jnp.int32)
+
+        def g(x):                                    # gather along beam axis
+            return jnp.take_along_axis(x, parent, axis=1)
+
+        par_finished = g(finished)
+        new_finished = jnp.logical_or(par_finished, word == EOS_ID)
+        new_lengths = g(lengths) + jnp.logical_not(par_finished)
+
+        # reorder recurrent state by parent beam
+        def gs(x):
+            xk = x.reshape(B, k, -1)
+            return jnp.take_along_axis(
+                xk, parent[..., None], axis=1).reshape(B * k, -1)
+
+        new_h, new_c = gs(out.h), gs(out.c)
+        emit = jnp.where(par_finished, EOS_ID, word)
+        new_buf = jnp.take_along_axis(buf, parent[..., None], axis=1)
+        new_buf = jax.lax.dynamic_update_index_in_dim(
+            new_buf, emit, t, axis=2)
+        return (new_h, new_c, word, new_scores, new_finished, new_lengths,
+                new_buf), None
+
+    init = (h0, c0, jnp.zeros((B, k), jnp.int32), scores0,
+            jnp.zeros((B, k), bool), jnp.zeros((B, k), jnp.int32),
+            jnp.zeros((B, k, maxlen), jnp.int32))
+    (_, _, _, scores, finished, lengths, buf), _ = jax.lax.scan(
+        body, init, jnp.arange(maxlen))
+
+    lp = _length_penalty(lengths, length_norm, norm_mode)
+    norm = scores / lp
+    best = jnp.argmax(norm, axis=1)                    # (B,)
+    take = lambda x: jnp.take_along_axis(
+        x, best[:, None] if x.ndim == 2 else best[:, None, None], axis=1)
+    best_tokens = jnp.take_along_axis(
+        buf, best[:, None, None].repeat(buf.shape[2], 2), axis=1)[:, 0]
+    return BeamOut(
+        tokens=best_tokens,
+        scores=take(scores)[:, 0],
+        norm_scores=take(norm)[:, 0],
+        lengths=take(lengths)[:, 0],
+        all_tokens=buf,
+        all_scores=scores,
+    )

@@ -1,0 +1,73 @@
+"""Batched greedy decoding, fully on device.
+
+Replaces the reference's per-video host loop (reference
+``model_attention.py:§gen_sample`` with k=1 — SURVEY.md §3.3: one GPU
+round-trip PER TOKEN PER VIDEO).  Here the whole batch decodes in one
+``lax.scan`` with zero host synchronization; the step function is the
+same one training uses (BASELINE: train/infer share the step).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..data.text import EOS_ID
+from ..model import step as step_mod
+from ..model.decoder import StepFn, encode_context
+from ..model.step import StepState, init_state, logits_from_states, precompute
+
+
+class GreedyOut(NamedTuple):
+    tokens: jax.Array    # (B, maxlen) int32, EOS-terminated, 0-padded
+    scores: jax.Array    # (B,) total log-prob of the emitted sequence
+    lengths: jax.Array   # (B,) emitted tokens incl. EOS
+
+
+def greedy_decode(
+    params,
+    cfg: ModelConfig,
+    batch: Dict[str, jax.Array],
+    maxlen: int = 30,
+    step_fn: Optional[StepFn] = None,
+) -> GreedyOut:
+    """Greedy argmax decode for a batch of videos.
+
+    ``batch`` keys: frames (B,K,D), frame_mask (B,K), optional
+    regions/motion.
+    """
+    step_fn = step_fn or step_mod.step
+    B = batch["frames"].shape[0]
+    ctx = encode_context(params, cfg, batch["frames"], batch.get("motion"))
+    sc = precompute(params, cfg, ctx, batch["frame_mask"],
+                    batch.get("regions"))
+    state0 = init_state(params, cfg, sc)
+
+    def body(carry, t):
+        state, prev, finished, score, length = carry
+        emb_t = jnp.where(t == 0,
+                          jnp.zeros((B, cfg.dim_word), params["Wemb"].dtype),
+                          params["Wemb"][prev])
+        out = step_fn(params, cfg, state, sc, emb_t)
+        logits = logits_from_states(params, cfg, out.h, out.ctx_t, emb_t,
+                                    train=False)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+        tok_logp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+        alive = jnp.logical_not(finished)
+        score = score + jnp.where(alive, tok_logp, 0.0)
+        length = length + alive.astype(jnp.int32)
+        emit = jnp.where(alive, nxt, EOS_ID)
+        finished = jnp.logical_or(finished, nxt == EOS_ID)
+        return (StepState(out.h, out.c), emit, finished, score, length), emit
+
+    init = (state0, jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), bool), jnp.zeros((B,), jnp.float32),
+            jnp.zeros((B,), jnp.int32))
+    (_, _, _, score, length), toks = jax.lax.scan(
+        body, init, jnp.arange(maxlen))
+    return GreedyOut(tokens=jnp.swapaxes(toks, 0, 1), scores=score,
+                     lengths=length)

@@ -1,0 +1,177 @@
+"""Pallas TPU kernel: fused temporal-attention core.
+
+BASELINE mandates a fused Pallas decoder-step kernel shared by training
+and inference.  Profiling the step (SURVEY.md §3.2) shows the large
+matmuls (h-projection, LSTM gates, vocab logits) are already optimal on
+the MXU under XLA; the HBM-bandwidth-bound part is the attention chain
+
+    tanh(pctx + Wd_att h)  ->  . U_att  ->  masked softmax_K  ->
+    ctx_t = sum_k alpha_k ctx_k  ->  beta-gated context
+
+which without fusion writes a (B, K, attn_dim) tanh intermediate to HBM
+every decode step.  This kernel keeps the whole chain in VMEM, tiled
+over the batch.  The surrounding step logic (``step.step_with_core``) is
+identical for the jnp oracle and this kernel, so swapping cores cannot
+change semantics — tests assert exact (1e-5) agreement.
+
+On non-TPU backends the kernel runs in interpreter mode (tests on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import ModelConfig
+from . import step as step_mod
+
+_NEG_INF = -1e30
+
+
+def _attn_core_kernel(scal_ref, hatt_ref, beta_ref, pctx_ref, ctx_ref,
+                      mask_ref, uatt_ref, ctx_t_ref, alpha_ref):
+    """One batch tile: (Bt, K, A) attention chain fully in VMEM.
+
+    scal_ref (SMEM, (3,)): [c_att, b_sel, selector_flag]
+    """
+    c_att = scal_ref[0]
+    b_sel = scal_ref[1]
+    use_sel = scal_ref[2]
+
+    bt, k, a = pctx_ref.shape
+    e = jnp.tanh(pctx_ref[:] + hatt_ref[:][:, None, :])      # (Bt, K, A)
+    # score reduction over A as a VPU multiply-reduce (Mosaic has no
+    # batched dot; a width-1 MXU matmul would waste the systolic array)
+    scores = jnp.sum(e * uatt_ref[:][:, 0][None, None, :], axis=2) + c_att
+
+    mask = mask_ref[:] > 0
+    scores = jnp.where(mask, scores, _NEG_INF)
+    m = jnp.max(scores, axis=1, keepdims=True)
+    ex = jnp.exp(scores - m)
+    ex = jnp.where(mask, ex, 0.0)
+    denom = jnp.maximum(jnp.sum(ex, axis=1, keepdims=True), 1e-20)
+    alpha = ex / denom                                        # (Bt, K)
+
+    # ctx_t = sum_k alpha_k * ctx_k  (multiply-reduce over K on the VPU)
+    ctx_t = jnp.sum(alpha[:, :, None] * ctx_ref[:], axis=1)   # (Bt, Dc)
+
+    beta = jax.nn.sigmoid(beta_ref[:, 0] + b_sel)
+    gate = jnp.where(use_sel > 0, beta, jnp.ones_like(beta))
+    ctx_t_ref[:] = ctx_t * gate[:, None]
+    alpha_ref[:] = alpha
+
+
+def _pick_batch_tile(b: int) -> int:
+    for t in (8, 4, 2, 1):
+        if b % t == 0:
+            return t
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("selector", "interpret"))
+def _attn_core_pallas_call(h_att, beta_logit, pctx, ctx, ctx_mask, u_att,
+                           c_att, b_sel, selector: bool, interpret: bool):
+    b, k, a = pctx.shape
+    dc = ctx.shape[-1]
+    bt = _pick_batch_tile(b)
+    grid = (b // bt,)
+    scal = jnp.stack([c_att.astype(jnp.float32),
+                      b_sel.astype(jnp.float32),
+                      jnp.float32(1.0 if selector else 0.0)])
+    f32 = jnp.float32
+    out_shape = (jax.ShapeDtypeStruct((b, dc), f32),
+                 jax.ShapeDtypeStruct((b, k), f32))
+    ctx_t, alpha = pl.pallas_call(
+        _attn_core_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # scalars
+            pl.BlockSpec((bt, a), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),             # h_att
+            pl.BlockSpec((bt, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),             # beta_logit
+            pl.BlockSpec((bt, k, a), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),             # pctx
+            pl.BlockSpec((bt, k, dc), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),             # ctx
+            pl.BlockSpec((bt, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),             # mask
+            pl.BlockSpec((a, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),             # U_att
+        ],
+        out_specs=(
+            pl.BlockSpec((bt, dc), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(scal, h_att, beta_logit, pctx, ctx, ctx_mask, u_att)
+    return ctx_t, alpha
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def _core_diff(h_att, beta_logit, pctx, ctx, ctx_mask, u_att, c_att, b_sel,
+               selector):
+    interpret = jax.default_backend() != "tpu"
+    return _attn_core_pallas_call(
+        h_att.astype(jnp.float32),
+        beta_logit[:, None].astype(jnp.float32),
+        pctx.astype(jnp.float32), ctx.astype(jnp.float32),
+        ctx_mask.astype(jnp.float32),
+        u_att[:, None].astype(jnp.float32),
+        jnp.asarray(c_att), jnp.asarray(b_sel),
+        selector, interpret)
+
+
+def _core_fwd(h_att, beta_logit, pctx, ctx, ctx_mask, u_att, c_att, b_sel,
+              selector):
+    out = _core_diff(h_att, beta_logit, pctx, ctx, ctx_mask, u_att, c_att,
+                     b_sel, selector)
+    return out, (h_att, beta_logit, pctx, ctx, ctx_mask, u_att, c_att, b_sel)
+
+
+def _core_bwd(selector, res, g):
+    """Backward via the jnp oracle's VJP (rematerialized forward, fully
+    XLA-fused — the fused Pallas forward stays on the hot decode path,
+    while training's backward is standard XLA)."""
+    h_att, beta_logit, pctx, ctx, ctx_mask, u_att, c_att, b_sel = res
+
+    def f(h_att, beta_logit, pctx, ctx, u_att, c_att, b_sel):
+        return step_mod._attention_core_jnp(
+            h_att, beta_logit, pctx, ctx, ctx_mask, u_att, c_att, b_sel,
+            selector)
+
+    _, vjp = jax.vjp(f, h_att, beta_logit, pctx, ctx, u_att, c_att, b_sel)
+    dh, dbeta, dpctx, dctx, du, dc_att, db_sel = vjp(g)
+    return (dh, dbeta, dpctx, dctx, jnp.zeros_like(ctx_mask), du, dc_att,
+            db_sel)
+
+
+_core_diff.defvjp(_core_fwd, _core_bwd)
+
+
+def attention_core_pallas(h_att, beta_logit, pctx, ctx, ctx_mask, u_att,
+                          c_att, b_sel, selector: bool
+                          ) -> Tuple[jax.Array, jax.Array]:
+    """Pallas drop-in for ``step._attention_core_jnp`` (same signature,
+    differentiable via custom VJP)."""
+    return _core_diff(h_att, beta_logit, pctx, ctx, ctx_mask, u_att,
+                      jnp.asarray(c_att), jnp.asarray(b_sel), selector)
+
+
+def step_pallas(params, cfg: ModelConfig, state, sc, emb_t):
+    """Decoder step using the fused Pallas attention core (drop-in
+    replacement for ``step.step``; used by train scan AND decoding)."""
+    return step_mod.step_with_core(params, cfg, state, sc, emb_t,
+                                   attention_core=attention_core_pallas)
+
+
+def get_step_fn(use_pallas: bool):
+    return step_pallas if use_pallas else step_mod.step

@@ -1,0 +1,239 @@
+"""The fused spatial-temporal attention + LSTM decoder step (pure jnp).
+
+This is the semantic heart of the model (reference:
+``model_attention.py:§lstm_cond_layer`` — SURVEY.md §3.2) and the
+correctness ORACLE for the Pallas kernel in ``kernel.py``.  One step:
+
+    [spatial]  score R regions/frame vs h_{t-1} -> softmax_R -> attended
+               region vec per frame, fused into the frame feature
+    [temporal] score K frames vs h_{t-1} -> masked softmax_K -> context
+    [selector] beta = sigmoid(W_sel h) scales the context
+    [LSTM]     gates from (prev word emb, h_{t-1}, context)
+
+TPU-first departures from the reference:
+  * all h-dependent projections are issued as ONE fused matmul
+    (weights concatenated at trace time -> a single MXU pass),
+  * the h-independent projections of the frame/region banks are
+    precomputed once OUTSIDE the scan (``precompute``) instead of being
+    recomputed per step inside theano.scan,
+  * static shapes + masks everywhere (no ragged batches).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+
+Params = Dict[str, jax.Array]
+
+_NEG_INF = -1e30
+
+
+def masked_softmax(e: jax.Array, mask: Optional[jax.Array], axis: int = -1
+                   ) -> jax.Array:
+    """Numerically safe masked softmax.
+
+    Fully-masked rows return all-zeros (not NaN) — the edge case called
+    out in SURVEY.md §4 (padded videos with zero valid frames).
+    """
+    if mask is not None:
+        e = jnp.where(mask > 0, e, _NEG_INF)
+    m = jnp.max(e, axis=axis, keepdims=True)
+    ex = jnp.exp(e - jax.lax.stop_gradient(m))
+    if mask is not None:
+        ex = ex * (mask > 0)
+    denom = jnp.sum(ex, axis=axis, keepdims=True)
+    return ex / jnp.maximum(denom, 1e-20)
+
+
+class StepState(NamedTuple):
+    h: jax.Array        # (B, dim)
+    c: jax.Array        # (B, dim)
+
+
+class StepContext(NamedTuple):
+    """Per-sequence tensors that are constant across decode steps.
+
+    Built once by ``precompute`` (outside scan) — the reference recomputes
+    ``Wc_att @ ctx`` every timestep inside theano.scan.
+    """
+
+    ctx: jax.Array              # (B, K, ctx_dim) fused frame features
+    pctx: jax.Array             # (B, K, attn_dim) ctx @ Wc_att + b_att
+    ctx_mask: jax.Array         # (B, K)
+    mean_ctx: jax.Array         # (B, ctx_dim) masked mean (for h0/c0)
+    regions: Optional[jax.Array] = None    # (B, K, R, Dr)
+    pregion: Optional[jax.Array] = None    # (B, K, R, s_attn)
+    w_sf_att: Optional[jax.Array] = None   # (Dr, attn_dim) = W_spat_fuse @ Wc_att
+
+
+class StepOut(NamedTuple):
+    h: jax.Array            # (B, dim)
+    c: jax.Array            # (B, dim)
+    ctx_t: jax.Array        # (B, ctx_dim) attended (+gated) context
+    alpha: jax.Array        # (B, K) temporal attention weights
+    alpha_s: Optional[jax.Array]  # (B, K, R) spatial weights (None w/o spatial)
+
+
+def _dot(a: jax.Array, b: jax.Array, cdtype) -> jax.Array:
+    """Matmul in compute dtype with fp32 accumulation (MXU-friendly)."""
+    return jnp.dot(a.astype(cdtype), b.astype(cdtype),
+                   preferred_element_type=jnp.float32)
+
+
+def precompute(params: Params, cfg: ModelConfig, ctx: jax.Array,
+               ctx_mask: jax.Array, regions: Optional[jax.Array] = None
+               ) -> StepContext:
+    """Hoist all h-independent work out of the decode loop.
+
+    ``ctx`` is the (B, K, ctx_dim) fused frame features (see
+    ``decoder.encode_context`` for the input fusion).
+    """
+    cdtype = jnp.dtype(cfg.compute_dtype)
+    pctx = _dot(ctx, params["Wc_att"], cdtype) + params["b_att"]
+    denom = jnp.maximum(jnp.sum(ctx_mask, axis=1, keepdims=True), 1.0)
+    mean_ctx = jnp.sum(ctx * ctx_mask[..., None], axis=1) / denom
+    pregion = None
+    w_sf_att = None
+    if cfg.use_spatial:
+        if regions is None:
+            raise ValueError("use_spatial=True but no region features given")
+        pregion = _dot(regions, params["Ws_att"], cdtype) + params["bs_att"]
+        # Composition of (spatial-fusion -> temporal-attention-projection):
+        # pctx'_t = pctx + spat_t @ (W_spat_fuse @ Wc_att).  Precomputing the
+        # composed (Dr, attn_dim) weight saves one per-step matmul.
+        w_sf_att = _dot(params["W_spat_fuse"], params["Wc_att"], cdtype)
+    return StepContext(ctx=ctx, pctx=pctx, ctx_mask=ctx_mask,
+                       mean_ctx=mean_ctx, regions=regions, pregion=pregion,
+                       w_sf_att=w_sf_att)
+
+
+def init_state(params: Params, cfg: ModelConfig, sc: StepContext) -> StepState:
+    """h0/c0 from the masked mean context via tanh MLPs (reference
+    ``ff_state`` / ``ff_memory`` layers)."""
+    cdtype = jnp.dtype(cfg.compute_dtype)
+    h0 = jnp.tanh(_dot(sc.mean_ctx, params["ff_state_W"], cdtype)
+                  + params["ff_state_b"])
+    c0 = jnp.tanh(_dot(sc.mean_ctx, params["ff_memory_W"], cdtype)
+                  + params["ff_memory_b"])
+    return StepState(h=h0, c=c0)
+
+
+def _h_projection_weights(params: Params, cfg: ModelConfig) -> jax.Array:
+    """Concatenate every h_{t-1}-dependent weight into one matrix.
+
+    Columns: [U (4*dim) | Wd_att (attn) | W_sel (1) | Wsd_att (s_attn)?].
+    The concat happens at trace time, so XLA sees a single (dim, X)
+    matmul per step instead of 3-4 small ones.
+    """
+    cols = [params["U"], params["Wd_att"], params["W_sel"][:, None]]
+    if cfg.use_spatial:
+        cols.append(params["Wsd_att"])
+    return jnp.concatenate(cols, axis=1)
+
+
+def _attention_core_jnp(h_att, beta_logit, pctx_k, ctx_k, ctx_mask, u_att,
+                        c_att, b_sel, selector: bool
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """Temporal attention + selector gate (the jnp oracle core).
+
+    The Pallas kernel (``kernel.attention_core_pallas``) implements this
+    exact contract; ``step_with_core`` swaps between them.
+    Returns (ctx_t (B, Dc) fp32, alpha (B, K) fp32).
+    """
+    e = jnp.tanh(pctx_k + h_att[:, None, :])
+    scores = jnp.einsum("bkd,d->bk", e, u_att.astype(e.dtype)) + c_att
+    alpha = masked_softmax(scores.astype(jnp.float32), ctx_mask, axis=-1)
+    ctx_t = jnp.einsum("bk,bkd->bd", alpha.astype(ctx_k.dtype),
+                       ctx_k).astype(jnp.float32)
+    if selector:
+        beta = jax.nn.sigmoid(beta_logit.astype(jnp.float32) + b_sel)
+        ctx_t = ctx_t * beta[:, None]
+    return ctx_t, alpha
+
+
+def step_with_core(params: Params, cfg: ModelConfig, state: StepState,
+                   sc: StepContext, emb_t: jax.Array,
+                   attention_core=_attention_core_jnp) -> StepOut:
+    """One decoder step.  ``emb_t`` is the (B, dim_word) previous-word
+    embedding (teacher-forced in training, model-fed in decoding)."""
+    cdtype = jnp.dtype(cfg.compute_dtype)
+    dim = cfg.dim
+    attn = cfg.attn_dim
+    h, c = state
+
+    # --- single fused h-projection (MXU) ---
+    hw = _h_projection_weights(params, cfg)
+    hp = _dot(h, hw, cdtype)                       # (B, 4d+attn+1[+s_attn])
+    h_gates = hp[:, : 4 * dim]
+    h_att = hp[:, 4 * dim: 4 * dim + attn]
+    beta_logit = hp[:, 4 * dim + attn]
+
+    ctx_k = sc.ctx                                  # (B, K, ctx_dim)
+    pctx_k = sc.pctx                                # (B, K, attn)
+    alpha_s = None
+    if cfg.use_spatial:
+        s_attn = params["Wsd_att"].shape[1]
+        h_satt = hp[:, 4 * dim + attn + 1:]         # (B, s_attn)
+        # spatial scores over R regions within each frame
+        e_s = jnp.tanh(sc.pregion + h_satt[:, None, None, :])
+        e_s = jnp.einsum("bkrd,d->bkr", e_s.astype(cdtype),
+                         params["Us_att"].astype(cdtype)) + params["cs_att"]
+        alpha_s = masked_softmax(e_s.astype(jnp.float32), None, axis=-1)
+        spat = jnp.einsum("bkr,bkrd->bkd", alpha_s.astype(cdtype),
+                          sc.regions.astype(cdtype))       # (B, K, Dr)
+        ctx_k = ctx_k + _dot(spat, params["W_spat_fuse"], cdtype)
+        pctx_k = pctx_k + _dot(spat, sc.w_sf_att, cdtype)
+
+    # --- temporal attention over K frames + selector gate ---
+    ctx_t, alpha = attention_core(
+        h_att, beta_logit, pctx_k, ctx_k, sc.ctx_mask,
+        params["U_att"], params["c_att"], params["b_sel"], cfg.selector)
+
+    # --- LSTM gates ---
+    x_pre = _dot(emb_t, params["W"], cdtype) + params["b"]
+    preact = x_pre + h_gates + _dot(ctx_t, params["Wc"], cdtype)
+    i = jax.nn.sigmoid(preact[:, 0 * dim: 1 * dim])
+    f = jax.nn.sigmoid(preact[:, 1 * dim: 2 * dim])
+    o = jax.nn.sigmoid(preact[:, 2 * dim: 3 * dim])
+    g = jnp.tanh(preact[:, 3 * dim: 4 * dim])
+    c_t = f * c + i * g
+    h_t = o * jnp.tanh(c_t)
+    return StepOut(h=h_t, c=c_t, ctx_t=ctx_t, alpha=alpha, alpha_s=alpha_s)
+
+
+def step(params: Params, cfg: ModelConfig, state: StepState,
+         sc: StepContext, emb_t: jax.Array) -> StepOut:
+    """The default (pure-jnp) decoder step — the correctness oracle."""
+    return step_with_core(params, cfg, state, sc, emb_t,
+                          attention_core=_attention_core_jnp)
+
+
+def logits_from_states(params: Params, cfg: ModelConfig, h: jax.Array,
+                       ctx_t: jax.Array, emb: jax.Array,
+                       dropout_rng: Optional[jax.Array] = None,
+                       train: bool = False) -> jax.Array:
+    """Output projection to vocab logits (reference ff_logit_* stack).
+
+    Shapes are arbitrary-leading: works for (B, ...) per-step in decoding
+    AND (T, B, ...) whole-sequence after scan (the TPU-first trick — one
+    big (T*B, dim) @ (dim, dim_word) MXU pass instead of T small ones).
+    """
+    cdtype = jnp.dtype(cfg.compute_dtype)
+    logit = (_dot(h, params["ff_logit_lstm_W"], cdtype)
+             + params["ff_logit_lstm_b"]
+             + _dot(ctx_t, params["ff_logit_ctx_W"], cdtype))
+    if cfg.prev_word_logit:
+        logit = logit + emb  # dims match (dim_word) — reference adds emb raw
+    logit = jnp.tanh(logit)
+    if cfg.use_dropout and train:
+        if dropout_rng is None:
+            raise ValueError("train dropout requires an rng")
+        keep = 1.0 - cfg.dropout_rate
+        mask = jax.random.bernoulli(dropout_rng, keep, logit.shape)
+        logit = jnp.where(mask, logit / keep, 0.0)
+    return _dot(logit, params["ff_logit_W"], cdtype) + params["ff_logit_b"]

@@ -1,0 +1,96 @@
+"""Split evaluation: batched decode + metric scoring + parity artifacts.
+
+Reference: ``metrics.py:§compute_score`` (SURVEY.md §3.5) — beam-decode
+every video of a split, write ``{split}_samples.txt/json`` into the run
+dir, score with the COCO metrics, return the metric dict used for model
+selection.  The decode itself is the batched on-device path (decode/),
+not the reference's per-video host loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, DecodeConfig, ModelConfig
+from ..data.batching import Dataset
+from ..data.text import Vocab
+from ..decode.beam import beam_decode
+from ..decode.greedy import greedy_decode
+from ..metrics.scorer import score_all
+from ..model.decoder import StepFn
+
+
+def generate_captions(
+    params,
+    mcfg: ModelConfig,
+    dev_bank: Dict[str, jax.Array],
+    n_videos: int,
+    dcfg: DecodeConfig,
+    step_fn: Optional[StepFn] = None,
+) -> List[List[int]]:
+    """Decode one caption per video row; returns token-id lists.
+
+    Videos are processed in fixed-size batches (last batch wraps, extras
+    discarded) so exactly one executable is compiled.
+    """
+    bsz = min(dcfg.decode_batch, n_videos)
+
+    def run(batch):
+        if dcfg.beam_size <= 1:
+            return greedy_decode(params, mcfg, batch, maxlen=dcfg.maxlen,
+                                 step_fn=step_fn).tokens
+        return beam_decode(params, mcfg, batch, beam_size=dcfg.beam_size,
+                           maxlen=dcfg.maxlen, length_norm=dcfg.length_norm,
+                           step_fn=step_fn).tokens
+
+    run_j = jax.jit(run)
+    out: List[List[int]] = []
+    for s in range(0, n_videos, bsz):
+        rows = np.arange(s, min(s + bsz, n_videos))
+        pad = bsz - len(rows)
+        rows_p = np.concatenate([rows, np.zeros(pad, np.int64)]) if pad else rows
+        batch = {"frames": jnp.take(dev_bank["frames"], rows_p, axis=0),
+                 "frame_mask": jnp.take(dev_bank["frame_mask"], rows_p, axis=0)}
+        for key in ("regions", "motion"):
+            if key in dev_bank:
+                batch[key] = jnp.take(dev_bank[key], rows_p, axis=0)
+        toks = np.asarray(run_j(batch))
+        out.extend(toks[i].tolist() for i in range(len(rows)))
+    return out
+
+
+def evaluate_split(
+    params,
+    cfg: Config,
+    ds: Dataset,
+    split: str = "valid",
+    save_dir: Optional[str] = None,
+    step_fn: Optional[StepFn] = None,
+) -> Dict[str, float]:
+    """Decode + score a split; writes the reference's parity artifacts
+    (``{split}_samples.txt`` and ``.json``) when ``save_dir`` is given."""
+    dev_bank = ds.bank.to_device()
+    token_rows = generate_captions(params, cfg.model, dev_bank,
+                                   ds.bank.n_videos, cfg.decode,
+                                   step_fn=step_fn)
+    hyps: Dict[str, List[str]] = {}
+    gts: Dict[str, List[str]] = {}
+    for row, vid in enumerate(ds.bank.ids):
+        toks = ds.vocab.decode(token_rows[row])
+        hyps[vid] = [" ".join(toks) if toks else "unk"]
+        gts[vid] = [" ".join(r) for r in ds.references[row]]
+    if save_dir:
+        os.makedirs(save_dir, exist_ok=True)
+        with open(os.path.join(save_dir, f"{split}_samples.txt"), "w") as f:
+            for vid in ds.bank.ids:
+                f.write(f"{vid}\t{hyps[vid][0]}\n")
+        with open(os.path.join(save_dir, f"{split}_samples.json"), "w") as f:
+            json.dump([{"image_id": v, "caption": hyps[v][0]}
+                       for v in ds.bank.ids], f, indent=1)
+    return score_all(gts, hyps)

@@ -1,0 +1,270 @@
+"""The training driver (L4): optimizers, jitted train step, validation,
+checkpointing, early stopping.
+
+Reference: ``model_attention.py:§train`` + ``common.py`` optimizer
+factories (SURVEY.md §3.1).  TPU-first differences:
+
+  * ONE jitted, donated train step (forward+backward+update fused by
+    XLA) instead of the reference's separate f_grad_shared/f_update
+    host round-trips,
+  * optimizers are optax transforms (adadelta default, like the
+    reference; rmsprop/sgd/adam available) with global-norm clipping
+    (reference ``clip_c``),
+  * data parallelism by construction: params replicated, batch sharded
+    on the mesh data axis; XLA emits the ICI psum (SURVEY.md §2 row 10),
+  * checkpointing via Orbax: params + optimizer state + step + rng +
+    best-metric record (the reference saves params only and silently
+    resets adadelta accumulators on reload — SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config, ModelConfig, TrainConfig
+from ..data.batching import BatchIterator, Dataset, gather_batch
+from ..model.decoder import StepFn, init_params
+from ..utils.logging import MetricsLogger
+from . import parallel
+from .evaluate import evaluate_split
+from .loss import loss_fn
+
+TrainState = Dict[str, Any]   # {"params", "opt_state", "step", "rng"}
+
+
+def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+    """Reference optimizers (common.py:§adadelta/§rmsprop/§sgd) as optax
+    transforms, with the reference's global grad clipping (clip_c)."""
+    if tcfg.optimizer == "adadelta":
+        opt = optax.adadelta(learning_rate=tcfg.lr)
+    elif tcfg.optimizer == "rmsprop":
+        opt = optax.rmsprop(learning_rate=tcfg.lr)
+    elif tcfg.optimizer == "sgd":
+        opt = optax.sgd(learning_rate=tcfg.lr)
+    elif tcfg.optimizer == "adam":
+        opt = optax.adam(learning_rate=tcfg.lr)
+    else:
+        raise ValueError(tcfg.optimizer)
+    if tcfg.clip_c > 0:
+        return optax.chain(optax.clip_by_global_norm(tcfg.clip_c), opt)
+    return opt
+
+
+def init_train_state(rng: jax.Array, mcfg: ModelConfig, tcfg: TrainConfig
+                     ) -> TrainState:
+    p_rng, s_rng = jax.random.split(rng)
+    params = init_params(p_rng, mcfg)
+    opt = make_optimizer(tcfg)
+    return {"params": params, "opt_state": opt.init(params),
+            "step": jnp.zeros((), jnp.int32), "rng": s_rng}
+
+
+def make_train_step(
+    mcfg: ModelConfig,
+    tcfg: TrainConfig,
+    step_fn: Optional[StepFn] = None,
+    mesh=None,
+) -> Callable[[TrainState, Dict[str, jax.Array]],
+              Tuple[TrainState, Dict[str, jax.Array]]]:
+    """Build the fused, jitted train step.
+
+    With a mesh: state replicated / batch sharded on the data axis —
+    jit emits the gradient allreduce over ICI.
+    """
+    opt = make_optimizer(tcfg)
+
+    def train_step(state: TrainState, batch):
+        rng, sub = jax.random.split(state["rng"])
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"], mcfg, batch, rng=sub, train=True,
+            ss_prob=tcfg.ss_prob, step_fn=step_fn)
+        updates, opt_state = opt.update(grads, state["opt_state"],
+                                        state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        gnorm = optax.global_norm(grads)
+        new_state = {"params": params, "opt_state": opt_state,
+                     "step": state["step"] + 1, "rng": rng}
+        metrics = {"loss": loss, "nll": aux["nll"],
+                   "nll_per_token": aux["nll_per_token"], "grad_norm": gnorm}
+        return new_state, metrics
+
+    donate = (0,) if tcfg.donate_state else ()
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=donate)
+    rep = parallel.replicated(mesh)
+    shard = parallel.batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(rep, shard),
+        out_shardings=(rep, rep),
+        donate_argnums=donate,
+    )
+
+
+def make_eval_nll(mcfg: ModelConfig, step_fn: Optional[StepFn] = None):
+    """Jitted validation NLL (reference model_attention.py:§pred_probs)."""
+
+    def eval_step(params, batch):
+        _, aux = loss_fn(params, mcfg, batch, train=False, step_fn=step_fn)
+        return aux["nll"], aux["nll_per_token"]
+
+    return jax.jit(eval_step)
+
+
+def evaluate_nll(params, mcfg: ModelConfig, ds: Dataset, batch_size: int,
+                 step_fn: Optional[StepFn] = None) -> float:
+    """Mean per-token NLL over a split (the early-stop signal the
+    reference computes with pred_probs)."""
+    ev = make_eval_nll(mcfg, step_fn)
+    dev = ds.bank.to_device()
+    it = BatchIterator(ds.captions.n, min(batch_size, ds.captions.n),
+                       shuffle=False)
+    tot, cnt = 0.0, 0
+    for idx, w in it.epoch():
+        sel = idx[w > 0]
+        batch = gather_batch(dev, ds.captions, sel)
+        nll, _ = ev(params, batch)
+        tot += float(nll) * len(sel)
+        cnt += len(sel)
+    return tot / max(cnt, 1)
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (Orbax) — SURVEY.md §5 'Checkpoint / resume'
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(path: str, state: TrainState) -> None:
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_checkpoint(path: str, template: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path, jax.device_get(template))
+    # restore yields host numpy arrays; put them on device so traced
+    # indexing (e.g. Wemb[token] inside decode scans) works
+    return jax.tree.map(jnp.asarray, restored)
+
+
+# ---------------------------------------------------------------------------
+# The full fit loop (reference train() epoch loop)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class FitResult:
+    best_metric: float
+    best_step: int
+    history: list
+    state: TrainState
+
+
+def fit(
+    cfg: Config,
+    train_ds: Dataset,
+    valid_ds: Optional[Dataset] = None,
+    step_fn: Optional[StepFn] = None,
+    mesh=None,
+    logger: Optional[MetricsLogger] = None,
+    max_updates: Optional[int] = None,
+) -> FitResult:
+    """Train until max_epochs / patience exhausted (reference §train).
+
+    Early stopping: track the chosen validation metric (meteor/bleu4/
+    cider from generated captions, or nll); save best + periodic
+    checkpoints in cfg.train.save_dir.
+    """
+    tcfg, mcfg = cfg.train, cfg.model
+    log = logger or MetricsLogger(tcfg.save_dir)
+    rng = jax.random.PRNGKey(tcfg.seed)
+    state = init_train_state(rng, mcfg, tcfg)
+    if mesh is not None:
+        state = parallel.replicate(state, mesh)
+
+    ckpt_dir = os.path.join(tcfg.save_dir, "ckpt")
+    best_dir = os.path.join(tcfg.save_dir, "ckpt_best")
+    if tcfg.reload_ and os.path.exists(ckpt_dir):
+        state = restore_checkpoint(ckpt_dir, state)
+        log.log("reload", step=int(state["step"]))
+
+    train_step = make_train_step(mcfg, tcfg, step_fn, mesh)
+    dev = train_ds.bank.to_device()
+    it = BatchIterator(train_ds.captions.n, tcfg.batch_size, seed=tcfg.seed)
+
+    metric_name = tcfg.metric
+    bigger_is_better = metric_name != "nll"
+    best = -np.inf if bigger_is_better else np.inf
+    best_step = 0
+    bad_rounds = 0
+    history = []
+    update = int(state["step"])
+    stop = False
+
+    for epoch in range(tcfg.max_epochs):
+        if stop:
+            break
+        for idx, w in it.epoch():
+            batch = gather_batch(dev, train_ds.captions, idx)
+            batch["weight"] = jnp.asarray(w)
+            if mesh is not None:
+                batch = parallel.shard_batch(batch, mesh)
+            state, m = train_step(state, batch)
+            update += 1
+            if update % tcfg.disp_freq == 0:
+                log.log("train", epoch=epoch, update=update,
+                        loss=m["loss"], grad_norm=m["grad_norm"])
+            if tcfg.valid_freq > 0 and update % tcfg.valid_freq == 0 \
+                    and valid_ds is not None:
+                scores = _validate(state["params"], cfg, valid_ds, step_fn,
+                                   log, update)
+                val = scores[_metric_key(metric_name)]
+                history.append({"update": update, **scores})
+                improved = (val > best) if bigger_is_better else (val < best)
+                if improved:
+                    best, best_step, bad_rounds = val, update, 0
+                    save_checkpoint(best_dir, state)
+                    log.log("best", update=update, metric=metric_name,
+                            value=val)
+                else:
+                    bad_rounds += 1
+                    if bad_rounds >= tcfg.patience:
+                        log.log("early_stop", update=update,
+                                bad_rounds=bad_rounds)
+                        stop = True
+                        break
+            if tcfg.save_freq > 0 and update % tcfg.save_freq == 0:
+                save_checkpoint(ckpt_dir, state)
+            if max_updates is not None and update >= max_updates:
+                stop = True
+                break
+    save_checkpoint(ckpt_dir, state)
+    return FitResult(best_metric=float(best), best_step=best_step,
+                     history=history, state=state)
+
+
+def _metric_key(name: str) -> str:
+    return {"meteor": "METEOR", "bleu4": "Bleu_4", "cider": "CIDEr",
+            "nll": "nll"}[name]
+
+
+def _validate(params, cfg: Config, valid_ds: Dataset, step_fn, log,
+              update: int) -> Dict[str, float]:
+    nll = evaluate_nll(params, cfg.model, valid_ds,
+                       cfg.train.valid_batch_size, step_fn)
+    scores = evaluate_split(params, cfg, valid_ds, split="valid",
+                            save_dir=cfg.train.save_dir, step_fn=step_fn)
+    scores["nll"] = nll
+    log.log("valid", update=update, **scores)
+    return scores

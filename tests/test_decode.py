@@ -1,0 +1,130 @@
+"""Decoding tests: greedy, beam, and the exactness invariants from
+SURVEY.md §4 (greedy == beam(k=1); beam optimality on an exhaustive toy
+search space)."""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stvd.data.batching import gather_batch, synthetic_dataset
+from stvd.data.text import EOS_ID
+from stvd.decode.beam import beam_decode
+from stvd.decode.greedy import greedy_decode
+from stvd.model.decoder import forward_train, init_params
+
+from conftest import small_cfg
+
+
+def _setup(cfg, n=4, seed=0):
+    ds = synthetic_dataset(n_videos=n, k=cfg.n_frames, d=cfg.ctx_dim,
+                           n_regions=cfg.n_regions if cfg.use_spatial else 0,
+                           region_dim=cfg.region_dim, maxlen=10, seed=seed)
+    dev = ds.bank.to_device()
+    idx = np.arange(n, dtype=np.int32)
+    batch = gather_batch(dev, ds.captions, idx)
+    params = init_params(jax.random.PRNGKey(7), cfg)
+    return params, batch
+
+
+def test_greedy_shapes_and_termination(cfg):
+    params, batch = _setup(cfg)
+    out = greedy_decode(params, cfg, batch, maxlen=8)
+    assert out.tokens.shape == (4, 8)
+    toks = np.asarray(out.tokens)
+    # after the first EOS, everything is EOS (= 0)
+    for row in toks:
+        hit = np.where(row == EOS_ID)[0]
+        if hit.size:
+            assert np.all(row[hit[0]:] == EOS_ID)
+
+
+def test_beam_k1_equals_greedy(cfg):
+    params, batch = _setup(cfg)
+    g = greedy_decode(params, cfg, batch, maxlen=8)
+    b = beam_decode(params, cfg, batch, beam_size=1, maxlen=8,
+                    norm_mode="none")
+    np.testing.assert_array_equal(np.asarray(g.tokens), np.asarray(b.tokens))
+    np.testing.assert_allclose(np.asarray(g.scores), np.asarray(b.scores),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_beam_k1_equals_greedy_spatial(spatial_cfg):
+    params, batch = _setup(spatial_cfg)
+    g = greedy_decode(params, spatial_cfg, batch, maxlen=8)
+    b = beam_decode(params, spatial_cfg, batch, beam_size=1, maxlen=8,
+                    norm_mode="none")
+    np.testing.assert_array_equal(np.asarray(g.tokens), np.asarray(b.tokens))
+
+
+def _score_sequences(params, cfg, batch, seqs, maxlen):
+    """Teacher-forced raw log-prob of explicit token sequences (scores a
+    path up to and including its first EOS, or all maxlen steps if none)."""
+    B = len(seqs)
+    toks = np.zeros((B, maxlen), np.int32)
+    mask = np.zeros((B, maxlen), np.float32)
+    for i, s in enumerate(seqs):
+        L = maxlen
+        for t, w in enumerate(s):
+            toks[i, t] = w
+            if w == EOS_ID:
+                L = t + 1
+                break
+        mask[i, :L] = 1.0
+    one = {k: jnp.repeat(v[:1], B, axis=0) for k, v in batch.items()
+           if k in ("frames", "frame_mask", "regions", "motion")}
+    one["tokens"] = jnp.asarray(toks)
+    one["token_mask"] = jnp.asarray(mask)
+    out = forward_train(params, cfg, one, train=False)
+    return -np.asarray(out.nll_per_example)
+
+
+def test_beam_exact_on_exhaustive_space():
+    """With beam k == V^(maxlen-1) the search is exhaustive, so the best
+    beam must equal the brute-force best path (reference gen_sample is
+    approximate host-side search; this pins our on-device version)."""
+    cfg = small_cfg(n_words=5, dim_word=8, dim=12, ctx_dim=16, n_frames=4)
+    maxlen, V = 3, 5
+    params, batch = _setup(cfg)
+    one = {k: v[:1] for k, v in batch.items()}
+    b = beam_decode(params, cfg, one, beam_size=V * V, maxlen=maxlen,
+                    norm_mode="none")
+    paths = list(itertools.product(range(V), repeat=maxlen))
+    scores = _score_sequences(params, cfg, one, paths, maxlen)
+    best_brute = float(scores.max())
+    np.testing.assert_allclose(float(b.scores[0]), best_brute, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_beam_emitted_score_matches_teacher_forced_rescore(cfg):
+    """The raw score the beam reports must equal re-scoring its emitted
+    tokens with the training forward (train/decode share the step fn)."""
+    params, batch = _setup(cfg)
+    b = beam_decode(params, cfg, batch, beam_size=3, maxlen=8,
+                    norm_mode="none")
+    toks = np.asarray(b.tokens)
+    for i in range(toks.shape[0]):
+        one = {k: v[i:i + 1] for k, v in batch.items()}
+        s = _score_sequences(params, cfg, one, [toks[i].tolist()], 8)
+        np.testing.assert_allclose(float(b.scores[i]), float(s[0]),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_length_norm_modes(cfg):
+    params, batch = _setup(cfg)
+    for mode, alpha in (("gnmt", 0.6), ("linear", 0.0), ("none", 0.0)):
+        out = beam_decode(params, cfg, batch, beam_size=3, maxlen=8,
+                          length_norm=alpha, norm_mode=mode)
+        assert np.isfinite(np.asarray(out.norm_scores)).all()
+
+
+def test_beam_larger_k_no_worse_raw_score():
+    """k=25 is exhaustive for maxlen=3/V=5, so it must be >= k=2's best."""
+    cfg = small_cfg(n_words=5, dim_word=8, dim=12, ctx_dim=16, n_frames=4)
+    params, batch = _setup(cfg)
+    one = {k: v[:1] for k, v in batch.items()}
+    b2 = beam_decode(params, cfg, one, beam_size=2, maxlen=3, norm_mode="none")
+    b25 = beam_decode(params, cfg, one, beam_size=25, maxlen=3, norm_mode="none")
+    assert float(b25.scores[0]) >= float(b2.scores[0]) - 1e-5

@@ -1,0 +1,122 @@
+"""Pallas kernel vs jnp-oracle parity (SURVEY.md §4: 'fused step kernel
+vs a pure-jnp reference step (exact within tolerance)').
+
+On CPU the kernel runs in interpreter mode; the same code path compiles
+with Mosaic on TPU (exercised by bench.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stvd.data.batching import gather_batch, synthetic_dataset
+from stvd.decode.greedy import greedy_decode
+from stvd.model import kernel as kmod
+from stvd.model import step as smod
+from stvd.model.decoder import forward_train, init_params
+from stvd.model.step import StepState, init_state, precompute
+
+from conftest import small_cfg
+
+
+def _setup(cfg, n=4, seed=0):
+    ds = synthetic_dataset(n_videos=n, k=cfg.n_frames, d=cfg.ctx_dim,
+                           n_regions=cfg.n_regions if cfg.use_spatial else 0,
+                           region_dim=cfg.region_dim, maxlen=10, seed=seed)
+    dev = ds.bank.to_device()
+    batch = gather_batch(dev, ds.captions, np.arange(n, dtype=np.int32))
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    return params, batch
+
+
+def test_attention_core_parity(cfg):
+    """The kernel's attention core must match the jnp oracle bitwise-ish."""
+    rng = np.random.RandomState(0)
+    B, K, A, Dc = 8, cfg.n_frames, cfg.attn_dim, cfg.ctx_dim
+    h_att = jnp.asarray(rng.randn(B, A), jnp.float32)
+    beta = jnp.asarray(rng.randn(B), jnp.float32)
+    pctx = jnp.asarray(rng.randn(B, K, A), jnp.float32)
+    ctx = jnp.asarray(rng.randn(B, K, Dc), jnp.float32)
+    mask = jnp.asarray((rng.rand(B, K) > 0.3).astype(np.float32))
+    mask = mask.at[:, 0].set(1.0)  # every row has >= 1 valid frame
+    u = jnp.asarray(rng.randn(A), jnp.float32)
+    c_att = jnp.float32(0.1)
+    b_sel = jnp.float32(-0.2)
+    ref_ctx, ref_a = smod._attention_core_jnp(
+        h_att, beta, pctx, ctx, mask, u, c_att, b_sel, True)
+    ker_ctx, ker_a = kmod.attention_core_pallas(
+        h_att, beta, pctx, ctx, mask, u, c_att, b_sel, True)
+    np.testing.assert_allclose(np.asarray(ker_a), np.asarray(ref_a),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ker_ctx), np.asarray(ref_ctx),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_attention_core_parity_no_selector(cfg):
+    rng = np.random.RandomState(1)
+    B, K, A, Dc = 4, 6, 16, 32
+    args = (jnp.asarray(rng.randn(B, A), jnp.float32),
+            jnp.asarray(rng.randn(B), jnp.float32),
+            jnp.asarray(rng.randn(B, K, A), jnp.float32),
+            jnp.asarray(rng.randn(B, K, Dc), jnp.float32),
+            jnp.ones((B, K), jnp.float32),
+            jnp.asarray(rng.randn(A), jnp.float32),
+            jnp.float32(0.0), jnp.float32(0.0), False)
+    ref_ctx, ref_a = smod._attention_core_jnp(*args)
+    ker_ctx, ker_a = kmod.attention_core_pallas(*args)
+    np.testing.assert_allclose(np.asarray(ker_ctx), np.asarray(ref_ctx),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_step_pallas_matches_step(cfg):
+    params, batch = _setup(cfg)
+    from stvd.model.decoder import encode_context
+    ctx = encode_context(params, cfg, batch["frames"])
+    sc = precompute(params, cfg, ctx, batch["frame_mask"])
+    st = init_state(params, cfg, sc)
+    emb = params["Wemb"][batch["tokens"][:, 0]]
+    ref = smod.step(params, cfg, st, sc, emb)
+    ker = kmod.step_pallas(params, cfg, st, sc, emb)
+    np.testing.assert_allclose(np.asarray(ker.h), np.asarray(ref.h),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ker.c), np.asarray(ref.c),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ker.alpha), np.asarray(ref.alpha),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_forward_train_with_kernel_matches(cfg):
+    """Full teacher-forced forward: oracle vs pallas step inside scan."""
+    params, batch = _setup(cfg)
+    ref = forward_train(params, cfg, batch, train=False)
+    ker = forward_train(params, cfg, batch, train=False,
+                        step_fn=kmod.step_pallas)
+    np.testing.assert_allclose(np.asarray(ker.logits),
+                               np.asarray(ref.logits), rtol=1e-4, atol=1e-4)
+
+
+def test_greedy_decode_with_kernel_matches(cfg):
+    params, batch = _setup(cfg)
+    ref = greedy_decode(params, cfg, batch, maxlen=8)
+    ker = greedy_decode(params, cfg, batch, maxlen=8,
+                        step_fn=kmod.step_pallas)
+    np.testing.assert_array_equal(np.asarray(ref.tokens),
+                                  np.asarray(ker.tokens))
+
+
+def test_kernel_grad_matches_oracle(cfg):
+    """Gradients THROUGH the pallas kernel must match the oracle (the
+    kernel is used in the train scan body)."""
+    params, batch = _setup(cfg)
+    from stvd.train.loss import loss_fn
+
+    def l(p, step_fn):
+        return loss_fn(p, cfg, batch, train=False, step_fn=step_fn)[0]
+
+    g_ref = jax.grad(lambda p: l(p, None))(params)
+    g_ker = jax.grad(lambda p: l(p, kmod.step_pallas))(params)
+    for k in g_ref:
+        np.testing.assert_allclose(np.asarray(g_ker[k]),
+                                   np.asarray(g_ref[k]),
+                                   rtol=1e-3, atol=1e-4, err_msg=k)

@@ -1,0 +1,120 @@
+"""Metric-suite tests: BLEU vs NLTK, ROUGE/CIDEr/METEOR properties,
+scorer interface parity with the reference's COCOScorer shape
+(SURVEY.md §4: 'scorer parity vs NLTK BLEU + published sanity pairs')."""
+
+import math
+
+import numpy as np
+import pytest
+
+from stvd.metrics.bleu import bleu, bleu_score
+from stvd.metrics.cider import cider_score
+from stvd.metrics.meteor import meteor_score, meteor_sentence
+from stvd.metrics.rouge import rouge_l_sentence, rouge_score
+from stvd.metrics.scorer import score_all
+from stvd.metrics.tokenizer import ptb_tokenize
+
+HYP1 = "a man is playing a guitar".split()
+REF1A = "a man is playing a guitar".split()
+REF1B = "someone plays the guitar".split()
+HYP2 = "a dog runs in the park".split()
+REF2A = "a dog is running in a park".split()
+
+
+def test_bleu_perfect_match():
+    s = bleu([HYP1], [[REF1A]])
+    for v in s:
+        assert abs(v - 1.0) < 1e-9
+
+
+def test_bleu_vs_nltk_corpus():
+    from nltk.translate.bleu_score import corpus_bleu
+    hyps = [HYP1, HYP2]
+    refs = [[REF1A, REF1B], [REF2A]]
+    ours = bleu(hyps, refs)
+    for n in range(1, 5):
+        w = tuple([1.0 / n] * n + [0.0] * (4 - n))
+        ref_val = corpus_bleu(refs, hyps, weights=w)
+        # NLTK closest-ref-length BP matches ours
+        assert abs(ours[n - 1] - ref_val) < 1e-6, (n, ours[n - 1], ref_val)
+
+
+def test_bleu_zero_overlap():
+    s = bleu([["x", "y"]], [[["a", "b"]]])
+    assert s[0] < 1e-6
+
+
+def test_bleu_brevity_penalty():
+    # short hypothesis must be penalized even with perfect precision
+    s_full = bleu([REF2A], [[REF2A]])
+    s_short = bleu([REF2A[:3]], [[REF2A]])
+    assert s_short[0] < s_full[0]
+
+
+def test_rouge_perfect_and_ordering():
+    assert abs(rouge_l_sentence(HYP1, [REF1A]) - 1.0) < 1e-9
+    good = rouge_l_sentence(HYP2, [REF2A])
+    bad = rouge_l_sentence(["zebra", "piano"], [REF2A])
+    assert good > bad
+
+
+def test_cider_identity_scores_high():
+    # many distinct videos so idf is informative
+    gts = {f"v{i}": [[w, "object", str(i)]] for i, w in
+           enumerate("cat dog bird fish horse cow sheep goat".split())}
+    res_good = {k: [v[0]] for k, v in gts.items()}
+    _, good = cider_score(gts, res_good)
+    res_bad = {k: [["completely", "unrelated", "words"]] for k in gts}
+    _, bad = cider_score(gts, res_bad)
+    assert good["CIDEr"] > bad["CIDEr"]
+    assert bad["CIDEr"] < 0.1
+
+
+def test_meteor_identity_near_one():
+    s = meteor_sentence(HYP1, [REF1A])
+    assert s > 0.95
+
+
+def test_meteor_stem_matching():
+    # 'running' vs 'runs' should match via Porter stems
+    with_stem = meteor_sentence(["the", "dog", "runs"],
+                                [["the", "dog", "running"]])
+    without = meteor_sentence(["the", "dog", "xyz"],
+                              [["the", "dog", "running"]])
+    assert with_stem > without
+
+
+def test_meteor_word_order_penalty():
+    inorder = meteor_sentence(HYP1, [REF1A])
+    scrambled = meteor_sentence(list(reversed(HYP1)), [REF1A])
+    assert inorder > scrambled
+
+
+def test_meteor_corpus_aggregation():
+    gts = {"a": [REF1A, REF1B], "b": [REF2A]}
+    res = {"a": [HYP1], "b": [HYP2]}
+    s, d = meteor_score(gts, res)
+    assert 0.0 < s <= 1.0 and d["METEOR"] == s
+
+
+def test_ptb_tokenize():
+    assert ptb_tokenize("A man, playing GUITAR!") == ["a", "man", "playing",
+                                                      "guitar"]
+
+
+def test_score_all_interface():
+    gts = {"a": ["a man is playing a guitar", "someone plays the guitar"],
+           "b": ["a dog is running in a park"]}
+    res = {"a": ["a man is playing a guitar"],
+           "b": ["a dog runs in the park"]}
+    out = score_all(gts, res)
+    for k in ("Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR", "ROUGE_L",
+              "CIDEr"):
+        assert k in out, k
+        assert np.isfinite(out[k])
+    assert out["Bleu_1"] > 0.5
+
+
+def test_score_all_missing_hypothesis_raises():
+    with pytest.raises(ValueError):
+        score_all({"a": ["x"], "b": ["y"]}, {"a": ["x"]})

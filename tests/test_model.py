@@ -1,0 +1,135 @@
+"""Model-core tests: step oracle, forward, loss, masking edge cases."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stvd.data.batching import gather_batch, synthetic_dataset
+from stvd.model.decoder import forward_train, init_params, param_count
+from stvd.model.step import (StepState, init_state, masked_softmax,
+                             precompute, step)
+from stvd.train.loss import loss_fn
+
+from conftest import small_cfg
+
+
+def _batch(ds, n=4):
+    dev = ds.bank.to_device()
+    idx = np.arange(n, dtype=np.int32)
+    return gather_batch(dev, ds.captions, idx)
+
+
+def test_masked_softmax_basic():
+    e = jnp.array([[1.0, 2.0, 3.0]])
+    m = jnp.array([[1.0, 1.0, 0.0]])
+    out = masked_softmax(e, m)
+    assert out[0, 2] == 0.0
+    np.testing.assert_allclose(out.sum(), 1.0, rtol=1e-6)
+
+
+def test_masked_softmax_all_masked_returns_zeros():
+    e = jnp.array([[1.0, 2.0]])
+    m = jnp.zeros((1, 2))
+    out = masked_softmax(e, m)
+    assert not np.any(np.isnan(out))
+    np.testing.assert_allclose(out, 0.0)
+
+
+def test_initial_loss_near_log_vocab(cfg, dataset, params):
+    b = _batch(dataset)
+    loss, aux = loss_fn(params, cfg, b, jax.random.PRNGKey(0), train=False)
+    assert abs(float(aux["nll_per_token"]) - np.log(cfg.n_words)) < 0.1
+
+
+def test_gradients_flow_to_all_params(cfg, dataset, params):
+    b = _batch(dataset)
+    g = jax.grad(lambda p: loss_fn(p, cfg, b, jax.random.PRNGKey(0),
+                                   train=False)[0])(params)
+    for name, arr in g.items():
+        assert np.isfinite(np.asarray(arr)).all(), name
+        assert float(jnp.abs(arr).max()) > 0, f"zero grad for {name}"
+
+
+def test_spatial_variant_runs_and_differs(spatial_cfg):
+    ds = synthetic_dataset(n_videos=4, k=spatial_cfg.n_frames,
+                           d=spatial_cfg.ctx_dim,
+                           n_regions=spatial_cfg.n_regions,
+                           region_dim=spatial_cfg.region_dim, maxlen=10,
+                           seed=2)
+    b = _batch(ds)
+    p = init_params(jax.random.PRNGKey(0), spatial_cfg)
+    out = forward_train(p, spatial_cfg, b, train=False)
+    assert out.logits.shape == (4, 10, spatial_cfg.n_words)
+    assert np.isfinite(np.asarray(out.logits)).all()
+    # region features must influence the output
+    b2 = dict(b)
+    b2["regions"] = b["regions"] + 1.0
+    out2 = forward_train(p, spatial_cfg, b2, train=False)
+    assert float(jnp.abs(out.logits - out2.logits).max()) > 1e-6
+
+
+def test_motion_variant_runs():
+    cfg = small_cfg(use_motion=True, motion_dim=24)
+    ds = synthetic_dataset(n_videos=4, k=cfg.n_frames, d=cfg.ctx_dim,
+                           motion_dim=24, maxlen=10, seed=3)
+    b = _batch(ds)
+    p = init_params(jax.random.PRNGKey(0), cfg)
+    out = forward_train(p, cfg, b, train=False)
+    assert np.isfinite(np.asarray(out.logits)).all()
+
+
+def test_frame_mask_blocks_padded_frames(cfg, dataset, params):
+    """Changing features of masked-out frames must not change the loss."""
+    b = _batch(dataset)
+    mask = np.asarray(b["frame_mask"])
+    assert (mask == 0).any(), "synthetic data should have padded frames"
+    frames2 = np.asarray(b["frames"]).copy()
+    frames2[mask == 0] = 999.0
+    b2 = dict(b)
+    b2["frames"] = jnp.asarray(frames2)
+    l1, _ = loss_fn(params, cfg, b, train=False)
+    l2, _ = loss_fn(params, cfg, b2, train=False)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+
+def test_token_mask_blocks_padded_tokens(cfg, dataset, params):
+    """Loss must ignore token positions beyond the mask."""
+    b = _batch(dataset)
+    toks = np.asarray(b["tokens"]).copy()
+    m = np.asarray(b["token_mask"])
+    toks[m == 0] = 5  # corrupt padding
+    b2 = dict(b)
+    b2["tokens"] = jnp.asarray(toks)
+    l1, _ = loss_fn(params, cfg, b, train=False)
+    l2, _ = loss_fn(params, cfg, b2, train=False)
+    # NOTE: corrupted pad tokens shift teacher inputs at masked steps only;
+    # their NLL contribution is masked, but they do feed later steps' inputs.
+    # Steps after the EOS mask are all masked, so loss must be identical.
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+
+def test_alpha_regularizer_changes_loss(dataset):
+    """At init attention is uniform so coverage exactly meets its target
+    (regularizer ~ 0 — that's correct); sharpen the attention scores to
+    make it bite."""
+    cfg_reg = small_cfg(alpha_c=1.0)
+    p = dict(init_params(jax.random.PRNGKey(0), cfg_reg))
+    p["U_att"] = p["U_att"] * 300.0   # non-uniform attention
+    b = _batch(dataset)
+    l0, _ = loss_fn(p, small_cfg(), b, train=False)
+    l1, _ = loss_fn(p, cfg_reg, b, train=False)
+    assert float(l1) > float(l0) + 1e-4
+
+
+def test_scheduled_sampling_path(cfg, dataset, params):
+    b = _batch(dataset)
+    l, _ = loss_fn(params, cfg, b, jax.random.PRNGKey(0), train=False,
+                   ss_prob=0.5)
+    assert np.isfinite(float(l))
+
+
+def test_param_count_scales(cfg):
+    p = init_params(jax.random.PRNGKey(0), cfg)
+    n = param_count(p)
+    assert n > cfg.n_words * cfg.dim_word  # at least the embedding table

@@ -1,0 +1,110 @@
+"""Data-parallel correctness on the virtual 8-device CPU mesh
+(SURVEY.md §4 'distributed without a cluster': loss/grad parity vs
+single-device, explicit psum semantics, driver dry-run)."""
+
+import dataclasses
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from stvd.config import ModelConfig, TrainConfig
+from stvd.data.batching import gather_batch, synthetic_dataset
+from stvd.model.decoder import init_params
+from stvd.train import parallel
+from stvd.train.loop import init_train_state, make_train_step
+from stvd.train.loss import loss_fn
+
+MCFG = ModelConfig(n_words=48, dim_word=16, dim=32, ctx_dim=32, n_frames=6,
+                   compute_dtype="float32", use_dropout=False)
+TCFG = TrainConfig(optimizer="sgd", lr=0.1, batch_size=8, clip_c=0.0,
+                   donate_state=False)
+
+
+def _batch(n=8):
+    ds = synthetic_dataset(n_videos=n, captions_per_video=1, k=6, d=32,
+                           maxlen=10, seed=0)
+    dev = ds.bank.to_device()
+    b = gather_batch(dev, ds.captions, np.arange(n, dtype=np.int32))
+    b["weight"] = jnp.ones((n,), jnp.float32)
+    return b
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+
+
+def test_dp_train_step_matches_single_device():
+    """One DP train step over the 8-device mesh must produce the same
+    updated params as the single-device step (XLA psum == serial sum)."""
+    batch = _batch(8)
+    mesh = parallel.make_mesh()
+
+    s_single = init_train_state(jax.random.PRNGKey(0), MCFG, TCFG)
+    s_mesh = jax.device_get(s_single)  # same initial values
+    s_mesh = parallel.replicate(s_mesh, mesh)
+
+    step1 = make_train_step(MCFG, TCFG)
+    stepN = make_train_step(MCFG, TCFG, mesh=mesh)
+    out1, m1 = step1(s_single, batch)
+    outN, mN = stepN(s_mesh, parallel.shard_batch(batch, mesh))
+    np.testing.assert_allclose(float(m1["loss"]), float(mN["loss"]),
+                               rtol=1e-5)
+    for k in out1["params"]:
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(outN["params"][k])),
+            np.asarray(jax.device_get(out1["params"][k])),
+            rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_shard_map_psum_grad_parity():
+    """Explicit shard_map + lax.pmean gradient averaging equals the
+    global gradient (pins the ICI collective semantics of SURVEY.md §2
+    row 10)."""
+    from jax.experimental.shard_map import shard_map
+
+    batch = _batch(8)
+    params = init_params(jax.random.PRNGKey(0), MCFG)
+    mesh = parallel.make_mesh()
+
+    def local_grads(params, batch):
+        g = jax.grad(lambda p: loss_fn(p, MCFG, batch, train=False)[0])(params)
+        return parallel.psum_mean_grads(g)
+
+    batch_specs = {k: P("data") for k in batch}
+    gmap = shard_map(local_grads, mesh=mesh,
+                     in_specs=(P(), batch_specs), out_specs=P(),
+                     check_rep=False)
+    g_dist = gmap(params, batch)
+
+    # single-device reference: mean of per-shard grads
+    def shard_grad(i):
+        sl = {k: v[i:i + 1] for k, v in batch.items()}
+        return jax.grad(lambda p: loss_fn(p, MCFG, sl, train=False)[0])(params)
+
+    acc = shard_grad(0)
+    for i in range(1, 8):
+        gi = shard_grad(i)
+        acc = jax.tree.map(lambda a, b: a + b, acc, gi)
+    g_ref = jax.tree.map(lambda a: a / 8.0, acc)
+    for k in g_ref:
+        np.testing.assert_allclose(np.asarray(g_dist[k]),
+                                   np.asarray(g_ref[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_dryrun_multichip():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    loss = jax.jit(fn)(*args)
+    assert np.isfinite(float(loss))

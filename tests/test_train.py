@@ -1,0 +1,114 @@
+"""Training-loop tests: overfit-to-exact-recovery (the SURVEY.md §4
+integration test), checkpoint resume, optimizers, fit() end-to-end."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stvd.config import Config, DataConfig, DecodeConfig, ModelConfig, TrainConfig
+from stvd.data.batching import gather_batch, synthetic_dataset
+from stvd.decode.greedy import greedy_decode
+from stvd.train.loop import (fit, init_train_state, make_train_step,
+                             restore_checkpoint, save_checkpoint)
+
+MCFG = ModelConfig(n_words=48, dim_word=16, dim=32, ctx_dim=32, n_frames=6,
+                   compute_dtype="float32", use_dropout=False)
+TCFG = TrainConfig(optimizer="adam", lr=3e-3, batch_size=8, clip_c=5.0)
+
+
+def _data():
+    ds = synthetic_dataset(n_videos=8, captions_per_video=1, k=6, d=32,
+                           maxlen=10, seed=0)
+    dev = ds.bank.to_device()
+    batch = gather_batch(dev, ds.captions, np.arange(8, dtype=np.int32))
+    return ds, batch
+
+
+def test_overfit_exact_caption_recovery():
+    """Train to ~zero NLL on 8 synthetic videos; greedy decode must
+    reproduce every teacher caption exactly (SURVEY.md §4)."""
+    ds, batch = _data()
+    state = init_train_state(jax.random.PRNGKey(0), MCFG, TCFG)
+    step = make_train_step(MCFG, TCFG)
+    m = {}
+    for i in range(1500):
+        state, m = step(state, batch)
+        if i % 100 == 99 and float(m["nll_per_token"]) < 0.03:
+            break
+    assert float(m["nll_per_token"]) < 0.1, float(m["nll_per_token"])
+    out = greedy_decode(state["params"], MCFG,
+                        {"frames": batch["frames"],
+                         "frame_mask": batch["frame_mask"]}, maxlen=10)
+    toks = np.asarray(out.tokens)
+    gold = np.asarray(batch["tokens"])
+    gm = np.asarray(batch["token_mask"])
+    for i in range(8):
+        L = int(gm[i].sum())
+        assert toks[i][:L].tolist() == gold[i][:L].tolist(), (
+            i, ds.vocab.decode(toks[i]), ds.vocab.decode(gold[i]))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """Params + optimizer state + step + rng restore bit-identically
+    (the reference drops optimizer state on reload — we must not)."""
+    _, batch = _data()
+    state = init_train_state(jax.random.PRNGKey(1), MCFG, TCFG)
+    step = make_train_step(MCFG, TCFG)
+    for _ in range(3):
+        state, _ = step(state, batch)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state)
+    template = init_train_state(jax.random.PRNGKey(2), MCFG, TCFG)
+    restored = restore_checkpoint(path, template)
+    flat_a = jax.tree.leaves(jax.device_get(state))
+    flat_b = jax.tree.leaves(jax.device_get(restored))
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resuming from the restored state continues identically
+    s1, m1 = step(dict(state), batch)
+    s2, m2 = step(dict(restored), batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-6)
+
+
+@pytest.mark.parametrize("opt", ["adadelta", "sgd"])
+def test_optimizers_update_params(opt):
+    _, batch = _data()
+    tcfg = dataclasses.replace(TCFG, optimizer=opt, lr=0.5)
+    state = init_train_state(jax.random.PRNGKey(0), MCFG, tcfg)
+    p0 = jax.device_get(state["params"]["Wemb"])
+    step = make_train_step(MCFG, tcfg)
+    state, m = step(state, batch)
+    p1 = jax.device_get(state["params"]["Wemb"])
+    assert np.isfinite(float(m["loss"]))
+    assert np.abs(p1 - p0).max() > 0
+
+
+def test_fit_end_to_end(tmp_path):
+    """Full fit(): epochs, validation scoring, best-checkpoint save,
+    metrics JSONL (reference train() driver behaviors — SURVEY.md §3.1)."""
+    cfg = Config(
+        model=MCFG,
+        train=dataclasses.replace(
+            TCFG, max_epochs=2, valid_freq=2, save_freq=4, disp_freq=1,
+            patience=50, valid_batch_size=8, maxlen=10,
+            save_dir=str(tmp_path / "run"), metric="bleu4"),
+        decode=DecodeConfig(beam_size=1, maxlen=10, decode_batch=4),
+        data=DataConfig(dataset="synthetic", synthetic_videos=8),
+    )
+    train_ds = synthetic_dataset(n_videos=8, captions_per_video=1, k=6,
+                                 d=32, maxlen=10, seed=0)
+    valid_ds = synthetic_dataset(n_videos=4, captions_per_video=1, k=6,
+                                 d=32, maxlen=10, seed=1)
+    res = fit(cfg, train_ds, valid_ds, max_updates=4)
+    assert res.history, "validation should have run"
+    assert "Bleu_4" in res.history[0]
+    assert os.path.exists(os.path.join(cfg.train.save_dir, "ckpt_best"))
+    assert os.path.exists(os.path.join(cfg.train.save_dir, "metrics.jsonl"))
+    assert os.path.exists(os.path.join(cfg.train.save_dir,
+                                       "valid_samples.txt"))
