@@ -1,0 +1,206 @@
+// stvd native metrics core.
+//
+// The reference's evaluation pipeline shells out to Java (METEOR jar,
+// PTBTokenizer) for its host-side scoring (SURVEY.md §2 row 11).  Our
+// pure-Python scorers replace those; this C++ core accelerates the two
+// quadratic host-side kernels that dominate validation-round wall clock
+// while the TPU sits idle:
+//
+//   * lcs_len        — ROUGE-L longest-common-subsequence DP
+//   * meteor_align   — staged unigram alignment (exact -> stem ->
+//                      synonym-class) + chunk counting
+//
+// Tokens arrive as int32 ids (Python interns strings -> ids); the
+// synonym stage matches on a caller-provided equivalence-class id per
+// token (wordnet synset class, or -1 for none).
+//
+// C ABI only — loaded via ctypes (no pybind11 in this image).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// Longest common subsequence length between a[0..na) and b[0..nb).
+// Single-row DP, O(na*nb) time, O(nb) space.
+int32_t stvd_lcs_len(const int32_t* a, int32_t na,
+                     const int32_t* b, int32_t nb) {
+  if (na <= 0 || nb <= 0) return 0;
+  std::vector<int32_t> prev(nb + 1, 0), cur(nb + 1, 0);
+  for (int32_t i = 0; i < na; ++i) {
+    cur[0] = 0;
+    const int32_t ai = a[i];
+    for (int32_t j = 1; j <= nb; ++j) {
+      cur[j] = (ai == b[j - 1])
+                   ? prev[j - 1] + 1
+                   : (prev[j] > cur[j - 1] ? prev[j] : cur[j - 1]);
+    }
+    std::swap(prev, cur);
+  }
+  return prev[nb];
+}
+
+// Batched LCS: m hypotheses against their reference blocks.
+// hyp_tok / ref_tok are flattened with offset arrays (CSR style).
+void stvd_lcs_batch(const int32_t* hyp_tok, const int32_t* hyp_off,
+                    const int32_t* ref_tok, const int32_t* ref_off,
+                    int32_t n_pairs, const int32_t* pair_hyp,
+                    const int32_t* pair_ref, int32_t* out) {
+  for (int32_t p = 0; p < n_pairs; ++p) {
+    const int32_t h = pair_hyp[p], r = pair_ref[p];
+    out[p] = stvd_lcs_len(hyp_tok + hyp_off[h], hyp_off[h + 1] - hyp_off[h],
+                          ref_tok + ref_off[r], ref_off[r + 1] - ref_off[r]);
+  }
+}
+
+// METEOR staged alignment.
+//
+// hyp / ref: surface-form ids.  hyp_stem / ref_stem: Porter-stem ids.
+// hyp_syn / ref_syn: synonym-class ids (-1 = no class; stage skipped
+// for such tokens).  Greedy left-to-right per stage, each hypothesis
+// token matched to the unused reference token minimizing positional
+// distance — the chunk-minimizing heuristic mirrored from the Python
+// oracle (stvd/metrics/meteor.py:_align); results must agree exactly.
+//
+// Outputs: *m = matches, *chunks = contiguous-run count.
+void stvd_meteor_align(const int32_t* hyp, const int32_t* hyp_stem,
+                       const int32_t* hyp_syn, int32_t nh,
+                       const int32_t* ref, const int32_t* ref_stem,
+                       const int32_t* ref_syn, int32_t nr,
+                       int32_t* m_out, int32_t* chunks_out) {
+  std::vector<int8_t> hyp_used(nh, 0), ref_used(nr, 0);
+  // match[i] = ref position matched to hyp i, or -1
+  std::vector<int32_t> match(nh, -1);
+
+  auto run_stage = [&](const int32_t* hk, const int32_t* rk, bool skip_neg) {
+    for (int32_t i = 0; i < nh; ++i) {
+      if (hyp_used[i]) continue;
+      if (skip_neg && hk[i] < 0) continue;
+      int32_t best_j = -1;
+      int32_t best_d = INT32_MAX;
+      for (int32_t j = 0; j < nr; ++j) {
+        if (ref_used[j]) continue;
+        if (skip_neg && rk[j] < 0) continue;
+        if (hk[i] == rk[j]) {
+          const int32_t d = i > j ? i - j : j - i;
+          if (d < best_d) { best_d = d; best_j = j; }
+        }
+      }
+      if (best_j >= 0) {
+        hyp_used[i] = 1;
+        ref_used[best_j] = 1;
+        match[i] = best_j;
+      }
+    }
+  };
+
+  run_stage(hyp, ref, false);           // exact
+  run_stage(hyp_stem, ref_stem, false); // stem
+  if (hyp_syn && ref_syn) run_stage(hyp_syn, ref_syn, true);  // synonym
+
+  int32_t m = 0, chunks = 0;
+  int32_t prev_i = -2, prev_j = -2;
+  for (int32_t i = 0; i < nh; ++i) {
+    if (match[i] < 0) continue;
+    ++m;
+    if (!(i == prev_i + 1 && match[i] == prev_j + 1)) ++chunks;
+    prev_i = i;
+    prev_j = match[i];
+  }
+  *m_out = m;
+  *chunks_out = chunks;
+}
+
+// Clipped n-gram match counting for corpus BLEU (one hypothesis vs its
+// reference block), n = 1..4.  n-grams are hashed into 64-bit keys
+// (tokens are <2^21 in practice; 4 tokens * 16 bits would overflow, so
+// use a rolling 64-bit mix).  Open-addressing table sized per call.
+static inline uint64_t mix(uint64_t h, uint64_t x) {
+  h ^= x + 0x9e3779b97f4a7c15ull + (h << 6) + (h >> 2);
+  return h;
+}
+
+// splitmix64 finalizer: low bits must avalanche (adjacent token ids
+// otherwise collide once a low bit is reserved for table bookkeeping).
+static inline uint64_t fin(uint64_t x) {
+  x ^= x >> 30; x *= 0xbf58476d1ce4e5b9ull;
+  x ^= x >> 27; x *= 0x94d049bb133111ebull;
+  x ^= x >> 31;
+  return x;
+}
+
+void stvd_bleu_stats(const int32_t* hyp, int32_t nh,
+                     const int32_t* ref_tok, const int32_t* ref_off,
+                     int32_t n_refs,
+                     int64_t* match_out /*[4]*/, int64_t* total_out /*[4]*/,
+                     int32_t* closest_len_out) {
+  // closest reference length (ties -> shorter), COCO convention
+  int32_t best_len = 0;
+  int64_t best_key = INT64_MAX;
+  for (int32_t r = 0; r < n_refs; ++r) {
+    const int32_t rl = ref_off[r + 1] - ref_off[r];
+    const int64_t diff = rl > nh ? rl - nh : nh - rl;
+    const int64_t key = diff * 1000000 + rl;
+    if (key < best_key) { best_key = key; best_len = rl; }
+  }
+  *closest_len_out = best_len;
+
+  for (int n = 1; n <= 4; ++n) {
+    const int ni = n - 1;
+    const int32_t hcount = nh - n + 1;
+    if (hcount <= 0) { match_out[ni] = 0; total_out[ni] = 0; continue; }
+    total_out[ni] = hcount;
+
+    // hash map: key -> (hyp count, max ref count); occ marks live slots
+    struct Slot { uint64_t key; int32_t hc, rc; int8_t occ; };
+    const int32_t cap_hint = hcount * 4 + 64;
+    std::vector<Slot> table(cap_hint, Slot{0, 0, 0, 0});
+    auto find = [&](uint64_t key) -> Slot* {
+      size_t idx = key % table.size();
+      for (;;) {
+        Slot& s = table[idx];
+        if (!s.occ) { s.occ = 1; s.key = key; return &s; }
+        if (s.key == key) return &s;
+        idx = (idx + 1) % table.size();
+      }
+    };
+    auto ngram_key = [&](const int32_t* t, int32_t pos) -> uint64_t {
+      uint64_t h = 1469598103934665603ull;
+      for (int k = 0; k < n; ++k) h = mix(h, (uint64_t)(t[pos + k] + 1));
+      return fin(h);
+    };
+
+    for (int32_t i = 0; i < hcount; ++i) find(ngram_key(hyp, i))->hc++;
+    for (int32_t r = 0; r < n_refs; ++r) {
+      const int32_t rl = ref_off[r + 1] - ref_off[r];
+      const int32_t* rt = ref_tok + ref_off[r];
+      if (rl - n + 1 <= 0) continue;
+      // per-ref counts: use a local map, then fold max into table
+      std::vector<Slot> local((rl - n + 1) * 4 + 64, Slot{0, 0, 0, 0});
+      auto lfind = [&](uint64_t key) -> Slot* {
+        size_t idx = key % local.size();
+        for (;;) {
+          Slot& s = local[idx];
+          if (!s.occ) { s.occ = 1; s.key = key; return &s; }
+          if (s.key == key) return &s;
+          idx = (idx + 1) % local.size();
+        }
+      };
+      for (int32_t i = 0; i + n <= rl; ++i) lfind(ngram_key(rt, i))->hc++;
+      for (const Slot& s : local) {
+        if (!s.occ) continue;
+        Slot* g = find(s.key);
+        if (s.hc > g->rc) g->rc = s.hc;
+      }
+    }
+    int64_t matched = 0;
+    for (const Slot& s : table) {
+      if (!s.occ || s.hc == 0) continue;
+      matched += s.hc < s.rc ? s.hc : s.rc;
+    }
+    match_out[ni] = matched;
+  }
+}
+
+}  // extern "C"

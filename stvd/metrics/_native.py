@@ -1,0 +1,150 @@
+"""ctypes loader for the native metrics core (native/metrics_core.cpp).
+
+Builds are optional: every caller falls back to the pure-Python
+implementation when the shared library is absent (set STVD_NO_NATIVE=1
+to force the fallback).  ``python -m stvd.metrics._native`` builds it.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libstvd_native.so")
+
+_lib = None
+_checked = False
+
+
+def build(quiet: bool = True) -> bool:
+    """Build the shared library with make; returns success."""
+    try:
+        r = subprocess.run(["make", "-C", _NATIVE_DIR],
+                           capture_output=quiet, timeout=120)
+        return r.returncode == 0 and os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _checked
+    if _checked:
+        return _lib
+    _checked = True
+    if os.environ.get("STVD_NO_NATIVE"):
+        return None
+    if not os.path.exists(_LIB_PATH):
+        if not build():
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.stvd_lcs_len.argtypes = [i32p, ctypes.c_int32, i32p, ctypes.c_int32]
+    lib.stvd_lcs_len.restype = ctypes.c_int32
+    lib.stvd_meteor_align.argtypes = [i32p, i32p, i32p, ctypes.c_int32,
+                                      i32p, i32p, i32p, ctypes.c_int32,
+                                      i32p, i32p]
+    lib.stvd_meteor_align.restype = None
+    lib.stvd_bleu_stats.argtypes = [i32p, ctypes.c_int32, i32p, i32p,
+                                    ctypes.c_int32, i64p, i64p, i32p]
+    lib.stvd_bleu_stats.restype = None
+    _lib = lib
+    return _lib
+
+
+def _as_i32(x: Sequence[int]) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(x, dtype=np.int32))
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+class Interner:
+    """string -> contiguous int32 ids (tokens cross the C ABI as ids)."""
+
+    def __init__(self):
+        self._d: Dict[str, int] = {}
+
+    def __call__(self, toks: Sequence[str]) -> np.ndarray:
+        d = self._d
+        out = np.empty(len(toks), np.int32)
+        for i, t in enumerate(toks):
+            v = d.get(t)
+            if v is None:
+                v = len(d)
+                d[t] = v
+            out[i] = v
+        return out
+
+
+def lcs_len(a_ids: np.ndarray, b_ids: np.ndarray) -> Optional[int]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = _as_i32(a_ids)
+    b = _as_i32(b_ids)
+    return int(lib.stvd_lcs_len(_ptr(a), len(a), _ptr(b), len(b)))
+
+
+def meteor_align(hyp, hyp_stem, hyp_syn, ref, ref_stem, ref_syn
+                 ) -> Optional[Tuple[int, int]]:
+    """Returns (matches, chunks) or None if native lib unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h, hs = _as_i32(hyp), _as_i32(hyp_stem)
+    r, rs = _as_i32(ref), _as_i32(ref_stem)
+    if hyp_syn is None or ref_syn is None:
+        hy = ry = None
+        hyp_ptr = syn_null = ctypes.cast(None, ctypes.POINTER(ctypes.c_int32))
+        rp = syn_null
+    else:
+        hy, ry = _as_i32(hyp_syn), _as_i32(ref_syn)
+        hyp_ptr, rp = _ptr(hy), _ptr(ry)
+    m = ctypes.c_int32(0)
+    c = ctypes.c_int32(0)
+    lib.stvd_meteor_align(_ptr(h), _ptr(hs), hyp_ptr, len(h),
+                          _ptr(r), _ptr(rs), rp, len(r),
+                          ctypes.byref(m), ctypes.byref(c))
+    return int(m.value), int(c.value)
+
+
+def bleu_stats(hyp_ids: np.ndarray, refs_ids: List[np.ndarray]
+               ) -> Optional[Tuple[np.ndarray, np.ndarray, int]]:
+    """Returns (match[4], total[4], closest_ref_len) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = _as_i32(hyp_ids)
+    off = np.zeros(len(refs_ids) + 1, np.int32)
+    for i, r in enumerate(refs_ids):
+        off[i + 1] = off[i] + len(r)
+    flat = (np.concatenate([_as_i32(r) for r in refs_ids])
+            if refs_ids else np.zeros(0, np.int32))
+    flat = np.ascontiguousarray(flat)
+    off = np.ascontiguousarray(off)
+    match = np.zeros(4, np.int64)
+    total = np.zeros(4, np.int64)
+    closest = ctypes.c_int32(0)
+    lib.stvd_bleu_stats(
+        _ptr(h), len(h), _ptr(flat), _ptr(off), len(refs_ids),
+        match.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        total.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.byref(closest))
+    return match, total, int(closest.value)
+
+
+if __name__ == "__main__":
+    ok = build(quiet=False)
+    print("native build:", "ok" if ok else "FAILED", "->", _LIB_PATH)

@@ -37,6 +37,29 @@ def bleu(
     total = [0] * max_n
     hyp_len = 0
     ref_len = 0
+
+    # native fast path (native/metrics_core.cpp:stvd_bleu_stats) — only
+    # for the COCO-default 'closest' option and the standard max_n=4;
+    # parity with the Python path pinned by tests/test_native.py
+    from . import _native
+    if option == "closest" and max_n == 4 and _native.get_lib() is not None:
+        for hyp, refs in zip(hypotheses, references):
+            intern = _native.Interner()
+            out = _native.bleu_stats(intern(hyp), [intern(r) for r in refs])
+            if out is None:
+                break
+            m4, t4, closest = out
+            for n in range(4):
+                match[n] += int(m4[n])
+                total[n] += int(t4[n])
+            hyp_len += len(hyp)
+            ref_len += closest
+        else:
+            return _finalize(match, total, hyp_len, ref_len, max_n)
+        match = [0] * max_n
+        total = [0] * max_n
+        hyp_len = ref_len = 0
+
     for hyp, refs in zip(hypotheses, references):
         hyp_len += len(hyp)
         rls = [len(r) for r in refs]
@@ -58,6 +81,10 @@ def bleu(
                         maxref[g] = c
             match[n - 1] += sum(min(c, maxref[g]) for g, c in hc.items())
             total[n - 1] += sum(hc.values())
+    return _finalize(match, total, hyp_len, ref_len, max_n)
+
+
+def _finalize(match, total, hyp_len, ref_len, max_n):
     bp = 1.0 if hyp_len > ref_len else math.exp(1.0 - ref_len / max(hyp_len, 1))
     out = []
     logp_sum = 0.0

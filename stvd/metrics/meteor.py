@@ -113,6 +113,27 @@ def _count_chunks(matches: List[Tuple[int, int]]) -> int:
     return chunks
 
 
+def _align_stats(hyp: List[str], ref: List[str]) -> Tuple[int, int]:
+    """(matches, chunks) for one hypothesis/reference pair.
+
+    Uses the native C++ aligner (native/metrics_core.cpp:
+    stvd_meteor_align) when built and the WordNet synonym stage is
+    inactive (the native core takes equivalence-class ids, which can't
+    express WordNet's asymmetric synonymy); identical results to the
+    Python path are pinned by tests/test_native.py.
+    """
+    from . import _native
+    if _get_wordnet() is None and _native.get_lib() is not None:
+        intern = _native.Interner()
+        out = _native.meteor_align(
+            intern(hyp), intern([_stem(w) for w in hyp]), None,
+            intern(ref), intern([_stem(w) for w in ref]), None)
+        if out is not None:
+            return out
+    m = _align(hyp, ref)
+    return len(m), _count_chunks(m)
+
+
 def _segment_stats(hyp: List[str], refs: Sequence[List[str]],
                    ) -> Tuple[int, int, int, int]:
     """Best-reference (matches, hyp_len, ref_len, chunks) for a segment.
@@ -123,8 +144,8 @@ def _segment_stats(hyp: List[str], refs: Sequence[List[str]],
     best = None
     best_score = -1.0
     for r in refs:
-        m = _align(hyp, r)
-        stats = (len(m), len(hyp), len(r), _count_chunks(m))
+        nm, nchunks = _align_stats(hyp, r)
+        stats = (nm, len(hyp), len(r), nchunks)
         s = _score_from_stats(*stats)
         if s > best_score or (s == best_score and best is not None
                               and stats[3] < best[3]):

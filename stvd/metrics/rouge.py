@@ -14,10 +14,20 @@ BETA = 1.2
 
 
 def _lcs_len(a: Sequence[str], b: Sequence[str]) -> int:
-    """Length of the longest common subsequence (O(len(a)*len(b)),
-    single-row DP)."""
+    """Length of the longest common subsequence.
+
+    Uses the native C++ core (native/metrics_core.cpp:stvd_lcs_len) when
+    built; pure-Python single-row DP otherwise (identical results —
+    pinned by tests/test_native.py).
+    """
     if not a or not b:
         return 0
+    from . import _native
+    if _native.get_lib() is not None:
+        intern = _native.Interner()
+        r = _native.lcs_len(intern(a), intern(b))
+        if r is not None:
+            return r
     prev = [0] * (len(b) + 1)
     for x in a:
         cur = [0] * (len(b) + 1)

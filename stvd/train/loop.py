@@ -202,6 +202,7 @@ def fit(
     train_step = make_train_step(mcfg, tcfg, step_fn, mesh)
     dev = train_ds.bank.to_device()
     it = BatchIterator(train_ds.captions.n, tcfg.batch_size, seed=tcfg.seed)
+    sampler = _make_sampler(mcfg, cfg.decode.maxlen, step_fn)
 
     metric_name = tcfg.metric
     bigger_is_better = metric_name != "nll"
@@ -225,6 +226,9 @@ def fit(
             if update % tcfg.disp_freq == 0:
                 log.log("train", epoch=epoch, update=update,
                         loss=m["loss"], grad_norm=m["grad_norm"])
+            if tcfg.sample_freq > 0 and update % tcfg.sample_freq == 0:
+                _print_samples(state["params"], cfg, train_ds, dev, sampler,
+                               log, update)
             if tcfg.valid_freq > 0 and update % tcfg.valid_freq == 0 \
                     and valid_ds is not None:
                 scores = _validate(state["params"], cfg, valid_ds, step_fn,
@@ -252,6 +256,34 @@ def fit(
     save_checkpoint(ckpt_dir, state)
     return FitResult(best_metric=float(best), best_step=best_step,
                      history=history, state=state)
+
+
+def _make_sampler(mcfg: ModelConfig, maxlen: int, step_fn):
+    """Jitted greedy sampler compiled once per fit() (the reference
+    prints train/valid samples every sampleFreq — SURVEY.md §3.1)."""
+    from ..decode.greedy import greedy_decode
+
+    def run(params, batch):
+        return greedy_decode(params, mcfg, batch, maxlen=maxlen,
+                             step_fn=step_fn).tokens
+
+    return jax.jit(run)
+
+
+def _print_samples(params, cfg: Config, ds: Dataset, dev, sampler, log,
+                   update: int, n: int = 2) -> None:
+    rows = np.arange(min(n, ds.bank.n_videos))
+    batch = {"frames": jnp.take(dev["frames"], rows, axis=0),
+             "frame_mask": jnp.take(dev["frame_mask"], rows, axis=0)}
+    for key in ("regions", "motion"):
+        if key in dev:
+            batch[key] = jnp.take(dev[key], rows, axis=0)
+    toks = np.asarray(sampler(params, batch))
+    for i, r in enumerate(rows):
+        pred = " ".join(ds.vocab.decode(toks[i]))
+        gold = " ".join(ds.references[r][0]) if ds.references[r] else ""
+        log.log("sample", update=update, video=ds.bank.ids[r], pred=pred,
+                gold=gold)
 
 
 def _metric_key(name: str) -> str:

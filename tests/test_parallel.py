@@ -64,7 +64,7 @@ def test_shard_map_psum_grad_parity():
     """Explicit shard_map + lax.pmean gradient averaging equals the
     global gradient (pins the ICI collective semantics of SURVEY.md §2
     row 10)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     batch = _batch(8)
     params = init_params(jax.random.PRNGKey(0), MCFG)
@@ -77,7 +77,7 @@ def test_shard_map_psum_grad_parity():
     batch_specs = {k: P("data") for k in batch}
     gmap = shard_map(local_grads, mesh=mesh,
                      in_specs=(P(), batch_specs), out_specs=P(),
-                     check_rep=False)
+                     check_vma=False)
     g_dist = gmap(params, batch)
 
     # single-device reference: mean of per-shard grads

@@ -95,8 +95,8 @@ def test_fit_end_to_end(tmp_path):
     cfg = Config(
         model=MCFG,
         train=dataclasses.replace(
-            TCFG, max_epochs=2, valid_freq=2, save_freq=4, disp_freq=1,
-            patience=50, valid_batch_size=8, maxlen=10,
+            TCFG, max_epochs=6, valid_freq=2, save_freq=4, disp_freq=1,
+            sample_freq=3, patience=50, valid_batch_size=8, maxlen=10,
             save_dir=str(tmp_path / "run"), metric="bleu4"),
         decode=DecodeConfig(beam_size=1, maxlen=10, decode_batch=4),
         data=DataConfig(dataset="synthetic", synthetic_videos=8),
@@ -112,3 +112,6 @@ def test_fit_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(cfg.train.save_dir, "metrics.jsonl"))
     assert os.path.exists(os.path.join(cfg.train.save_dir,
                                        "valid_samples.txt"))
+    with open(os.path.join(cfg.train.save_dir, "metrics.jsonl")) as f:
+        kinds = {__import__("json").loads(l)["kind"] for l in f}
+    assert {"train", "valid", "sample", "best"} <= kinds
