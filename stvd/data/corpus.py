@@ -84,6 +84,17 @@ def load_splits(cfg: Config) -> Dict[str, Dataset]:
     """
     d = cfg.data
     m = cfg.model
+    if d.dataset == "synthetic-structured":
+        from .synthetic import structured_splits
+        return structured_splits(
+            n_train=d.synthetic_videos,
+            n_valid=max(8, d.synthetic_videos // 6),
+            n_test=max(8, d.synthetic_videos // 6),
+            k=m.n_frames, d=m.ctx_dim,
+            n_regions=m.n_regions if m.use_spatial else 0,
+            region_dim=m.region_dim,
+            motion_dim=m.motion_dim if m.use_motion else 0,
+            maxlen=cfg.train.maxlen)
     if d.dataset == "synthetic":
         from .batching import synthetic_dataset
         sizes = {"train": d.synthetic_videos,

@@ -20,14 +20,17 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence, Tuple
 
-ALPHA = 0.85   # recall weight in F_mean (METEOR 1.5 en default: 0.85)
-BETA = 0.2    # fragmentation exponent  (0.2 is the en-rank default... see note)
-GAMMA = 0.6    # fragmentation weight
+ALPHA = 0.9    # recall weight in F_mean: F = P*R / (a*P + (1-a)*R)
+BETA = 3.0    # fragmentation exponent
+GAMMA = 0.5    # fragmentation weight
 
-# NOTE on parameters: METEOR 1.5's tuned English defaults are
-# alpha=0.85, beta=0.2, gamma=0.6, delta=0.75 (task 'rank'); the
-# classic METEOR 1.0 parameters are alpha=0.9, beta=3.0, gamma=0.5.
-# Both are exposed; default follows the 1.5 jar the reference uses.
+# NOTE on parameters: defaults are the classic, unambiguously documented
+# METEOR parameters (Banerjee & Lavie 2005: F = 10PR/(R+9P), penalty =
+# 0.5*(chunks/matches)^3), under which an exact match scores ~1.0.  The
+# METEOR-1.5 jar the reference uses ships retuned English weights; they
+# cannot be verified from this machine (no network, empty reference
+# mount — SURVEY.md §0), so the tuple is exposed as arguments on every
+# scoring function for exact-jar replication later.
 
 _stemmer = None
 
@@ -135,7 +138,8 @@ def _align_stats(hyp: List[str], ref: List[str]) -> Tuple[int, int]:
 
 
 def _segment_stats(hyp: List[str], refs: Sequence[List[str]],
-                   ) -> Tuple[int, int, int, int]:
+                   alpha: float = ALPHA, beta: float = BETA,
+                   gamma: float = GAMMA) -> Tuple[int, int, int, int]:
     """Best-reference (matches, hyp_len, ref_len, chunks) for a segment.
 
     'Best' = highest segment METEOR score, ties to fewer chunks (what
@@ -146,7 +150,7 @@ def _segment_stats(hyp: List[str], refs: Sequence[List[str]],
     for r in refs:
         nm, nchunks = _align_stats(hyp, r)
         stats = (nm, len(hyp), len(r), nchunks)
-        s = _score_from_stats(*stats)
+        s = _score_from_stats(*stats, alpha=alpha, beta=beta, gamma=gamma)
         if s > best_score or (s == best_score and best is not None
                               and stats[3] < best[3]):
             best_score = s
@@ -164,29 +168,30 @@ def _score_from_stats(m: int, hlen: int, rlen: int, chunks: int,
     f_mean = p * r / (alpha * p + (1 - alpha) * r)
     frag = chunks / m
     penalty = gamma * (frag ** beta) if chunks > 0 else 0.0
-    # identical sentences form one chunk; METEOR's convention is zero
-    # penalty when the whole hypothesis is a single matched chunk
-    if chunks == 1 and m == hlen == rlen:
-        penalty = 0.0
     return f_mean * (1.0 - penalty)
 
 
-def meteor_sentence(hyp: List[str], refs: Sequence[List[str]]) -> float:
-    return _score_from_stats(*_segment_stats(hyp, refs))
+def meteor_sentence(hyp: List[str], refs: Sequence[List[str]],
+                    alpha: float = ALPHA, beta: float = BETA,
+                    gamma: float = GAMMA) -> float:
+    return _score_from_stats(*_segment_stats(hyp, refs, alpha, beta, gamma),
+                             alpha=alpha, beta=beta, gamma=gamma)
 
 
 def meteor_score(gts: Dict[str, List[List[str]]],
-                 res: Dict[str, List[List[str]]]
-                 ) -> Tuple[float, Dict[str, float]]:
+                 res: Dict[str, List[List[str]]],
+                 alpha: float = ALPHA, beta: float = BETA,
+                 gamma: float = GAMMA) -> Tuple[float, Dict[str, float]]:
     """Corpus METEOR on tokenized {id: [tokens...]} dicts (aggregated
     statistics, matching the jar's corpus-level final score)."""
     ids = sorted(gts)
     tm = th = tr = tc = 0
     for i in ids:
-        m, h, r, c = _segment_stats(res[i][0], gts[i])
+        m, h, r, c = _segment_stats(res[i][0], gts[i], alpha, beta, gamma)
         tm += m
         th += h
         tr += r
         tc += c
-    score = _score_from_stats(tm, th, tr, tc)
+    score = _score_from_stats(tm, th, tr, tc, alpha=alpha, beta=beta,
+                              gamma=gamma)
     return score, {"METEOR": score}
