@@ -104,6 +104,24 @@ def bench_train(small: bool, use_kernel: bool, iters: int = 10):
     return iters / dt, dt / iters
 
 
+def probe_device(timeout_s: int = 60) -> bool:
+    """Run a trivial computation in a subprocess with a timeout.
+
+    A SIGKILLed TPU client can wedge this machine's axon tunnel so that
+    dispatches hang forever; probing in a subprocess lets the benchmark
+    fail fast with a valid JSON line instead of hanging the driver.
+    """
+    import subprocess
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float(jax.jit(lambda x: x.sum())(jnp.ones((8,)))))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", default="decode",
@@ -112,7 +130,19 @@ def main():
     ap.add_argument("--kernel", action="store_true",
                     help="use the Pallas fused attention kernel")
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--cpu", action="store_true", help="force CPU")
+    ap.add_argument("--no-probe", action="store_true")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    elif not args.no_probe and not probe_device():
+        print(json.dumps({
+            "metric": "decode_captions_per_sec_per_chip", "value": 0,
+            "unit": "captions/s", "vs_baseline": 0,
+            "error": "device probe timed out (TPU tunnel unresponsive)"}))
+        return
 
     extras = {}
     if args.what in ("train", "all"):

@@ -53,7 +53,8 @@ def _expand_context(sc: StepContext, k: int) -> StepContext:
     return StepContext(ctx=rep(sc.ctx), pctx=rep(sc.pctx),
                        ctx_mask=rep(sc.ctx_mask), mean_ctx=rep(sc.mean_ctx),
                        regions=rep(sc.regions), pregion=rep(sc.pregion),
-                       w_sf_att=sc.w_sf_att)  # weight — shared, not tiled
+                       # weights — shared, not tiled
+                       w_sf_att=sc.w_sf_att, h_proj_w=sc.h_proj_w)
 
 
 def beam_decode(

@@ -25,8 +25,8 @@ from . import step as step_mod
 from .step import (Params, StepContext, StepOut, StepState, init_state,
                    logits_from_states, masked_softmax, precompute)
 
-StepFn = Callable[[Params, ModelConfig, StepState, StepContext, jax.Array],
-                  StepOut]
+# (params, cfg, state, step_context, emb_t, x_pre=None) -> StepOut
+StepFn = Callable[..., StepOut]
 
 
 # ---------------------------------------------------------------------------
@@ -169,12 +169,19 @@ def forward_train(
 
     if ss_prob == 0.0:
         # ---- fast path: pure teacher forcing -------------------------
-        def body(state, emb_t):
-            out = step_fn(params, cfg, state, sc, emb_t)
+        # input projection for ALL steps in one MXU matmul (the
+        # reference recomputes W @ emb inside theano.scan every step)
+        cdtype = jnp.dtype(cfg.compute_dtype)
+        x_pre_all = step_mod._dot(emb_in, params["W"], cdtype) + params["b"]
+
+        def body(state, xs):
+            emb_t, x_pre_t = xs
+            out = step_fn(params, cfg, state, sc, emb_t, x_pre_t)
             return StepState(out.h, out.c), (out.h, out.ctx_t, out.alpha)
 
         _, (hs, ctxs, alphas) = jax.lax.scan(
-            body, state0, jnp.swapaxes(emb_in, 0, 1))
+            body, state0,
+            (jnp.swapaxes(emb_in, 0, 1), jnp.swapaxes(x_pre_all, 0, 1)))
         hs = jnp.swapaxes(hs, 0, 1)          # (B, T, dim)
         ctxs = jnp.swapaxes(ctxs, 0, 1)      # (B, T, ctx_dim)
         alphas = jnp.swapaxes(alphas, 0, 1)  # (B, T, K)

@@ -166,10 +166,10 @@ def attention_core_pallas(h_att, beta_logit, pctx, ctx, ctx_mask, u_att,
                       jnp.asarray(c_att), jnp.asarray(b_sel), selector)
 
 
-def step_pallas(params, cfg: ModelConfig, state, sc, emb_t):
+def step_pallas(params, cfg: ModelConfig, state, sc, emb_t, x_pre=None):
     """Decoder step using the fused Pallas attention core (drop-in
     replacement for ``step.step``; used by train scan AND decoding)."""
-    return step_mod.step_with_core(params, cfg, state, sc, emb_t,
+    return step_mod.step_with_core(params, cfg, state, sc, emb_t, x_pre,
                                    attention_core=attention_core_pallas)
 
 

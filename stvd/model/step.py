@@ -69,6 +69,7 @@ class StepContext(NamedTuple):
     regions: Optional[jax.Array] = None    # (B, K, R, Dr)
     pregion: Optional[jax.Array] = None    # (B, K, R, s_attn)
     w_sf_att: Optional[jax.Array] = None   # (Dr, attn_dim) = W_spat_fuse @ Wc_att
+    h_proj_w: Optional[jax.Array] = None   # (dim, 4d+attn+1[+s]) fused h weights
 
 
 class StepOut(NamedTuple):
@@ -109,7 +110,8 @@ def precompute(params: Params, cfg: ModelConfig, ctx: jax.Array,
         w_sf_att = _dot(params["W_spat_fuse"], params["Wc_att"], cdtype)
     return StepContext(ctx=ctx, pctx=pctx, ctx_mask=ctx_mask,
                        mean_ctx=mean_ctx, regions=regions, pregion=pregion,
-                       w_sf_att=w_sf_att)
+                       w_sf_att=w_sf_att,
+                       h_proj_w=_h_projection_weights(params, cfg))
 
 
 def init_state(params: Params, cfg: ModelConfig, sc: StepContext) -> StepState:
@@ -158,16 +160,22 @@ def _attention_core_jnp(h_att, beta_logit, pctx_k, ctx_k, ctx_mask, u_att,
 
 def step_with_core(params: Params, cfg: ModelConfig, state: StepState,
                    sc: StepContext, emb_t: jax.Array,
+                   x_pre: Optional[jax.Array] = None,
                    attention_core=_attention_core_jnp) -> StepOut:
     """One decoder step.  ``emb_t`` is the (B, dim_word) previous-word
-    embedding (teacher-forced in training, model-fed in decoding)."""
+    embedding (teacher-forced in training, model-fed in decoding).
+    ``x_pre`` optionally carries the precomputed input projection
+    ``emb_t @ W + b`` (the teacher-forced train path computes it for all
+    T steps in ONE matmul outside the scan)."""
     cdtype = jnp.dtype(cfg.compute_dtype)
     dim = cfg.dim
     attn = cfg.attn_dim
     h, c = state
 
-    # --- single fused h-projection (MXU) ---
-    hw = _h_projection_weights(params, cfg)
+    # --- single fused h-projection (MXU); the weight concat is hoisted
+    # into precompute so the scan body sees a loop-invariant constant ---
+    hw = (sc.h_proj_w if sc.h_proj_w is not None
+          else _h_projection_weights(params, cfg))
     hp = _dot(h, hw, cdtype)                       # (B, 4d+attn+1[+s_attn])
     h_gates = hp[:, : 4 * dim]
     h_att = hp[:, 4 * dim: 4 * dim + attn]
@@ -195,7 +203,8 @@ def step_with_core(params: Params, cfg: ModelConfig, state: StepState,
         params["U_att"], params["c_att"], params["b_sel"], cfg.selector)
 
     # --- LSTM gates ---
-    x_pre = _dot(emb_t, params["W"], cdtype) + params["b"]
+    if x_pre is None:
+        x_pre = _dot(emb_t, params["W"], cdtype) + params["b"]
     preact = x_pre + h_gates + _dot(ctx_t, params["Wc"], cdtype)
     i = jax.nn.sigmoid(preact[:, 0 * dim: 1 * dim])
     f = jax.nn.sigmoid(preact[:, 1 * dim: 2 * dim])
@@ -207,9 +216,10 @@ def step_with_core(params: Params, cfg: ModelConfig, state: StepState,
 
 
 def step(params: Params, cfg: ModelConfig, state: StepState,
-         sc: StepContext, emb_t: jax.Array) -> StepOut:
+         sc: StepContext, emb_t: jax.Array,
+         x_pre: Optional[jax.Array] = None) -> StepOut:
     """The default (pure-jnp) decoder step — the correctness oracle."""
-    return step_with_core(params, cfg, state, sc, emb_t,
+    return step_with_core(params, cfg, state, sc, emb_t, x_pre,
                           attention_core=_attention_core_jnp)
 
 
