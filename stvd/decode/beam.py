@@ -85,8 +85,17 @@ def beam_decode(
     scores0 = jnp.tile(
         jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), _NEG)]), (B, 1))
 
-    def body(carry, t):
-        h, c, prev, scores, finished, lengths, buf = carry
+    # lax.while_loop with early exit: stop as soon as every beam of
+    # every batch row has emitted EOS (decode wall-clock tracks actual
+    # caption length, not maxlen)
+    def cond(carry):
+        t = carry[0]
+        finished = carry[5]
+        return jnp.logical_and(t < maxlen,
+                               jnp.logical_not(jnp.all(finished)))
+
+    def body(carry):
+        t, h, c, prev, scores, finished, lengths, buf = carry
         emb_t = jnp.where(
             t == 0, jnp.zeros((B * k, cfg.dim_word), params["Wemb"].dtype),
             params["Wemb"][prev.reshape(B * k)])
@@ -123,14 +132,15 @@ def beam_decode(
         new_buf = jnp.take_along_axis(buf, parent[..., None], axis=1)
         new_buf = jax.lax.dynamic_update_index_in_dim(
             new_buf, emit, t, axis=2)
-        return (new_h, new_c, word, new_scores, new_finished, new_lengths,
-                new_buf), None
+        return (t + 1, new_h, new_c, word, new_scores, new_finished,
+                new_lengths, new_buf)
 
-    init = (h0, c0, jnp.zeros((B, k), jnp.int32), scores0,
+    init = (jnp.zeros((), jnp.int32), h0, c0,
+            jnp.zeros((B, k), jnp.int32), scores0,
             jnp.zeros((B, k), bool), jnp.zeros((B, k), jnp.int32),
             jnp.zeros((B, k, maxlen), jnp.int32))
-    (_, _, _, scores, finished, lengths, buf), _ = jax.lax.scan(
-        body, init, jnp.arange(maxlen))
+    _, _, _, _, scores, finished, lengths, buf = jax.lax.while_loop(
+        cond, body, init)
 
     lp = _length_penalty(lengths, length_norm, norm_mode)
     norm = scores / lp

@@ -46,8 +46,16 @@ def greedy_decode(
                     batch.get("regions"))
     state0 = init_state(params, cfg, sc)
 
-    def body(carry, t):
-        state, prev, finished, score, length = carry
+    # lax.while_loop with early exit: most captions finish well before
+    # maxlen, so decode stops as soon as every sequence has emitted EOS
+    # (static shapes throughout; the token buffer is pre-allocated)
+    def cond(carry):
+        t, _, _, finished, _, _, _ = carry
+        return jnp.logical_and(t < maxlen,
+                               jnp.logical_not(jnp.all(finished)))
+
+    def body(carry):
+        t, state, prev, finished, score, length, buf = carry
         emb_t = jnp.where(t == 0,
                           jnp.zeros((B, cfg.dim_word), params["Wemb"].dtype),
                           params["Wemb"][prev])
@@ -62,12 +70,12 @@ def greedy_decode(
         length = length + alive.astype(jnp.int32)
         emit = jnp.where(alive, nxt, EOS_ID)
         finished = jnp.logical_or(finished, nxt == EOS_ID)
-        return (StepState(out.h, out.c), emit, finished, score, length), emit
+        buf = jax.lax.dynamic_update_index_in_dim(buf, emit, t, axis=1)
+        return (t + 1, StepState(out.h, out.c), emit, finished, score,
+                length, buf)
 
-    init = (state0, jnp.zeros((B,), jnp.int32),
+    init = (jnp.zeros((), jnp.int32), state0, jnp.zeros((B,), jnp.int32),
             jnp.zeros((B,), bool), jnp.zeros((B,), jnp.float32),
-            jnp.zeros((B,), jnp.int32))
-    (_, _, _, score, length), toks = jax.lax.scan(
-        body, init, jnp.arange(maxlen))
-    return GreedyOut(tokens=jnp.swapaxes(toks, 0, 1), scores=score,
-                     lengths=length)
+            jnp.zeros((B,), jnp.int32), jnp.zeros((B, maxlen), jnp.int32))
+    _, _, _, _, score, length, buf = jax.lax.while_loop(cond, body, init)
+    return GreedyOut(tokens=buf, scores=score, lengths=length)

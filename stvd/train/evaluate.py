@@ -26,6 +26,31 @@ from ..metrics.scorer import score_all
 from ..model.decoder import StepFn
 
 
+_DECODER_CACHE: Dict = {}
+
+
+def _decoder_fn(mcfg: ModelConfig, dcfg: DecodeConfig, step_fn):
+    """Jitted (params, batch) -> tokens decoder, cached per config so
+    repeated validation rounds reuse one compiled executable."""
+    key = (mcfg, dcfg.beam_size, dcfg.maxlen, dcfg.length_norm,
+           id(step_fn))
+    fn = _DECODER_CACHE.get(key)
+    if fn is None:
+        def run(params, batch):
+            if dcfg.beam_size <= 1:
+                return greedy_decode(params, mcfg, batch,
+                                     maxlen=dcfg.maxlen,
+                                     step_fn=step_fn).tokens
+            return beam_decode(params, mcfg, batch,
+                               beam_size=dcfg.beam_size,
+                               maxlen=dcfg.maxlen,
+                               length_norm=dcfg.length_norm,
+                               step_fn=step_fn).tokens
+        fn = jax.jit(run)
+        _DECODER_CACHE[key] = fn
+    return fn
+
+
 def generate_captions(
     params,
     mcfg: ModelConfig,
@@ -40,16 +65,7 @@ def generate_captions(
     discarded) so exactly one executable is compiled.
     """
     bsz = min(dcfg.decode_batch, n_videos)
-
-    def run(batch):
-        if dcfg.beam_size <= 1:
-            return greedy_decode(params, mcfg, batch, maxlen=dcfg.maxlen,
-                                 step_fn=step_fn).tokens
-        return beam_decode(params, mcfg, batch, beam_size=dcfg.beam_size,
-                           maxlen=dcfg.maxlen, length_norm=dcfg.length_norm,
-                           step_fn=step_fn).tokens
-
-    run_j = jax.jit(run)
+    run_j = _decoder_fn(mcfg, dcfg, step_fn)
     out: List[List[int]] = []
     for s in range(0, n_videos, bsz):
         rows = np.arange(s, min(s + bsz, n_videos))
@@ -60,7 +76,7 @@ def generate_captions(
         for key in ("regions", "motion"):
             if key in dev_bank:
                 batch[key] = jnp.take(dev_bank[key], rows_p, axis=0)
-        toks = np.asarray(run_j(batch))
+        toks = np.asarray(run_j(params, batch))
         out.extend(toks[i].tolist() for i in range(len(rows)))
     return out
 

@@ -203,6 +203,8 @@ def fit(
     dev = train_ds.bank.to_device()
     it = BatchIterator(train_ds.captions.n, tcfg.batch_size, seed=tcfg.seed)
     sampler = _make_sampler(mcfg, cfg.decode.maxlen, step_fn)
+    from ..utils.profiling import StepTimer
+    timer = StepTimer(window=max(tcfg.disp_freq, 10))
 
     metric_name = tcfg.metric
     bigger_is_better = metric_name != "nll"
@@ -223,9 +225,11 @@ def fit(
                 batch = parallel.shard_batch(batch, mesh)
             state, m = train_step(state, batch)
             update += 1
+            rate = timer.tick()
             if update % tcfg.disp_freq == 0:
+                extra = {"steps_per_sec": round(rate, 2)} if rate else {}
                 log.log("train", epoch=epoch, update=update,
-                        loss=m["loss"], grad_norm=m["grad_norm"])
+                        loss=m["loss"], grad_norm=m["grad_norm"], **extra)
             if tcfg.sample_freq > 0 and update % tcfg.sample_freq == 0:
                 _print_samples(state["params"], cfg, train_ds, dev, sampler,
                                log, update)

@@ -115,3 +115,23 @@ def test_fit_end_to_end(tmp_path):
     with open(os.path.join(cfg.train.save_dir, "metrics.jsonl")) as f:
         kinds = {__import__("json").loads(l)["kind"] for l in f}
     assert {"train", "valid", "sample", "best"} <= kinds
+
+
+def test_fit_reload_resumes(tmp_path):
+    """reference `reload_`: restarting fit() with reload_=True continues
+    from the saved step instead of reinitializing."""
+    base = dataclasses.replace(
+        TCFG, max_epochs=8, valid_freq=0, save_freq=2, disp_freq=100,
+        sample_freq=0, maxlen=10, save_dir=str(tmp_path / "run"))
+    cfg = Config(model=MCFG, train=base,
+                 decode=DecodeConfig(beam_size=1, maxlen=10))
+    train_ds = synthetic_dataset(n_videos=8, captions_per_video=1, k=6,
+                                 d=32, maxlen=10, seed=0)
+    res1 = fit(cfg, train_ds, None, max_updates=4)
+    assert int(res1.state["step"]) == 4
+    cfg2 = Config(model=MCFG,
+                  train=dataclasses.replace(base, reload_=True),
+                  decode=DecodeConfig(beam_size=1, maxlen=10))
+    res2 = fit(cfg2, train_ds, None, max_updates=6)
+    # resumed from step 4 (the final checkpoint), trained 2 more
+    assert int(res2.state["step"]) == 6
