@@ -55,10 +55,14 @@ def init_params(rng: jax.Array, cfg: ModelConfig) -> Params:
     d, dw, dc, da = cfg.dim, cfg.dim_word, cfg.ctx_dim, cfg.attn_dim
     p: Params = {}
     p["Wemb"] = _norm(next(ks), (cfg.n_words, dw))
-    # input fusion (MSR-VTT dual stream; appearance dim == ctx_dim)
+    # input fusion (MSR-VTT dual stream; appearance dim == ctx_dim).
+    # Fan-in scaling, not the 0.01 norm init: the fused context feeds
+    # everything downstream (attention scores, h0/c0), and a near-zero
+    # tanh output stalls training (observed on the motion quality test).
     if cfg.use_motion:
-        p["W_app"] = _norm(next(ks), (dc, dc))
-        p["W_mot"] = _norm(next(ks), (cfg.motion_dim, dc))
+        p["W_app"] = _norm(next(ks), (dc, dc), scale=1.0 / (dc ** 0.5))
+        p["W_mot"] = _norm(next(ks), (cfg.motion_dim, dc),
+                           scale=1.0 / (cfg.motion_dim ** 0.5))
         p["b_fuse"] = jnp.zeros((dc,))
     # init-state MLPs
     p["ff_state_W"] = _norm(next(ks), (dc, d))
@@ -111,18 +115,20 @@ def encode_context(params: Params, cfg: ModelConfig, frames: jax.Array,
     """Fuse input feature streams to the (B, K, ctx_dim) context.
 
     Single stream (MSVD): identity — frames ARE the context (reference
-    encoder='none').  Dual stream (MSR-VTT config 4): learned fusion of
-    appearance + motion (the reference concatenates pre-extracted
-    ResNet+C3D features offline; we fuse on device, one matmul each).
+    encoder='none').  Dual stream (MSR-VTT config 4): learned LINEAR
+    fusion of appearance + motion — the reference concatenates
+    pre-extracted ResNet+C3D features offline (a linear map); a tanh
+    here saturates on real-scale features and stalls training
+    (observed: nll plateau on the motion quality test).
     """
     if not cfg.use_motion:
         return frames
     if motion is None:
         raise ValueError("use_motion=True but no motion features given")
     cdtype = jnp.dtype(cfg.compute_dtype)
-    return jnp.tanh(step_mod._dot(frames, params["W_app"], cdtype)
-                    + step_mod._dot(motion, params["W_mot"], cdtype)
-                    + params["b_fuse"])
+    return (step_mod._dot(frames, params["W_app"], cdtype)
+            + step_mod._dot(motion, params["W_mot"], cdtype)
+            + params["b_fuse"])
 
 
 # ---------------------------------------------------------------------------

@@ -29,11 +29,15 @@ from ..model.decoder import StepFn
 _DECODER_CACHE: Dict = {}
 
 
-def _decoder_fn(mcfg: ModelConfig, dcfg: DecodeConfig, step_fn):
+def _decoder_fn(mcfg: ModelConfig, dcfg: DecodeConfig, step_fn, mesh=None):
     """Jitted (params, batch) -> tokens decoder, cached per config so
-    repeated validation rounds reuse one compiled executable."""
+    repeated validation rounds reuse one compiled executable.
+
+    With a mesh, the batch is sharded over the data axis (data-parallel
+    decoding across chips — no reference equivalent; the reference
+    decodes one video at a time on one device)."""
     key = (mcfg, dcfg.beam_size, dcfg.maxlen, dcfg.length_norm,
-           id(step_fn))
+           id(step_fn), id(mesh))
     fn = _DECODER_CACHE.get(key)
     if fn is None:
         def run(params, batch):
@@ -46,7 +50,14 @@ def _decoder_fn(mcfg: ModelConfig, dcfg: DecodeConfig, step_fn):
                                maxlen=dcfg.maxlen,
                                length_norm=dcfg.length_norm,
                                step_fn=step_fn).tokens
-        fn = jax.jit(run)
+        if mesh is None:
+            fn = jax.jit(run)
+        else:
+            from . import parallel
+            fn = jax.jit(run,
+                         in_shardings=(parallel.replicated(mesh),
+                                       parallel.batch_sharding(mesh)),
+                         out_shardings=parallel.replicated(mesh))
         _DECODER_CACHE[key] = fn
     return fn
 
@@ -58,14 +69,19 @@ def generate_captions(
     n_videos: int,
     dcfg: DecodeConfig,
     step_fn: Optional[StepFn] = None,
+    mesh=None,
 ) -> List[List[int]]:
     """Decode one caption per video row; returns token-id lists.
 
     Videos are processed in fixed-size batches (last batch wraps, extras
-    discarded) so exactly one executable is compiled.
+    discarded) so exactly one executable is compiled.  With a mesh the
+    batch axis is sharded across devices (data-parallel decode).
     """
     bsz = min(dcfg.decode_batch, n_videos)
-    run_j = _decoder_fn(mcfg, dcfg, step_fn)
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        bsz = max(n_dev, (bsz // n_dev) * n_dev)
+    run_j = _decoder_fn(mcfg, dcfg, step_fn, mesh)
     out: List[List[int]] = []
     for s in range(0, n_videos, bsz):
         rows = np.arange(s, min(s + bsz, n_videos))
@@ -88,13 +104,14 @@ def evaluate_split(
     split: str = "valid",
     save_dir: Optional[str] = None,
     step_fn: Optional[StepFn] = None,
+    mesh=None,
 ) -> Dict[str, float]:
     """Decode + score a split; writes the reference's parity artifacts
     (``{split}_samples.txt`` and ``.json``) when ``save_dir`` is given."""
     dev_bank = ds.bank.to_device()
     token_rows = generate_captions(params, cfg.model, dev_bank,
                                    ds.bank.n_videos, cfg.decode,
-                                   step_fn=step_fn)
+                                   step_fn=step_fn, mesh=mesh)
     hyps: Dict[str, List[str]] = {}
     gts: Dict[str, List[str]] = {}
     for row, vid in enumerate(ds.bank.ids):

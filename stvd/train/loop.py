@@ -72,14 +72,20 @@ def make_train_step(
     tcfg: TrainConfig,
     step_fn: Optional[StepFn] = None,
     mesh=None,
+    use_shard_map: bool = False,
 ) -> Callable[[TrainState, Dict[str, jax.Array]],
               Tuple[TrainState, Dict[str, jax.Array]]]:
     """Build the fused, jitted train step.
 
     With a mesh: state replicated / batch sharded on the data axis —
-    jit emits the gradient allreduce over ICI.
+    jit emits the gradient allreduce over ICI.  ``use_shard_map`` picks
+    the explicit-collective path (hand-placed ``lax.psum`` over the
+    data axis) instead of relying on XLA's sharding propagation; both
+    produce bit-identical updates (tests/test_parallel.py).
     """
     opt = make_optimizer(tcfg)
+    if mesh is not None and use_shard_map:
+        return _make_shard_map_train_step(mcfg, tcfg, step_fn, mesh, opt)
 
     def train_step(state: TrainState, batch):
         rng, sub = jax.random.split(state["rng"])
@@ -107,6 +113,53 @@ def make_train_step(
         out_shardings=(rep, rep),
         donate_argnums=donate,
     )
+
+
+def _make_shard_map_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
+                               step_fn, mesh, opt):
+    """Explicit ICI-collective data-parallel step (SURVEY.md §2 row 10).
+
+    Each shard computes unreduced loss terms and local gradients of the
+    summed objective; ``lax.psum`` over the 'data' axis (ICI on a v5e
+    slice) produces the exact global gradient before the (replicated)
+    optimizer update — bit-identical to the single-device step.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from .loss import loss_from_terms, loss_terms
+
+    def body(state, batch):
+        rng, sub = jax.random.split(state["rng"])
+        sub = jax.random.fold_in(sub, jax.lax.axis_index(parallel.DATA_AXIS))
+
+        def local_obj(params):
+            t = loss_terms(params, mcfg, batch, rng=sub, train=True,
+                           ss_prob=tcfg.ss_prob, step_fn=step_fn)
+            return t["nll_num"] + mcfg.alpha_c * t["reg_num"], t
+
+        (_, terms), grads = jax.value_and_grad(local_obj, has_aux=True)(
+            state["params"])
+        psum = lambda x: jax.lax.psum(x, parallel.DATA_AXIS)
+        grads = jax.tree.map(psum, grads)
+        terms = {k: psum(v) for k, v in terms.items()}
+        den = jnp.maximum(terms["ex_den"], 1.0)
+        grads = jax.tree.map(lambda g: g / den, grads)
+        loss, aux = loss_from_terms(terms, mcfg)
+        updates, opt_state = opt.update(grads, state["opt_state"],
+                                        state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        new_state = {"params": params, "opt_state": opt_state,
+                     "step": state["step"] + 1, "rng": rng}
+        metrics = {"loss": loss, "nll": aux["nll"],
+                   "nll_per_token": aux["nll_per_token"],
+                   "grad_norm": optax.global_norm(grads)}
+        return new_state, metrics
+
+    sm = shard_map(body, mesh=mesh, in_specs=(P(), P(parallel.DATA_AXIS)),
+                   out_specs=(P(), P()), check_vma=False)
+    donate = (0,) if tcfg.donate_state else ()
+    return jax.jit(sm, donate_argnums=donate)
 
 
 def make_eval_nll(mcfg: ModelConfig, step_fn: Optional[StepFn] = None):

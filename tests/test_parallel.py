@@ -96,6 +96,43 @@ def test_shard_map_psum_grad_parity():
                                    rtol=1e-4, atol=1e-6, err_msg=k)
 
 
+def test_shard_map_train_step_matches_single_device():
+    """The explicit-psum shard_map step == the single-device step."""
+    batch = _batch(8)
+    mesh = parallel.make_mesh()
+    s1 = init_train_state(jax.random.PRNGKey(0), MCFG, TCFG)
+    sm = parallel.replicate(jax.device_get(s1), mesh)
+    step1 = make_train_step(MCFG, TCFG)
+    stepS = make_train_step(MCFG, TCFG, mesh=mesh, use_shard_map=True)
+    out1, m1 = step1(s1, batch)
+    outS, mS = stepS(sm, parallel.shard_batch(batch, mesh))
+    np.testing.assert_allclose(float(m1["loss"]), float(mS["loss"]),
+                               rtol=1e-5)
+    for k in out1["params"]:
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(outS["params"][k])),
+            np.asarray(jax.device_get(out1["params"][k])),
+            rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_data_parallel_decode_matches_single_device():
+    """Mesh-sharded batched decode == single-device decode."""
+    from stvd.config import DecodeConfig
+    from stvd.data.batching import synthetic_dataset
+    from stvd.train.evaluate import generate_captions
+
+    ds = synthetic_dataset(n_videos=8, captions_per_video=1,
+                           k=MCFG.n_frames, d=MCFG.ctx_dim, maxlen=10,
+                           seed=3)
+    dev = ds.bank.to_device()
+    params = init_params(jax.random.PRNGKey(1), MCFG)
+    dcfg = DecodeConfig(beam_size=3, maxlen=10, decode_batch=8)
+    mesh = parallel.make_mesh()
+    toks1 = generate_captions(params, MCFG, dev, 8, dcfg)
+    toksN = generate_captions(params, MCFG, dev, 8, dcfg, mesh=mesh)
+    assert toks1 == toksN
+
+
 def test_dryrun_multichip():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge

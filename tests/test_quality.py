@@ -21,6 +21,59 @@ from stvd.train.evaluate import evaluate_split
 from stvd.train.loop import init_train_state, make_train_step
 
 
+def _train_and_score(mcfg, n_regions=0, region_dim=32, motion_dim=0,
+                     max_epochs=80, seed=0):
+    tcfg = TrainConfig(optimizer="adam", lr=2e-3, batch_size=32,
+                       clip_c=5.0, maxlen=12)
+    cfg = Config(model=mcfg, train=tcfg,
+                 decode=DecodeConfig(beam_size=3, maxlen=12,
+                                     length_norm=0.6, decode_batch=16))
+    splits = structured_splits(n_train=120, n_valid=16, n_test=16,
+                               k=mcfg.n_frames, d=mcfg.ctx_dim,
+                               n_regions=n_regions, region_dim=region_dim,
+                               motion_dim=motion_dim, maxlen=12, seed=seed)
+    state = init_train_state(jax.random.PRNGKey(0), mcfg, tcfg)
+    step = make_train_step(mcfg, tcfg)
+    dev = splits["train"].bank.to_device()
+    it = BatchIterator(splits["train"].captions.n, tcfg.batch_size, seed=0)
+    m = {}
+    for epoch in range(max_epochs):
+        for idx, w in it.epoch():
+            b = gather_batch(dev, splits["train"].captions, idx)
+            b["weight"] = jnp.asarray(w)
+            state, m = step(state, b)
+        if float(m["nll_per_token"]) < 0.05:
+            break
+    assert float(m["nll_per_token"]) < 0.5, "training failed to converge"
+    return evaluate_split(state["params"], cfg, splits["valid"],
+                          split="valid")
+
+
+def test_spatial_attention_quality():
+    """Config 2 (full spatial-temporal attention) end-to-end quality on
+    held-out compositional triples."""
+    mcfg = ModelConfig(n_words=64, dim_word=32, dim=96, ctx_dim=96,
+                       n_frames=6, compute_dtype="float32",
+                       use_dropout=False, use_spatial=True, n_regions=4,
+                       region_dim=32)
+    scores = _train_and_score(mcfg, n_regions=4, region_dim=32)
+    assert scores["Bleu_4"] > 0.5, scores
+    assert scores["CIDEr"] > 1.0, scores
+
+
+def test_motion_fusion_quality():
+    """Config 4 (appearance + motion fusion, MSR-VTT style) end-to-end
+    quality on held-out compositional triples."""
+    mcfg = ModelConfig(n_words=64, dim_word=32, dim=96, ctx_dim=96,
+                       n_frames=6, compute_dtype="float32",
+                       use_dropout=False, use_motion=True, motion_dim=48)
+    # the fusion layer spends ~90 epochs on a template-only plateau
+    # before binding motion features to verbs; give it headroom
+    scores = _train_and_score(mcfg, motion_dim=48, max_epochs=250)
+    assert scores["Bleu_4"] > 0.5, scores
+    assert scores["CIDEr"] > 1.0, scores
+
+
 def test_structured_generalization_scores():
     mcfg = ModelConfig(n_words=64, dim_word=32, dim=96, ctx_dim=96,
                        n_frames=6, compute_dtype="float32",
