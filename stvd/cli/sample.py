@@ -32,6 +32,9 @@ def main(argv=None) -> int:
     ap.add_argument("--best", action="store_true",
                     help="load ckpt_best instead of the latest ckpt")
     ap.add_argument("--use-kernel", action="store_true")
+    ap.add_argument("--dump-attention", type=int, default=0, metavar="N",
+                    help="greedy-decode the first N videos recording the "
+                         "temporal attention maps -> {split}_attention.npz")
     args = ap.parse_args(argv)
 
     with open(os.path.join(args.run_dir, "config.json")) as f:
@@ -44,9 +47,25 @@ def main(argv=None) -> int:
     template = init_train_state(jax.random.PRNGKey(0), cfg.model, cfg.train)
     name = "ckpt_best" if args.best else "ckpt"
     state = restore_checkpoint(os.path.join(args.run_dir, name), template)
-    scores = evaluate_split(state["params"], cfg, splits[args.split],
-                            split=args.split, save_dir=args.run_dir,
-                            step_fn=get_step_fn(args.use_kernel))
+    step_fn = get_step_fn(args.use_kernel)
+    ds = splits[args.split]
+    scores = evaluate_split(state["params"], cfg, ds, split=args.split,
+                            save_dir=args.run_dir, step_fn=step_fn)
+    if args.dump_attention > 0:
+        import numpy as np
+        from ..decode.greedy import greedy_decode
+        n = min(args.dump_attention, ds.bank.n_videos)
+        dev = ds.bank.to_device()
+        b = {k: v[:n] for k, v in dev.items()}
+        out = greedy_decode(state["params"], cfg.model, b,
+                            maxlen=cfg.decode.maxlen, step_fn=step_fn,
+                            return_alphas=True)
+        path = os.path.join(args.run_dir, f"{args.split}_attention.npz")
+        np.savez_compressed(
+            path, ids=np.asarray(ds.bank.ids[:n]),
+            tokens=np.asarray(out.tokens), alphas=np.asarray(out.alphas),
+            frame_mask=np.asarray(b["frame_mask"]))
+        print(f"attention maps -> {path}")
     print(json.dumps(scores, indent=2, sort_keys=True))
     return 0
 

@@ -76,6 +76,8 @@ class TrainConfig:
     # --- parallelism (no reference equivalent; SURVEY.md §2 rows 9-10) ---
     data_parallel: bool = True      # shard batch over the 'data' mesh axis
     donate_state: bool = True       # donate train-state buffers to jit
+    # --- debugging (reference common.py:§grad_nan_report equivalent) ---
+    debug_nans: bool = False        # raise on first NaN-producing op
 
 
 @dataclasses.dataclass(frozen=True)

@@ -25,6 +25,7 @@ class GreedyOut(NamedTuple):
     tokens: jax.Array    # (B, maxlen) int32, EOS-terminated, 0-padded
     scores: jax.Array    # (B,) total log-prob of the emitted sequence
     lengths: jax.Array   # (B,) emitted tokens incl. EOS
+    alphas: Optional[jax.Array] = None  # (B, maxlen, K) temporal attention
 
 
 def greedy_decode(
@@ -33,11 +34,14 @@ def greedy_decode(
     batch: Dict[str, jax.Array],
     maxlen: int = 30,
     step_fn: Optional[StepFn] = None,
+    return_alphas: bool = False,
 ) -> GreedyOut:
     """Greedy argmax decode for a batch of videos.
 
     ``batch`` keys: frames (B,K,D), frame_mask (B,K), optional
-    regions/motion.
+    regions/motion.  ``return_alphas`` additionally records the
+    per-step temporal attention maps (the paper's qualitative
+    visualizations — reference alphas from §build_sampler).
     """
     step_fn = step_fn or step_mod.step
     B = batch["frames"].shape[0]
@@ -49,13 +53,15 @@ def greedy_decode(
     # lax.while_loop with early exit: most captions finish well before
     # maxlen, so decode stops as soon as every sequence has emitted EOS
     # (static shapes throughout; the token buffer is pre-allocated)
+    K = batch["frame_mask"].shape[1]
+
     def cond(carry):
-        t, _, _, finished, _, _, _ = carry
+        t, _, _, finished, _, _, _, _ = carry
         return jnp.logical_and(t < maxlen,
                                jnp.logical_not(jnp.all(finished)))
 
     def body(carry):
-        t, state, prev, finished, score, length, buf = carry
+        t, state, prev, finished, score, length, buf, abuf = carry
         emb_t = jnp.where(t == 0,
                           jnp.zeros((B, cfg.dim_word), params["Wemb"].dtype),
                           params["Wemb"][prev])
@@ -71,11 +77,16 @@ def greedy_decode(
         emit = jnp.where(alive, nxt, EOS_ID)
         finished = jnp.logical_or(finished, nxt == EOS_ID)
         buf = jax.lax.dynamic_update_index_in_dim(buf, emit, t, axis=1)
+        if abuf is not None:
+            abuf = jax.lax.dynamic_update_index_in_dim(
+                abuf, out.alpha.astype(jnp.float32), t, axis=1)
         return (t + 1, StepState(out.h, out.c), emit, finished, score,
-                length, buf)
+                length, buf, abuf)
 
     init = (jnp.zeros((), jnp.int32), state0, jnp.zeros((B,), jnp.int32),
             jnp.zeros((B,), bool), jnp.zeros((B,), jnp.float32),
-            jnp.zeros((B,), jnp.int32), jnp.zeros((B, maxlen), jnp.int32))
-    _, _, _, _, score, length, buf = jax.lax.while_loop(cond, body, init)
-    return GreedyOut(tokens=buf, scores=score, lengths=length)
+            jnp.zeros((B,), jnp.int32), jnp.zeros((B, maxlen), jnp.int32),
+            jnp.zeros((B, maxlen, K), jnp.float32) if return_alphas else None)
+    _, _, _, _, score, length, buf, abuf = jax.lax.while_loop(
+        cond, body, init)
+    return GreedyOut(tokens=buf, scores=score, lengths=length, alphas=abuf)

@@ -240,6 +240,9 @@ def fit(
     checkpoints in cfg.train.save_dir.
     """
     tcfg, mcfg = cfg.train, cfg.model
+    if tcfg.debug_nans:
+        from ..utils.debug import enable_nan_debug
+        enable_nan_debug(True)
     log = logger or MetricsLogger(tcfg.save_dir)
     rng = jax.random.PRNGKey(tcfg.seed)
     state = init_train_state(rng, mcfg, tcfg)

@@ -112,6 +112,20 @@ def test_beam_emitted_score_matches_teacher_forced_rescore(cfg):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_greedy_return_alphas(cfg):
+    """Attention maps: each emitted step's alpha sums to 1 over valid
+    frames; steps never reached (post-early-exit) stay zero."""
+    params, batch = _setup(cfg)
+    out = greedy_decode(params, cfg, batch, maxlen=8, return_alphas=True)
+    a = np.asarray(out.alphas)
+    assert a.shape == (4, 8, cfg.n_frames)
+    sums = a.sum(axis=-1)
+    for i in range(4):
+        L = int(np.asarray(out.lengths)[i])
+        covered = min(L + 1, 8)  # steps actually executed
+        np.testing.assert_allclose(sums[i, :covered], 1.0, rtol=1e-5)
+
+
 def test_length_norm_modes(cfg):
     params, batch = _setup(cfg)
     for mode, alpha in (("gnmt", 0.6), ("linear", 0.0), ("none", 0.0)):
