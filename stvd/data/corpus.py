@@ -41,10 +41,12 @@ def load_captions(path: str) -> Dict[str, List[List[str]]]:
         toks = []
         for c in caps:
             if isinstance(c, dict):
-                text = c.get("tokenized") or c.get("caption") or ""
+                if c.get("tokenized"):
+                    toks.append(str(c["tokenized"]).lower().split())
+                else:
+                    toks.append(tokenize(str(c.get("caption", ""))))
             else:
-                text = c
-            toks.append(text.split() if " " in text else tokenize(text))
+                toks.append(tokenize(str(c)))
         out[str(vid)] = toks
     return out
 

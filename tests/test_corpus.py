@@ -1,0 +1,90 @@
+"""Corpus loading: legacy Py2-style artifacts end-to-end
+(reference data_engine.py ingestion path — SURVEY.md §2 row 5)."""
+
+import dataclasses
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from stvd.config import Config, DataConfig, ModelConfig, TrainConfig
+from stvd.data.corpus import load_captions, load_splits, split_ids
+
+
+def test_load_captions_json(tmp_path):
+    p = str(tmp_path / "caps.json")
+    with open(p, "w") as f:
+        json.dump({"v1": ["A man runs.", "a man is running"]}, f)
+    caps = load_captions(p)
+    assert caps["v1"][0] == ["a", "man", "runs"]
+    assert caps["v1"][1] == ["a", "man", "is", "running"]
+
+
+def test_load_captions_legacy_pickle(tmp_path):
+    """CAP.pkl format: vid -> list of dicts with 'caption'/'tokenized'
+    (written with protocol 2, read with latin1 like real Py2 pickles)."""
+    p = str(tmp_path / "CAP.pkl")
+    data = {"vid1": [{"caption": "A dog barks.",
+                      "tokenized": "a dog barks"},
+                     {"caption": "The dog is barking."}],
+            "vid2": ["plain string caption"]}
+    with open(p, "wb") as f:
+        pickle.dump(data, f, protocol=2)
+    caps = load_captions(p)
+    assert caps["vid1"][0] == ["a", "dog", "barks"]
+    assert caps["vid1"][1] == ["the", "dog", "is", "barking"]
+    assert caps["vid2"][0] == ["plain", "string", "caption"]
+
+
+def test_split_ids_files_and_fallback(tmp_path):
+    ids = [f"v{i}" for i in range(20)]
+    # fallback: deterministic 80/10/10
+    s = split_ids(ids, str(tmp_path))
+    assert len(s["train"]) == 16 and len(s["valid"]) == 2
+    assert not (set(s["train"]) & set(s["valid"]) & set(s["test"]))
+    # explicit files win
+    for name, members in (("train", ids[:10]), ("valid", ids[10:15]),
+                          ("test", ids[15:])):
+        with open(os.path.join(str(tmp_path), f"{name}_ids.txt"), "w") as f:
+            f.write("\n".join(members))
+    s2 = split_ids(ids, str(tmp_path))
+    assert s2["train"] == ids[:10]
+    assert s2["test"] == ids[15:]
+
+
+def test_load_splits_from_legacy_files(tmp_path):
+    """Full reference-style data dir: feature pkl + CAP.pkl + worddict
+    -> three Datasets ready for training."""
+    rng = np.random.RandomState(0)
+    feats = {f"v{i}": rng.randn(5 + i % 3, 16).astype(np.float32)
+             for i in range(12)}
+    with open(tmp_path / "FEAT.pkl", "wb") as f:
+        pickle.dump(feats, f, protocol=2)
+    caps = {f"v{i}": [{"tokenized": f"a thing number{i % 4} happens"}]
+            for i in range(12)}
+    with open(tmp_path / "CAP.pkl", "wb") as f:
+        pickle.dump(caps, f, protocol=2)
+
+    cfg = Config(
+        model=ModelConfig(n_words=64, dim_word=8, dim=16, ctx_dim=16,
+                          n_frames=4, compute_dtype="float32"),
+        train=TrainConfig(maxlen=8),
+        data=DataConfig(dataset="legacy", data_dir=str(tmp_path),
+                        feature_file="FEAT.pkl", captions_file="CAP.pkl"))
+    splits = load_splits(cfg)
+    assert set(splits) == {"train", "valid", "test"}
+    tr = splits["train"]
+    assert tr.bank.frames.shape[1:] == (4, 16)
+    assert tr.captions.n == tr.bank.n_videos  # one caption per video
+    # vocab built from captions; encoded tokens decode back
+    row = tr.captions.video_idx[0]
+    dec = tr.vocab.decode(tr.captions.tokens[0])
+    assert dec in tr.references[row]
+
+
+def test_load_splits_missing_file_raises():
+    cfg = Config(data=DataConfig(dataset="legacy", data_dir="/tmp"))
+    with pytest.raises(ValueError):
+        load_splits(cfg)

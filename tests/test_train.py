@@ -76,6 +76,34 @@ def test_checkpoint_roundtrip(tmp_path):
                                rtol=1e-6)
 
 
+def test_scheduled_sampling_trains():
+    """ss_prob > 0 (per-step logits + sampled inputs inside the scan)
+    still reduces the loss."""
+    _, batch = _data()
+    tcfg = dataclasses.replace(TCFG, ss_prob=0.25)
+    state = init_train_state(jax.random.PRNGKey(0), MCFG, tcfg)
+    step = make_train_step(MCFG, tcfg)
+    state, m0 = step(state, batch)
+    l0 = float(m0["loss"])
+    for _ in range(150):
+        state, m = step(state, batch)
+    assert float(m["loss"]) < 0.7 * l0
+
+
+def test_adadelta_default_recipe_converges():
+    """The reference's default optimizer (adadelta, lr-insensitive) must
+    make steady progress on the overfit task."""
+    _, batch = _data()
+    tcfg = dataclasses.replace(TCFG, optimizer="adadelta", lr=1.0)
+    state = init_train_state(jax.random.PRNGKey(0), MCFG, tcfg)
+    step = make_train_step(MCFG, tcfg)
+    state, m0 = step(state, batch)
+    l0 = float(m0["loss"])
+    for _ in range(300):
+        state, m = step(state, batch)
+    assert float(m["loss"]) < 0.5 * l0, (l0, float(m["loss"]))
+
+
 @pytest.mark.parametrize("opt", ["adadelta", "sgd"])
 def test_optimizers_update_params(opt):
     _, batch = _data()
