@@ -122,10 +122,50 @@ def probe_device(timeout_s: int = 60) -> bool:
         return False
 
 
+def bench_quality(use_kernel: bool):
+    """Train the structured-synthetic quality recipe to convergence and
+    score held-out videos (BLEU-4/METEOR/CIDEr) — the offline stand-in
+    for MSVD quality parity (no real feature banks on this machine)."""
+    import jax
+    import jax.numpy as jnp
+    from stvd.config import Config, DecodeConfig, ModelConfig, TrainConfig
+    from stvd.data.batching import BatchIterator, gather_batch
+    from stvd.data.synthetic import structured_splits
+    from stvd.model.kernel import get_step_fn
+    from stvd.train.evaluate import evaluate_split
+    from stvd.train.loop import init_train_state, make_train_step
+
+    mcfg = ModelConfig(n_words=64, dim_word=48, dim=128, ctx_dim=128,
+                       n_frames=8, compute_dtype="float32",
+                       use_dropout=True, dropout_rate=0.3)
+    tcfg = TrainConfig(optimizer="adam", lr=2e-3, batch_size=32,
+                       clip_c=5.0, maxlen=12)
+    cfg = Config(model=mcfg, train=tcfg,
+                 decode=DecodeConfig(beam_size=5, maxlen=12,
+                                     length_norm=0.6, decode_batch=32))
+    splits = structured_splits(n_train=200, n_valid=32, n_test=32, k=8,
+                               d=128, maxlen=12)
+    step_fn = get_step_fn(use_kernel)
+    state = init_train_state(jax.random.PRNGKey(0), mcfg, tcfg)
+    step = make_train_step(mcfg, tcfg, step_fn=step_fn)
+    dev = splits["train"].bank.to_device()
+    it = BatchIterator(splits["train"].captions.n, tcfg.batch_size, seed=0)
+    m = {}
+    for epoch in range(120):
+        for idx, w in it.epoch():
+            b = gather_batch(dev, splits["train"].captions, idx)
+            b["weight"] = jnp.asarray(w)
+            state, m = step(state, b)
+        if float(m["nll_per_token"]) < 0.05:
+            break
+    return evaluate_split(state["params"], cfg, splits["test"],
+                          split="test", step_fn=step_fn)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", default="decode",
-                    choices=["decode", "train", "all"])
+                    choices=["decode", "train", "all", "quality"])
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--kernel", action="store_true",
                     help="use the Pallas fused attention kernel")
@@ -134,7 +174,8 @@ def main():
     ap.add_argument("--no-probe", action="store_true")
     args = ap.parse_args()
 
-    if args.cpu:
+    import os
+    if args.cpu or os.environ.get("STVD_FORCE_CPU"):
         import jax
         jax.config.update("jax_platforms", "cpu")
     elif not args.no_probe and not probe_device():
@@ -142,6 +183,14 @@ def main():
             "metric": "decode_captions_per_sec_per_chip", "value": 0,
             "unit": "captions/s", "vs_baseline": 0,
             "error": "device probe timed out (TPU tunnel unresponsive)"}))
+        return
+
+    if args.what == "quality":
+        scores = bench_quality(args.kernel)
+        print(json.dumps({
+            "metric": "synthetic_heldout_bleu4", "value": scores["Bleu_4"],
+            "unit": "bleu", "vs_baseline": None,
+            **{k: round(v, 4) for k, v in scores.items()}}))
         return
 
     extras = {}
