@@ -86,6 +86,24 @@ def test_step_pallas_matches_step(cfg):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_step_pallas_matches_step_spatial(spatial_cfg):
+    """Kernel parity with the spatial-attention path active (spatial
+    stage runs in XLA; the fused temporal core must compose with it)."""
+    params, batch = _setup(spatial_cfg)
+    from stvd.model.decoder import encode_context
+    ctx = encode_context(params, spatial_cfg, batch["frames"])
+    sc = precompute(params, spatial_cfg, ctx, batch["frame_mask"],
+                    batch["regions"])
+    st = init_state(params, spatial_cfg, sc)
+    emb = params["Wemb"][batch["tokens"][:, 0]]
+    ref = smod.step(params, spatial_cfg, st, sc, emb)
+    ker = kmod.step_pallas(params, spatial_cfg, st, sc, emb)
+    np.testing.assert_allclose(np.asarray(ker.h), np.asarray(ref.h),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ker.alpha), np.asarray(ref.alpha),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_forward_train_with_kernel_matches(cfg):
     """Full teacher-forced forward: oracle vs pallas step inside scan."""
     params, batch = _setup(cfg)
