@@ -46,15 +46,10 @@ def _length_penalty(lengths: jax.Array, alpha: float, mode: str) -> jax.Array:
     return jnp.ones_like(lf)
 
 
-def _expand_context(sc: StepContext, k: int) -> StepContext:
-    """Tile the per-sequence context k times along batch (B -> B*k)."""
-    def rep(x):
-        return None if x is None else jnp.repeat(x, k, axis=0)
-    return StepContext(ctx=rep(sc.ctx), pctx=rep(sc.pctx),
-                       ctx_mask=rep(sc.ctx_mask), mean_ctx=rep(sc.mean_ctx),
-                       regions=rep(sc.regions), pregion=rep(sc.pregion),
-                       # weights — shared, not tiled
-                       w_sf_att=sc.w_sf_att, h_proj_w=sc.h_proj_w)
+# NOTE: the context is NOT tiled k times per beam — the step function
+# broadcasts state batch B*k against context batch B (see
+# step._attention_core_jnp 'Beam broadcasting'), saving k× the context
+# HBM read traffic per decode step.
 
 
 def beam_decode(
@@ -76,7 +71,6 @@ def beam_decode(
     sc = precompute(params, cfg, ctx, batch["frame_mask"],
                     batch.get("regions"))
     state0 = init_state(params, cfg, sc)
-    sck = _expand_context(sc, k)
     h0 = jnp.repeat(state0.h, k, axis=0)
     c0 = jnp.repeat(state0.c, k, axis=0)
 
@@ -99,7 +93,7 @@ def beam_decode(
         emb_t = jnp.where(
             t == 0, jnp.zeros((B * k, cfg.dim_word), params["Wemb"].dtype),
             params["Wemb"][prev.reshape(B * k)])
-        out = step_fn(params, cfg, StepState(h, c), sck, emb_t)
+        out = step_fn(params, cfg, StepState(h, c), sc, emb_t)
         logits = logits_from_states(params, cfg, out.h, out.ctx_t, emb_t,
                                     train=False)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

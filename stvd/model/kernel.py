@@ -161,7 +161,19 @@ def attention_core_pallas(h_att, beta_logit, pctx, ctx, ctx_mask, u_att,
                           c_att, b_sel, selector: bool
                           ) -> Tuple[jax.Array, jax.Array]:
     """Pallas drop-in for ``step._attention_core_jnp`` (same signature,
-    differentiable via custom VJP)."""
+    differentiable via custom VJP).
+
+    Beam broadcasting (state batch > context batch) is materialized by
+    tiling before the kernel for now — a broadcast-aware kernel grid is
+    a follow-up; the jnp oracle already avoids the tiling.
+    """
+    bs = h_att.shape[0]
+    bc = pctx.shape[0]
+    if bs != bc:
+        nb = bs // bc
+        pctx = jnp.repeat(pctx, nb, axis=0)
+        ctx = jnp.repeat(ctx, nb, axis=0)
+        ctx_mask = jnp.repeat(ctx_mask, nb, axis=0)
     return _core_diff(h_att, beta_logit, pctx, ctx, ctx_mask, u_att,
                       jnp.asarray(c_att), jnp.asarray(b_sel), selector)
 

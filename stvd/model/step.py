@@ -145,13 +145,36 @@ def _attention_core_jnp(h_att, beta_logit, pctx_k, ctx_k, ctx_mask, u_att,
 
     The Pallas kernel (``kernel.attention_core_pallas``) implements this
     exact contract; ``step_with_core`` swaps between them.
-    Returns (ctx_t (B, Dc) fp32, alpha (B, K) fp32).
+    Returns (ctx_t (Bs, Dc) fp32, alpha (Bs, K) fp32).
+
+    Beam broadcasting: the state batch ``Bs = h_att.shape[0]`` may be a
+    multiple of the context batch ``Bc = pctx_k.shape[0]`` (beam search
+    keeps k hypotheses per video).  The context is NOT tiled k times in
+    HBM — the reduction broadcasts over the beam axis, cutting context
+    read traffic by k per decode step.
     """
-    e = jnp.tanh(pctx_k + h_att[:, None, :])
-    scores = jnp.einsum("bkd,d->bk", e, u_att.astype(e.dtype)) + c_att
-    alpha = masked_softmax(scores.astype(jnp.float32), ctx_mask, axis=-1)
-    ctx_t = jnp.einsum("bk,bkd->bd", alpha.astype(ctx_k.dtype),
-                       ctx_k).astype(jnp.float32)
+    bs = h_att.shape[0]
+    bc = pctx_k.shape[0]
+    if bs == bc:
+        e = jnp.tanh(pctx_k + h_att[:, None, :])
+        scores = jnp.einsum("bkd,d->bk", e, u_att.astype(e.dtype)) + c_att
+        alpha = masked_softmax(scores.astype(jnp.float32), ctx_mask,
+                               axis=-1)
+        ctx_t = jnp.einsum("bk,bkd->bd", alpha.astype(ctx_k.dtype),
+                           ctx_k).astype(jnp.float32)
+    else:
+        nb = bs // bc
+        hk = h_att.reshape(bc, nb, 1, h_att.shape[-1])
+        e = jnp.tanh(pctx_k[:, None, :, :] + hk)            # (Bc,nb,K,A)
+        scores = jnp.einsum("bjkd,d->bjk", e,
+                            u_att.astype(e.dtype)) + c_att
+        alpha = masked_softmax(scores.astype(jnp.float32),
+                               ctx_mask[:, None, :], axis=-1)
+        ctx_t = jnp.einsum("bjk,bkd->bjd", alpha.astype(ctx_k.dtype),
+                           ctx_k).astype(jnp.float32)
+        k_frames = alpha.shape[-1]
+        alpha = alpha.reshape(bs, k_frames)
+        ctx_t = ctx_t.reshape(bs, ctx_k.shape[-1])
     if selector:
         beta = jax.nn.sigmoid(beta_logit.astype(jnp.float32) + b_sel)
         ctx_t = ctx_t * beta[:, None]
@@ -181,25 +204,38 @@ def step_with_core(params: Params, cfg: ModelConfig, state: StepState,
     h_att = hp[:, 4 * dim: 4 * dim + attn]
     beta_logit = hp[:, 4 * dim + attn]
 
-    ctx_k = sc.ctx                                  # (B, K, ctx_dim)
-    pctx_k = sc.pctx                                # (B, K, attn)
+    # beam broadcasting: context tensors stay at their (Bc, ...) batch;
+    # only recurrent state carries the beam axis (Bs = Bc * n_beams)
+    bs = h.shape[0]
+    bc = sc.ctx.shape[0]
+    nb = bs // bc
+    ctx_k = sc.ctx                                  # (Bc, K, ctx_dim)
+    pctx_k = sc.pctx                                # (Bc, K, attn)
     alpha_s = None
     if cfg.use_spatial:
-        s_attn = params["Wsd_att"].shape[1]
-        h_satt = hp[:, 4 * dim + attn + 1:]         # (B, s_attn)
-        # spatial scores over R regions within each frame
-        e_s = jnp.tanh(sc.pregion + h_satt[:, None, None, :])
-        e_s = jnp.einsum("bkrd,d->bkr", e_s.astype(cdtype),
+        h_satt = hp[:, 4 * dim + attn + 1:]         # (Bs, s_attn)
+        # spatial scores over R regions within each frame (beam axis j
+        # broadcasts against the un-tiled region bank)
+        hsk = h_satt.reshape(bc, nb, 1, 1, h_satt.shape[-1])
+        e_s = jnp.tanh(sc.pregion[:, None] + hsk)   # (Bc, nb, K, R, s)
+        e_s = jnp.einsum("bjkrd,d->bjkr", e_s.astype(cdtype),
                          params["Us_att"].astype(cdtype)) + params["cs_att"]
         alpha_s = masked_softmax(e_s.astype(jnp.float32), None, axis=-1)
-        spat = jnp.einsum("bkr,bkrd->bkd", alpha_s.astype(cdtype),
-                          sc.regions.astype(cdtype))       # (B, K, Dr)
-        ctx_k = ctx_k + _dot(spat, params["W_spat_fuse"], cdtype)
-        pctx_k = pctx_k + _dot(spat, sc.w_sf_att, cdtype)
+        spat = jnp.einsum("bjkr,bkrd->bjkd", alpha_s.astype(cdtype),
+                          sc.regions.astype(cdtype))       # (Bc, nb, K, Dr)
+        ctx_k = ctx_k[:, None] + _dot(spat, params["W_spat_fuse"], cdtype)
+        pctx_k = pctx_k[:, None] + _dot(spat, sc.w_sf_att, cdtype)
+        k_f = ctx_k.shape[2]
+        ctx_k = ctx_k.reshape(bs, k_f, -1)          # (Bs, K, ctx_dim)
+        pctx_k = pctx_k.reshape(bs, k_f, -1)        # (Bs, K, attn)
+        alpha_s = alpha_s.reshape(bs, k_f, -1)
 
     # --- temporal attention over K frames + selector gate ---
+    ctx_mask = sc.ctx_mask
+    if pctx_k.shape[0] != ctx_mask.shape[0]:
+        ctx_mask = jnp.repeat(ctx_mask, nb, axis=0)  # (tiny; spatial+beam)
     ctx_t, alpha = attention_core(
-        h_att, beta_logit, pctx_k, ctx_k, sc.ctx_mask,
+        h_att, beta_logit, pctx_k, ctx_k, ctx_mask,
         params["U_att"], params["c_att"], params["b_sel"], cfg.selector)
 
     # --- LSTM gates ---

@@ -162,32 +162,45 @@ def _make_shard_map_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
     return jax.jit(sm, donate_argnums=donate)
 
 
+_EVAL_NLL_CACHE: Dict[Any, Any] = {}
+
+
 def make_eval_nll(mcfg: ModelConfig, step_fn: Optional[StepFn] = None):
-    """Jitted validation NLL (reference model_attention.py:§pred_probs)."""
+    """Jitted validation NLL terms (reference §pred_probs), cached per
+    config so repeated validation rounds reuse one executable."""
+    key = (mcfg, id(step_fn))
+    fn = _EVAL_NLL_CACHE.get(key)
+    if fn is None:
+        from .loss import loss_terms
 
-    def eval_step(params, batch):
-        _, aux = loss_fn(params, mcfg, batch, train=False, step_fn=step_fn)
-        return aux["nll"], aux["nll_per_token"]
+        def eval_step(params, batch):
+            t = loss_terms(params, mcfg, batch, train=False,
+                           step_fn=step_fn)
+            return t["nll_num"], t["ex_den"], t["tok_den"]
 
-    return jax.jit(eval_step)
+        fn = jax.jit(eval_step)
+        _EVAL_NLL_CACHE[key] = fn
+    return fn
 
 
 def evaluate_nll(params, mcfg: ModelConfig, ds: Dataset, batch_size: int,
                  step_fn: Optional[StepFn] = None) -> float:
-    """Mean per-token NLL over a split (the early-stop signal the
-    reference computes with pred_probs)."""
+    """Mean per-example NLL over a split (the early-stop signal the
+    reference computes with pred_probs).  Fixed-shape batches: the
+    wrapped tail carries zero weights instead of a ragged shape (one
+    compiled executable)."""
     ev = make_eval_nll(mcfg, step_fn)
     dev = ds.bank.to_device()
     it = BatchIterator(ds.captions.n, min(batch_size, ds.captions.n),
                        shuffle=False)
-    tot, cnt = 0.0, 0
+    num = den = 0.0
     for idx, w in it.epoch():
-        sel = idx[w > 0]
-        batch = gather_batch(dev, ds.captions, sel)
-        nll, _ = ev(params, batch)
-        tot += float(nll) * len(sel)
-        cnt += len(sel)
-    return tot / max(cnt, 1)
+        batch = gather_batch(dev, ds.captions, idx)
+        batch["weight"] = jnp.asarray(w)
+        n, d, _ = ev(params, batch)
+        num += float(n)
+        den += float(d)
+    return num / max(den, 1.0)
 
 
 # ---------------------------------------------------------------------------
