@@ -14,7 +14,7 @@ TPU-native replacement for the reference's ``Movie2Caption`` +
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Sequence, Tuple
 
 import numpy as np
 

@@ -13,7 +13,7 @@ on the valid split are meaningful, unlike the iid-random
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List
 
 import numpy as np
 

@@ -21,7 +21,7 @@ from ..config import ModelConfig
 from ..data.text import EOS_ID
 from ..model import step as step_mod
 from ..model.decoder import StepFn, encode_context
-from ..model.step import StepContext, StepState, init_state, logits_from_states, precompute
+from ..model.step import StepState, init_state, logits_from_states, precompute
 
 _NEG = -1.0e30
 

@@ -11,7 +11,7 @@ corpus of the evaluated split, exactly as the COCO scorer does.
 from __future__ import annotations
 
 import math
-from collections import Counter, defaultdict
+from collections import Counter
 from typing import Dict, List, Sequence, Tuple
 
 N_MAX = 4

@@ -18,7 +18,7 @@ defaults alpha=0.85, beta=0.2, gamma=0.6 used by METEOR 1.5:
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 ALPHA = 0.9    # recall weight in F_mean: F = P*R / (a*P + (1-a)*R)
 BETA = 3.0    # fragmentation exponent

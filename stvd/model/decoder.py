@@ -15,15 +15,15 @@ TPU-first departures:
 
 from __future__ import annotations
 
-from typing import Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Callable, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
 from . import step as step_mod
-from .step import (Params, StepContext, StepOut, StepState, init_state,
-                   logits_from_states, masked_softmax, precompute)
+from .step import (Params, StepOut, StepState, init_state,
+                   logits_from_states, precompute)
 
 # (params, cfg, state, step_context, emb_t, x_pre=None) -> StepOut
 StepFn = Callable[..., StepOut]

@@ -20,7 +20,7 @@ On non-TPU backends the kernel runs in interpreter mode (tests on CPU).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

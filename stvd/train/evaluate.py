@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -19,7 +19,6 @@ import numpy as np
 
 from ..config import Config, DecodeConfig, ModelConfig
 from ..data.batching import Dataset
-from ..data.text import Vocab
 from ..decode.beam import beam_decode
 from ..decode.greedy import greedy_decode
 from ..metrics.scorer import score_all

@@ -21,8 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from functools import partial
-from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -373,3 +372,9 @@ def _validate(params, cfg: Config, valid_ds: Dataset, step_fn, log,
     scores["nll"] = nll
     log.log("valid", update=update, **scores)
     return scores
+
+
+def perplexity(nll_per_token: float) -> float:
+    """Token-level perplexity (the reference prints it next to NLL)."""
+    import math
+    return math.exp(min(nll_per_token, 50.0))
