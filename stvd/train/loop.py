@@ -283,48 +283,55 @@ def fit(
     update = int(state["step"])
     stop = False
 
-    for epoch in range(tcfg.max_epochs):
-        if stop:
-            break
-        for idx, w in it.epoch():
-            batch = gather_batch(dev, train_ds.captions, idx)
-            batch["weight"] = jnp.asarray(w)
-            if mesh is not None:
-                batch = parallel.shard_batch(batch, mesh)
-            state, m = train_step(state, batch)
-            update += 1
-            rate = timer.tick()
-            if update % tcfg.disp_freq == 0:
-                extra = {"steps_per_sec": round(rate, 2)} if rate else {}
-                log.log("train", epoch=epoch, update=update,
-                        loss=m["loss"], grad_norm=m["grad_norm"], **extra)
-            if tcfg.sample_freq > 0 and update % tcfg.sample_freq == 0:
-                _print_samples(state["params"], cfg, train_ds, dev, sampler,
-                               log, update)
-            if tcfg.valid_freq > 0 and update % tcfg.valid_freq == 0 \
-                    and valid_ds is not None:
-                scores = _validate(state["params"], cfg, valid_ds, step_fn,
-                                   log, update)
-                val = scores[_metric_key(metric_name)]
-                history.append({"update": update, **scores})
-                improved = (val > best) if bigger_is_better else (val < best)
-                if improved:
-                    best, best_step, bad_rounds = val, update, 0
-                    save_checkpoint(best_dir, state)
-                    log.log("best", update=update, metric=metric_name,
-                            value=val)
-                else:
-                    bad_rounds += 1
-                    if bad_rounds >= tcfg.patience:
-                        log.log("early_stop", update=update,
-                                bad_rounds=bad_rounds)
-                        stop = True
-                        break
-            if tcfg.save_freq > 0 and update % tcfg.save_freq == 0:
-                save_checkpoint(ckpt_dir, state)
-            if max_updates is not None and update >= max_updates:
-                stop = True
+    try:
+        for epoch in range(tcfg.max_epochs):
+            if stop:
                 break
+            for idx, w in it.epoch():
+                batch = gather_batch(dev, train_ds.captions, idx)
+                batch["weight"] = jnp.asarray(w)
+                if mesh is not None:
+                    batch = parallel.shard_batch(batch, mesh)
+                state, m = train_step(state, batch)
+                update += 1
+                rate = timer.tick()
+                if update % tcfg.disp_freq == 0:
+                    extra = {"steps_per_sec": round(rate, 2)} if rate else {}
+                    log.log("train", epoch=epoch, update=update,
+                            loss=m["loss"], grad_norm=m["grad_norm"],
+                            **extra)
+                if tcfg.sample_freq > 0 and update % tcfg.sample_freq == 0:
+                    _print_samples(state["params"], cfg, train_ds, dev,
+                                   sampler, log, update)
+                if tcfg.valid_freq > 0 and update % tcfg.valid_freq == 0 \
+                        and valid_ds is not None:
+                    scores = _validate(state["params"], cfg, valid_ds,
+                                       step_fn, log, update)
+                    val = scores[_metric_key(metric_name)]
+                    history.append({"update": update, **scores})
+                    improved = ((val > best) if bigger_is_better
+                                else (val < best))
+                    if improved:
+                        best, best_step, bad_rounds = val, update, 0
+                        save_checkpoint(best_dir, state)
+                        log.log("best", update=update, metric=metric_name,
+                                value=val)
+                    else:
+                        bad_rounds += 1
+                        if bad_rounds >= tcfg.patience:
+                            log.log("early_stop", update=update,
+                                    bad_rounds=bad_rounds)
+                            stop = True
+                            break
+                if tcfg.save_freq > 0 and update % tcfg.save_freq == 0:
+                    save_checkpoint(ckpt_dir, state)
+                if max_updates is not None and update >= max_updates:
+                    stop = True
+                    break
+    except KeyboardInterrupt:
+        # graceful interrupt: persist current state before exiting (the
+        # reference loses all progress since the last saveFreq save)
+        log.log("interrupt", update=update)
     save_checkpoint(ckpt_dir, state)
     return FitResult(best_metric=float(best), best_step=best_step,
                      history=history, state=state)
