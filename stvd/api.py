@@ -1,0 +1,109 @@
+"""High-level inference API.
+
+The reference has no inference API beyond running metrics.py by hand;
+this wraps checkpoint loading + batched on-device decoding behind one
+object so a reference user can caption feature arrays in two lines:
+
+    cap = Captioner.from_run_dir("runs/msvd")
+    texts = cap.caption(features)          # (N, F, D) numpy -> [str]
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from .config import Config
+from .data.bank import pack_bank
+from .data.text import Vocab
+from .decode.beam import beam_decode
+from .decode.greedy import greedy_decode
+from .model.decoder import StepFn
+
+
+class Captioner:
+    """Caption pre-extracted video features with a trained model."""
+
+    def __init__(self, params, cfg: Config, vocab: Vocab,
+                 step_fn: Optional[StepFn] = None):
+        import jax
+        self.params = params
+        self.cfg = cfg
+        self.vocab = vocab
+        self.step_fn = step_fn
+        d = cfg.decode
+
+        def run(params, batch):
+            if d.beam_size <= 1:
+                out = greedy_decode(params, cfg.model, batch,
+                                    maxlen=d.maxlen, step_fn=step_fn)
+                return out.tokens, out.scores
+            out = beam_decode(params, cfg.model, batch,
+                              beam_size=d.beam_size, maxlen=d.maxlen,
+                              length_norm=d.length_norm, step_fn=step_fn)
+            return out.tokens, out.norm_scores
+
+        self._run = jax.jit(run)
+
+    @staticmethod
+    def from_run_dir(run_dir: str, best: bool = True,
+                     vocab: Optional[Vocab] = None,
+                     step_fn: Optional[StepFn] = None) -> "Captioner":
+        """Load config + checkpoint (+ vocab.pkl if present) from a
+        training run directory."""
+        import jax
+        from .train.loop import init_train_state, restore_checkpoint
+        with open(os.path.join(run_dir, "config.json")) as f:
+            cfg = Config.from_json(f.read())
+        template = init_train_state(jax.random.PRNGKey(0), cfg.model,
+                                    cfg.train)
+        name = "ckpt_best" if best else "ckpt"
+        path = os.path.join(run_dir, name)
+        if not os.path.exists(path):
+            path = os.path.join(run_dir, "ckpt")
+        state = restore_checkpoint(path, template)
+        if vocab is None:
+            vpath = os.path.join(run_dir, "vocab.pkl")
+            if os.path.exists(vpath):
+                vocab = Vocab.load_pickle(vpath)
+            else:
+                raise ValueError("no vocab.pkl in run dir; pass vocab=")
+        return Captioner(state["params"], cfg, vocab, step_fn)
+
+    def caption_batch(self, batch: Dict) -> List[str]:
+        """Caption a prepared device batch (frames/frame_mask/...)."""
+        toks, _ = self._run(self.params, batch)
+        toks = np.asarray(toks)
+        return [" ".join(self.vocab.decode(toks[i]))
+                for i in range(toks.shape[0])]
+
+    def caption(self,
+                features: Union[np.ndarray, Sequence[np.ndarray]],
+                regions: Optional[Sequence[np.ndarray]] = None,
+                motion: Optional[Sequence[np.ndarray]] = None,
+                ) -> List[str]:
+        """Caption raw per-video feature arrays.
+
+        ``features`` is (N, F, D) or a list of (F_i, D) arrays (variable
+        frame counts are subsampled/padded to the model's K).
+        """
+        import jax.numpy as jnp
+        if isinstance(features, np.ndarray) and features.ndim == 3:
+            feats = {f"v{i}": features[i] for i in range(features.shape[0])}
+        else:
+            feats = {f"v{i}": np.asarray(f) for i, f in enumerate(features)}
+        ids = [f"v{i}" for i in range(len(feats))]
+        regs = ({v: np.asarray(r) for v, r in zip(ids, regions)}
+                if regions is not None else None)
+        mots = ({v: np.asarray(m) for v, m in zip(ids, motion)}
+                if motion is not None else None)
+        bank = pack_bank(feats, self.cfg.model.n_frames, ids=ids,
+                         regions=regs, motion=mots)
+        dev = bank.to_device()
+        batch = {"frames": dev["frames"], "frame_mask": dev["frame_mask"]}
+        for k in ("regions", "motion"):
+            if k in dev:
+                batch[k] = dev[k]
+        return self.caption_batch(batch)

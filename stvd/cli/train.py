@@ -71,6 +71,9 @@ def main(argv=None) -> int:
         f.write(cfg.to_json())
 
     splits = load_splits(cfg)
+    # persist the vocab next to checkpoints (Captioner.from_run_dir)
+    splits["train"].vocab.save_pickle(
+        os.path.join(cfg.train.save_dir, "vocab.pkl"))
     step_fn = get_step_fn(args.use_kernel)
     mesh = parallel.make_mesh() if args.data_parallel else None
     logger = MetricsLogger(cfg.train.save_dir)
