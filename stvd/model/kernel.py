@@ -10,9 +10,18 @@ the MXU under XLA; the HBM-bandwidth-bound part is the attention chain
 
 which without fusion writes a (B, K, attn_dim) tanh intermediate to HBM
 every decode step.  This kernel keeps the whole chain in VMEM, tiled
-over the batch.  The surrounding step logic (``step.step_with_core``) is
-identical for the jnp oracle and this kernel, so swapping cores cannot
-change semantics — tests assert exact (1e-5) agreement.
+over the batch.
+
+Beam broadcasting: during beam search the recurrent state batch is
+``Bs = Bc * nb`` (nb beams per video) while the context stays at ``Bc``.
+The kernel grid tiles over ``Bc``; each program reads ONE context tile
+and all ``nb`` beams' states for it — the context is never tiled
+``nb``-fold in HBM (matching the jnp oracle's broadcast semantics).
+
+The surrounding step logic (``step.step_with_core``) is identical for
+the jnp oracle and this kernel, so swapping cores cannot change
+semantics — tests assert exact (1e-5) agreement, including gradients
+(custom VJP re-derives the backward from the jnp oracle).
 
 On non-TPU backends the kernel runs in interpreter mode (tests on CPU).
 """
@@ -35,7 +44,8 @@ _NEG_INF = -1e30
 
 def _attn_core_kernel(scal_ref, hatt_ref, beta_ref, pctx_ref, ctx_ref,
                       mask_ref, uatt_ref, ctx_t_ref, alpha_ref):
-    """One batch tile: (Bt, K, A) attention chain fully in VMEM.
+    """One context tile: (Bt, K, A) attention chain fully in VMEM,
+    broadcast over the nb beams riding in the state refs (Bt*nb rows).
 
     scal_ref (SMEM, (3,)): [c_att, b_sel, selector_flag]
     """
@@ -44,31 +54,41 @@ def _attn_core_kernel(scal_ref, hatt_ref, beta_ref, pctx_ref, ctx_ref,
     use_sel = scal_ref[2]
 
     bt, k, a = pctx_ref.shape
-    e = jnp.tanh(pctx_ref[:] + hatt_ref[:][:, None, :])      # (Bt, K, A)
+    btn = hatt_ref.shape[0]
+    nb = btn // bt
+    dc = ctx_ref.shape[-1]
+
+    h4 = hatt_ref[:].reshape(bt, nb, 1, a)
+    e = jnp.tanh(pctx_ref[:][:, None, :, :] + h4)            # (Bt,nb,K,A)
+    u = uatt_ref[:][:, 0]
     # score reduction over A as a VPU multiply-reduce (Mosaic has no
     # batched dot; a width-1 MXU matmul would waste the systolic array)
-    scores = jnp.sum(e * uatt_ref[:][:, 0][None, None, :], axis=2) + c_att
+    scores = jnp.sum(e * u[None, None, None, :], axis=3) + c_att
 
-    mask = mask_ref[:] > 0
-    scores = jnp.where(mask, scores, _NEG_INF)
-    m = jnp.max(scores, axis=1, keepdims=True)
+    mask = mask_ref[:] > 0                                    # (Bt, K)
+    scores = jnp.where(mask[:, None, :], scores, _NEG_INF)
+    m = jnp.max(scores, axis=2, keepdims=True)
     ex = jnp.exp(scores - m)
-    ex = jnp.where(mask, ex, 0.0)
-    denom = jnp.maximum(jnp.sum(ex, axis=1, keepdims=True), 1e-20)
-    alpha = ex / denom                                        # (Bt, K)
+    ex = jnp.where(mask[:, None, :], ex, 0.0)
+    denom = jnp.maximum(jnp.sum(ex, axis=2, keepdims=True), 1e-20)
+    alpha = ex / denom                                        # (Bt,nb,K)
 
-    # ctx_t = sum_k alpha_k * ctx_k  (multiply-reduce over K on the VPU)
-    ctx_t = jnp.sum(alpha[:, :, None] * ctx_ref[:], axis=1)   # (Bt, Dc)
+    # ctx_t = sum_k alpha_k * ctx_k (multiply-reduce over K on the VPU)
+    ctx_t = jnp.sum(alpha[..., None] * ctx_ref[:][:, None, :, :], axis=2)
 
-    beta = jax.nn.sigmoid(beta_ref[:, 0] + b_sel)
+    beta = jax.nn.sigmoid(beta_ref[:, 0] + b_sel)             # (Bt*nb,)
     gate = jnp.where(use_sel > 0, beta, jnp.ones_like(beta))
-    ctx_t_ref[:] = ctx_t * gate[:, None]
-    alpha_ref[:] = alpha
+    ctx_t_ref[:] = ctx_t.reshape(btn, dc) * gate[:, None]
+    alpha_ref[:] = alpha.reshape(btn, k)
 
 
-def _pick_batch_tile(b: int) -> int:
+def _pick_batch_tile(bc: int, nb: int, k: int, a: int) -> int:
+    """Largest Bc tile whose (Bt, nb, K, A) working set fits VMEM."""
+    budget = 8 * 1024 * 1024  # leave headroom of the ~16MB VMEM
     for t in (8, 4, 2, 1):
-        if b % t == 0:
+        if bc % t:
+            continue
+        if t * nb * k * a * 4 + 2 * t * k * a * 4 <= budget:
             return t
     return 1
 
@@ -76,24 +96,26 @@ def _pick_batch_tile(b: int) -> int:
 @functools.partial(jax.jit, static_argnames=("selector", "interpret"))
 def _attn_core_pallas_call(h_att, beta_logit, pctx, ctx, ctx_mask, u_att,
                            c_att, b_sel, selector: bool, interpret: bool):
-    b, k, a = pctx.shape
+    bc, k, a = pctx.shape
+    bs = h_att.shape[0]
+    nb = bs // bc
     dc = ctx.shape[-1]
-    bt = _pick_batch_tile(b)
-    grid = (b // bt,)
+    bt = _pick_batch_tile(bc, nb, k, a)
+    grid = (bc // bt,)
     scal = jnp.stack([c_att.astype(jnp.float32),
                       b_sel.astype(jnp.float32),
                       jnp.float32(1.0 if selector else 0.0)])
     f32 = jnp.float32
-    out_shape = (jax.ShapeDtypeStruct((b, dc), f32),
-                 jax.ShapeDtypeStruct((b, k), f32))
+    out_shape = (jax.ShapeDtypeStruct((bs, dc), f32),
+                 jax.ShapeDtypeStruct((bs, k), f32))
     ctx_t, alpha = pl.pallas_call(
         _attn_core_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),             # scalars
-            pl.BlockSpec((bt, a), lambda i: (i, 0),
+            pl.BlockSpec((bt * nb, a), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),             # h_att
-            pl.BlockSpec((bt, 1), lambda i: (i, 0),
+            pl.BlockSpec((bt * nb, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),             # beta_logit
             pl.BlockSpec((bt, k, a), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),             # pctx
@@ -105,9 +127,9 @@ def _attn_core_pallas_call(h_att, beta_logit, pctx, ctx, ctx_mask, u_att,
                          memory_space=pltpu.VMEM),             # U_att
         ],
         out_specs=(
-            pl.BlockSpec((bt, dc), lambda i: (i, 0),
+            pl.BlockSpec((bt * nb, dc), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, k), lambda i: (i, 0),
+            pl.BlockSpec((bt * nb, k), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=out_shape,
@@ -161,19 +183,7 @@ def attention_core_pallas(h_att, beta_logit, pctx, ctx, ctx_mask, u_att,
                           c_att, b_sel, selector: bool
                           ) -> Tuple[jax.Array, jax.Array]:
     """Pallas drop-in for ``step._attention_core_jnp`` (same signature,
-    differentiable via custom VJP).
-
-    Beam broadcasting (state batch > context batch) is materialized by
-    tiling before the kernel for now — a broadcast-aware kernel grid is
-    a follow-up; the jnp oracle already avoids the tiling.
-    """
-    bs = h_att.shape[0]
-    bc = pctx.shape[0]
-    if bs != bc:
-        nb = bs // bc
-        pctx = jnp.repeat(pctx, nb, axis=0)
-        ctx = jnp.repeat(ctx, nb, axis=0)
-        ctx_mask = jnp.repeat(ctx_mask, nb, axis=0)
+    beam-broadcast aware, differentiable via custom VJP)."""
     return _core_diff(h_att, beta_logit, pctx, ctx, ctx_mask, u_att,
                       jnp.asarray(c_att), jnp.asarray(b_sel), selector)
 

@@ -86,6 +86,39 @@ def test_step_pallas_matches_step(cfg):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_attention_core_beam_broadcast_parity(cfg):
+    """Beam case: state batch = 3x context batch; kernel must match the
+    oracle's broadcast semantics without tiling the context."""
+    rng = np.random.RandomState(5)
+    Bc, nb, K, A, Dc = 4, 3, cfg.n_frames, cfg.attn_dim, cfg.ctx_dim
+    h_att = jnp.asarray(rng.randn(Bc * nb, A), jnp.float32)
+    beta = jnp.asarray(rng.randn(Bc * nb), jnp.float32)
+    pctx = jnp.asarray(rng.randn(Bc, K, A), jnp.float32)
+    ctx = jnp.asarray(rng.randn(Bc, K, Dc), jnp.float32)
+    mask = jnp.asarray((rng.rand(Bc, K) > 0.3).astype(np.float32))
+    mask = mask.at[:, 0].set(1.0)
+    u = jnp.asarray(rng.randn(A), jnp.float32)
+    args = (h_att, beta, pctx, ctx, mask, u, jnp.float32(0.2),
+            jnp.float32(-0.1), True)
+    ref_ctx, ref_a = smod._attention_core_jnp(*args)
+    ker_ctx, ker_a = kmod.attention_core_pallas(*args)
+    assert ker_a.shape == (Bc * nb, K)
+    np.testing.assert_allclose(np.asarray(ker_a), np.asarray(ref_a),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ker_ctx), np.asarray(ref_ctx),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_beam_decode_with_kernel_matches(cfg):
+    from stvd.decode.beam import beam_decode
+    params, batch = _setup(cfg)
+    ref = beam_decode(params, cfg, batch, beam_size=3, maxlen=8)
+    ker = beam_decode(params, cfg, batch, beam_size=3, maxlen=8,
+                      step_fn=kmod.step_pallas)
+    np.testing.assert_array_equal(np.asarray(ref.tokens),
+                                  np.asarray(ker.tokens))
+
+
 def test_step_pallas_matches_step_spatial(spatial_cfg):
     """Kernel parity with the spatial-attention path active (spatial
     stage runs in XLA; the fused temporal core must compose with it)."""
