@@ -70,5 +70,17 @@ def main(argv=None) -> int:
     return 0
 
 
+def run() -> int:
+    try:
+        return main()
+    except FileNotFoundError as e:
+        print(f"error: {e} (is --run-dir a training run directory?)",
+              file=sys.stderr)
+        return 2
+    except (ValueError, KeyError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(run())

@@ -84,5 +84,13 @@ def main(argv=None) -> int:
     return 0
 
 
+def run() -> int:
+    try:
+        return main()
+    except (ValueError, FileNotFoundError, KeyError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(run())

@@ -145,6 +145,25 @@ def test_fit_end_to_end(tmp_path):
     assert {"train", "valid", "sample", "best"} <= kinds
 
 
+def test_fit_with_pallas_kernel(tmp_path):
+    """fit() end-to-end with the fused kernel as the scan step."""
+    from stvd.model.kernel import step_pallas
+    cfg = Config(
+        model=MCFG,
+        train=dataclasses.replace(
+            TCFG, max_epochs=3, valid_freq=2, save_freq=0, disp_freq=100,
+            sample_freq=0, valid_batch_size=8, maxlen=10,
+            save_dir=str(tmp_path / "krun"), metric="bleu4"),
+        decode=DecodeConfig(beam_size=2, maxlen=10, decode_batch=4),
+    )
+    train_ds = synthetic_dataset(n_videos=8, captions_per_video=1, k=6,
+                                 d=32, maxlen=10, seed=0)
+    valid_ds = synthetic_dataset(n_videos=4, captions_per_video=1, k=6,
+                                 d=32, maxlen=10, seed=1)
+    res = fit(cfg, train_ds, valid_ds, step_fn=step_pallas, max_updates=3)
+    assert res.history
+
+
 def test_fit_reload_resumes(tmp_path):
     """reference `reload_`: restarting fit() with reload_=True continues
     from the saved step instead of reinitializing."""
