@@ -122,7 +122,7 @@ def probe_device(timeout_s: int = 60) -> bool:
         return False
 
 
-def bench_quality(use_kernel: bool):
+def bench_quality(use_kernel: bool, hard: bool = False):
     """Train the structured-synthetic quality recipe to convergence and
     score held-out videos (BLEU-4/METEOR/CIDEr) — the offline stand-in
     for MSVD quality parity (no real feature banks on this machine)."""
@@ -138,13 +138,14 @@ def bench_quality(use_kernel: bool):
     mcfg = ModelConfig(n_words=64, dim_word=48, dim=128, ctx_dim=128,
                        n_frames=8, compute_dtype="float32",
                        use_dropout=True, dropout_rate=0.3)
+    maxlen = 14 if hard else 12
     tcfg = TrainConfig(optimizer="adam", lr=2e-3, batch_size=32,
-                       clip_c=5.0, maxlen=12)
+                       clip_c=5.0, maxlen=maxlen)
     cfg = Config(model=mcfg, train=tcfg,
-                 decode=DecodeConfig(beam_size=5, maxlen=12,
+                 decode=DecodeConfig(beam_size=5, maxlen=maxlen,
                                      length_norm=0.6, decode_batch=32))
     splits = structured_splits(n_train=200, n_valid=32, n_test=32, k=8,
-                               d=128, maxlen=12)
+                               d=128, maxlen=maxlen, hard=hard)
     step_fn = get_step_fn(use_kernel)
     state = init_train_state(jax.random.PRNGKey(0), mcfg, tcfg)
     step = make_train_step(mcfg, tcfg, step_fn=step_fn)
@@ -156,7 +157,7 @@ def bench_quality(use_kernel: bool):
             b = gather_batch(dev, splits["train"].captions, idx)
             b["weight"] = jnp.asarray(w)
             state, m = step(state, b)
-        if float(m["nll_per_token"]) < 0.05:
+        if float(m["nll_per_token"]) < (0.3 if hard else 0.05):
             break
     return evaluate_split(state["params"], cfg, splits["test"],
                           split="test", step_fn=step_fn)
@@ -172,6 +173,8 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--cpu", action="store_true", help="force CPU")
     ap.add_argument("--no-probe", action="store_true")
+    ap.add_argument("--hard", action="store_true",
+                    help="quality: harder non-saturating synthetic recipe")
     args = ap.parse_args()
 
     import os
@@ -186,7 +189,7 @@ def main():
         return
 
     if args.what == "quality":
-        scores = bench_quality(args.kernel)
+        scores = bench_quality(args.kernel, args.hard)
         print(json.dumps({
             "metric": "synthetic_heldout_bleu4", "value": scores["Bleu_4"],
             "unit": "bleu", "vs_baseline": None,

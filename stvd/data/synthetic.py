@@ -26,6 +26,7 @@ VERBS = ["running", "jumping", "cooking", "dancing", "singing", "swimming",
          "playing", "eating"]
 SCENES = ["park", "kitchen", "street", "pool", "stage", "garden", "room",
           "field"]
+ADJECTIVES = ["young", "old", "small", "big", "happy", "tired"]
 
 _TEMPLATES = [
     "a {s} is {v} in the {p}",
@@ -33,9 +34,27 @@ _TEMPLATES = [
     "a {s} {v} in a {p}",
 ]
 
+_HARD_TEMPLATES = [
+    "a {a} {s} is {v} in the {p}",
+    "the {a} {s} is {v}",
+    "a {s} is {v} in the {p}",
+    "there is a {a} {s} {v} in a {p}",
+    "the {s} {v} in the {p}",
+]
+
 
 def _captions(s: str, v: str, p: str) -> List[List[str]]:
     return [t.format(s=s, v=v, p=p).split() for t in _TEMPLATES]
+
+
+def _hard_captions(s: str, v: str, p: str, a: str,
+                   rng: np.random.RandomState,
+                   n_refs: int = 4) -> List[List[str]]:
+    """Paraphrase set with optional adjective mention and template
+    variety — references disagree on wording, like real MSVD captions."""
+    idx = rng.choice(len(_HARD_TEMPLATES), size=n_refs, replace=True)
+    return [_HARD_TEMPLATES[i].format(s=s, v=v, p=p, a=a).split()
+            for i in idx]
 
 
 def structured_splits(
@@ -50,16 +69,23 @@ def structured_splits(
     maxlen: int = 12,
     noise: float = 0.3,
     seed: int = 0,
+    hard: bool = False,
 ) -> Dict[str, Dataset]:
     """Build train/valid/test Datasets over latent concept triples.
 
     Valid/test triples are disjoint from train triples (compositional
     held-out), but every individual concept appears in training.
+
+    ``hard=True`` adds a per-video adjective concept, 5 disagreeing
+    paraphrase templates per video, and higher feature noise — scores
+    come out MSVD-like (<1.0) instead of saturated.
     """
     rng = np.random.RandomState(seed)
+    if hard:
+        noise = max(noise, 0.6)
     # concept embeddings (fixed directions in feature space)
     emb = {c: rng.randn(d).astype(np.float32)
-           for c in SUBJECTS + VERBS + SCENES}
+           for c in SUBJECTS + VERBS + SCENES + ADJECTIVES}
     if motion_dim:
         memb = {c: rng.randn(motion_dim).astype(np.float32) for c in VERBS}
     if n_regions:
@@ -75,9 +101,10 @@ def structured_splits(
             "valid": triples[n_train:n_train + n_valid],
             "test": triples[n_train + n_valid:need]}
 
+    function_words = "a the is in there".split()
     vocab = Vocab.build(
-        [_captions(s, v, p)[0] for (s, v, p) in triples[:need]] +
-        [c.split() for c in []],
+        [[w] for w in SUBJECTS + VERBS + SCENES + ADJECTIVES
+         + function_words],
         max_words=2000)
 
     out: Dict[str, Dataset] = {}
@@ -94,6 +121,9 @@ def structured_splits(
             vid = f"{split}{i:04d}"
             ids.append(vid)
             sig = emb[s] + emb[v] + emb[p]
+            if hard:
+                adj = ADJECTIVES[rng.randint(len(ADJECTIVES))]
+                sig = sig + emb[adj]
             frames[i] = sig + noise * rng.randn(k, d)
             if regions is not None:
                 # subject signal in the first region, scene in the last —
@@ -103,7 +133,8 @@ def structured_splits(
                 regions[i, :, -1] += remb[p]
             if motion is not None:
                 motion[i] = memb[v] + noise * rng.randn(k, motion_dim)
-            caps = _captions(s, v, p)
+            caps = (_hard_captions(s, v, p, adj, rng) if hard
+                    else _captions(s, v, p))
             refs.append(caps)
             pairs.extend((vid, c) for c in caps)
         bank = FeatureBank(ids=ids, frames=frames, frame_mask=mask,

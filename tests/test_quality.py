@@ -74,6 +74,40 @@ def test_motion_fusion_quality():
     assert scores["CIDEr"] > 1.0, scores
 
 
+def test_hard_mode_scores_realistic():
+    """Hard synthetic mode (disagreeing paraphrase refs, adjectives,
+    higher noise): scores should be strong but NOT saturated — the
+    regime where metric movements are informative across rounds."""
+    from stvd.config import Config
+    mcfg = ModelConfig(n_words=64, dim_word=48, dim=128, ctx_dim=128,
+                       n_frames=8, compute_dtype="float32",
+                       use_dropout=True, dropout_rate=0.3)
+    tcfg = TrainConfig(optimizer="adam", lr=2e-3, batch_size=32,
+                       clip_c=5.0, maxlen=14)
+    cfg = Config(model=mcfg, train=tcfg,
+                 decode=DecodeConfig(beam_size=5, maxlen=14,
+                                     length_norm=0.6, decode_batch=32))
+    splits = structured_splits(n_train=220, n_valid=32, n_test=32, k=8,
+                               d=128, maxlen=14, hard=True)
+    state = init_train_state(jax.random.PRNGKey(0), mcfg, tcfg)
+    step = make_train_step(mcfg, tcfg)
+    dev = splits["train"].bank.to_device()
+    it = BatchIterator(splits["train"].captions.n, 32, seed=0)
+    m = {}
+    for epoch in range(150):
+        for idx, w in it.epoch():
+            b = gather_batch(dev, splits["train"].captions, idx)
+            b["weight"] = jnp.asarray(w)
+            state, m = step(state, b)
+        if float(m["nll_per_token"]) < 0.25:
+            break
+    scores = evaluate_split(state["params"], cfg, splits["test"],
+                            split="test")
+    assert scores["Bleu_4"] > 0.4, scores
+    assert scores["METEOR"] > 0.5, scores
+    assert scores["CIDEr"] > 2.0, scores
+
+
 def test_structured_generalization_scores():
     mcfg = ModelConfig(n_words=64, dim_word=32, dim=96, ctx_dim=96,
                        n_frames=6, compute_dtype="float32",
