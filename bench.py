@@ -163,10 +163,42 @@ def bench_quality(use_kernel: bool, hard: bool = False):
                           split="test", step_fn=step_fn)
 
 
+def bench_dp(small: bool, use_kernel: bool, iters: int = 10):
+    """Data-parallel train throughput over ALL local devices (config 5).
+
+    On a single chip this measures the DP=1 code path; on a v5e-4 slice
+    the same invocation measures 4-way ICI scaling.
+    """
+    import jax
+    from stvd.model.kernel import get_step_fn
+    from stvd.train import parallel
+    from stvd.train.loop import init_train_state, make_train_step
+
+    mesh = parallel.make_mesh()
+    n_dev = mesh.devices.size
+    mcfg, tcfg, _ = _cfgs(small)
+    state = init_train_state(jax.random.PRNGKey(0), mcfg, tcfg)
+    state = parallel.replicate(state, mesh)
+    step = make_train_step(mcfg, tcfg, step_fn=get_step_fn(use_kernel),
+                           mesh=mesh)
+    b = tcfg.batch_size * n_dev
+    batch = _batch(mcfg, tcfg, b)
+    batch["weight"] = batch["token_mask"][:, 0]
+    batch = parallel.shard_batch(batch, mesh)
+    state, m = step(state, batch)
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    return iters / dt, n_dev, b
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", default="decode",
-                    choices=["decode", "train", "all", "quality"])
+                    choices=["decode", "train", "all", "quality", "dp"])
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--kernel", action="store_true",
                     help="use the Pallas fused attention kernel")
@@ -181,6 +213,8 @@ def main():
     if args.cpu or os.environ.get("STVD_FORCE_CPU"):
         import jax
         jax.config.update("jax_platforms", "cpu")
+        if args.what == "dp":
+            jax.config.update("jax_num_cpu_devices", 8)  # simulate a slice
     elif not args.no_probe and not probe_device():
         print(json.dumps({
             "metric": "decode_captions_per_sec_per_chip", "value": 0,
@@ -188,6 +222,14 @@ def main():
             "error": "device probe timed out (TPU tunnel unresponsive)"}))
         return
 
+    if args.what == "dp":
+        sps, n_dev, b = bench_dp(args.small, args.kernel, args.iters)
+        print(json.dumps({
+            "metric": "dp_train_steps_per_sec", "value": round(sps, 3),
+            "unit": "steps/s", "vs_baseline": None, "devices": n_dev,
+            "global_batch": b,
+            "examples_per_sec": round(sps * b, 1)}))
+        return
     if args.what == "quality":
         scores = bench_quality(args.kernel, args.hard)
         print(json.dumps({

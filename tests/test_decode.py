@@ -134,6 +134,26 @@ def test_length_norm_modes(cfg):
         assert np.isfinite(np.asarray(out.norm_scores)).all()
 
 
+@pytest.mark.parametrize("seed", [11, 22, 33])
+def test_beam_exact_fuzz(seed):
+    """Property fuzz: exhaustive beam (k=V^(L-1)) == brute force best
+    path across random model initializations."""
+    cfg = small_cfg(n_words=5, dim_word=8, dim=12, ctx_dim=16, n_frames=4)
+    maxlen, V = 3, 5
+    ds = synthetic_dataset(n_videos=2, k=cfg.n_frames, d=cfg.ctx_dim,
+                           maxlen=8, seed=seed)
+    dev = ds.bank.to_device()
+    batch = gather_batch(dev, ds.captions, np.arange(2, dtype=np.int32))
+    params = init_params(jax.random.PRNGKey(seed), cfg)
+    one = {k: v[:1] for k, v in batch.items()}
+    b = beam_decode(params, cfg, one, beam_size=V * V, maxlen=maxlen,
+                    norm_mode="none")
+    paths = list(itertools.product(range(V), repeat=maxlen))
+    scores = _score_sequences(params, cfg, one, paths, maxlen)
+    np.testing.assert_allclose(float(b.scores[0]), float(scores.max()),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_beam_larger_k_no_worse_raw_score():
     """k=25 is exhaustive for maxlen=3/V=5, so it must be >= k=2's best."""
     cfg = small_cfg(n_words=5, dim_word=8, dim=12, ctx_dim=16, n_frames=4)
