@@ -73,11 +73,31 @@ class Captioner:
         return Captioner(state["params"], cfg, vocab, step_fn)
 
     def caption_batch(self, batch: Dict) -> List[str]:
-        """Caption a prepared device batch (frames/frame_mask/...)."""
-        toks, _ = self._run(self.params, batch)
-        toks = np.asarray(toks)
-        return [" ".join(self.vocab.decode(toks[i]))
-                for i in range(toks.shape[0])]
+        """Caption a prepared device batch (frames/frame_mask/...).
+
+        Arbitrary batch sizes are processed in fixed ``decode_batch``
+        chunks (last chunk zero-padded) so only ONE executable is ever
+        compiled regardless of request size.
+        """
+        import jax.numpy as jnp
+        n = int(batch["frames"].shape[0])
+        bsz = self.cfg.decode.decode_batch
+        out: List[str] = []
+        for s in range(0, n, bsz):
+            e = min(s + bsz, n)
+            chunk = {k: v[s:e] for k, v in batch.items()}
+            pad = bsz - (e - s)
+            if pad:
+                chunk = {k: jnp.concatenate(
+                    [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)])
+                    for k, v in chunk.items()}
+                # padded rows need >=1 valid frame for a sane softmax
+                chunk["frame_mask"] = chunk["frame_mask"].at[e - s:, 0].set(1.0)
+            toks, _ = self._run(self.params, chunk)
+            toks = np.asarray(toks)
+            out.extend(" ".join(self.vocab.decode(toks[i]))
+                       for i in range(e - s))
+        return out
 
     def caption(self,
                 features: Union[np.ndarray, Sequence[np.ndarray]],

@@ -33,6 +33,22 @@ def test_caption_raw_features():
     assert all(isinstance(t, str) for t in texts)
 
 
+def test_caption_chunked_fixed_executable():
+    """Requests larger than decode_batch are chunked with padding — one
+    compiled shape serves any request size."""
+    cfg = Config(model=MCFG, decode=DecodeConfig(beam_size=2, maxlen=8,
+                                                 decode_batch=3))
+    params = init_params(jax.random.PRNGKey(0), MCFG)
+    cap = Captioner(params, cfg, _vocab())
+    rng = np.random.RandomState(0)
+    texts = cap.caption(rng.randn(7, 6, 32).astype(np.float32))
+    assert len(texts) == 7
+    # same features -> same captions regardless of position/padding
+    same = np.repeat(rng.randn(1, 6, 32).astype(np.float32), 5, axis=0)
+    texts2 = cap.caption(same)
+    assert len(set(texts2)) == 1
+
+
 def test_caption_from_run_dir(tmp_path):
     cfg = Config(
         model=MCFG,
