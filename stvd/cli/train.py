@@ -63,6 +63,9 @@ def main(argv=None) -> int:
                     help="use the Pallas fused attention kernel")
     ap.add_argument("--data-parallel", action="store_true",
                     help="shard the batch over all local devices")
+    ap.add_argument("--shard-map", action="store_true",
+                    help="with --data-parallel: explicit lax.psum "
+                         "collectives instead of pjit sharding propagation")
     args = ap.parse_args(argv)
 
     cfg = build_config(args)
@@ -78,7 +81,8 @@ def main(argv=None) -> int:
     mesh = parallel.make_mesh() if args.data_parallel else None
     logger = MetricsLogger(cfg.train.save_dir)
     result = fit(cfg, splits["train"], splits.get("valid"), step_fn=step_fn,
-                 mesh=mesh, logger=logger, max_updates=args.max_updates)
+                 mesh=mesh, logger=logger, max_updates=args.max_updates,
+                 use_shard_map=args.shard_map)
     logger.log("done", best_metric=result.best_metric,
                best_step=result.best_step)
     return 0

@@ -244,6 +244,7 @@ def fit(
     mesh=None,
     logger: Optional[MetricsLogger] = None,
     max_updates: Optional[int] = None,
+    use_shard_map: bool = False,
 ) -> FitResult:
     """Train until max_epochs / patience exhausted (reference §train).
 
@@ -252,6 +253,10 @@ def fit(
     checkpoints in cfg.train.save_dir.
     """
     tcfg, mcfg = cfg.train, cfg.model
+    if mesh is not None and tcfg.batch_size % mesh.devices.size != 0:
+        raise ValueError(
+            f"batch_size {tcfg.batch_size} must be divisible by the mesh "
+            f"size {mesh.devices.size} (static data-parallel sharding)")
     if tcfg.debug_nans:
         from ..utils.debug import enable_nan_debug
         enable_nan_debug(True)
@@ -267,7 +272,8 @@ def fit(
         state = restore_checkpoint(ckpt_dir, state)
         log.log("reload", step=int(state["step"]))
 
-    train_step = make_train_step(mcfg, tcfg, step_fn, mesh)
+    train_step = make_train_step(mcfg, tcfg, step_fn, mesh,
+                                 use_shard_map=use_shard_map)
     dev = train_ds.bank.to_device()
     it = BatchIterator(train_ds.captions.n, tcfg.batch_size, seed=tcfg.seed)
     sampler = _make_sampler(mcfg, cfg.decode.maxlen, step_fn)

@@ -97,6 +97,24 @@ def test_meteor_corpus_aggregation():
     assert 0.0 < s <= 1.0 and d["METEOR"] == s
 
 
+def test_bleu_ref_length_options():
+    hyps = [["a", "b", "c"]]
+    refs = [[["a", "b"], ["a", "b", "c", "d", "e", "f"]]]
+    closest = bleu(hyps, refs, option="closest")
+    shortest = bleu(hyps, refs, option="shortest")
+    average = bleu(hyps, refs, option="average")
+    # closest ref len=2 -> no BP; shortest same here; average len=4 -> BP<1
+    assert closest[0] == shortest[0]
+    assert average[0] < closest[0]
+
+
+def test_cider_single_video_degenerate():
+    """One video: idf = log(1) = 0 everywhere -> CIDEr 0 (same as the
+    COCO scorer's behavior on a 1-document corpus)."""
+    _, d = cider_score({"v": [["a", "b"]]}, {"v": [["a", "b"]]})
+    assert d["CIDEr"] == 0.0
+
+
 def test_ptb_tokenize():
     assert ptb_tokenize("A man, playing GUITAR!") == ["a", "man", "playing",
                                                       "guitar"]
