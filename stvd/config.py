@@ -36,6 +36,9 @@ class ModelConfig:
     use_motion: bool = False        # enable second (motion) feature stream
     motion_dim: int = 2048          # C3D/motion feature dim
     # --- structure knobs (reference option names) ---
+    encoder: str = "none"           # 'none' (reference default) | 'lstm':
+    # frame-level LSTM over the K frames before attention (upstream
+    # arctic-capgen option; residual into the context)
     selector: bool = True           # gating scalar beta on the context vector
     use_dropout: bool = True        # dropout before the logit projection
     dropout_rate: float = 0.5
@@ -142,6 +145,8 @@ def validate(cfg: Config) -> Config:
         raise ValueError("beam_size must be >= 1")
     if cfg.train.optimizer not in ("adadelta", "rmsprop", "sgd", "adam"):
         raise ValueError(f"unknown optimizer {cfg.train.optimizer!r}")
+    if m.encoder not in ("none", "lstm"):
+        raise ValueError(f"unknown encoder {m.encoder!r}")
     if not 0.0 <= cfg.train.ss_prob <= 1.0:
         raise ValueError("ss_prob must be in [0, 1]")
     return cfg

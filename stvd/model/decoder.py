@@ -93,6 +93,12 @@ def init_params(rng: jax.Array, cfg: ModelConfig) -> Params:
         p["Us_att"] = _norm(next(ks), (sa,))
         p["cs_att"] = jnp.zeros(())
         p["W_spat_fuse"] = _norm(next(ks), (dr, dc))
+    # frame-level LSTM encoder (reference option encoder='lstm'; the
+    # default 'none' matches the reference default)
+    if cfg.encoder == "lstm":
+        p["enc_W"] = _norm(next(ks), (dc, 4 * dc))
+        p["enc_U"] = _ortho_stack(next(ks), dc, 4)
+        p["enc_b"] = jnp.zeros((4 * dc,))
     # logit stack
     p["ff_logit_lstm_W"] = _norm(next(ks), (d, dw))
     p["ff_logit_lstm_b"] = jnp.zeros((dw,))
@@ -121,14 +127,47 @@ def encode_context(params: Params, cfg: ModelConfig, frames: jax.Array,
     here saturates on real-scale features and stalls training
     (observed: nll plateau on the motion quality test).
     """
-    if not cfg.use_motion:
-        return frames
-    if motion is None:
-        raise ValueError("use_motion=True but no motion features given")
     cdtype = jnp.dtype(cfg.compute_dtype)
-    return (step_mod._dot(frames, params["W_app"], cdtype)
-            + step_mod._dot(motion, params["W_mot"], cdtype)
-            + params["b_fuse"])
+    if not cfg.use_motion:
+        ctx = frames
+    else:
+        if motion is None:
+            raise ValueError("use_motion=True but no motion features given")
+        ctx = (step_mod._dot(frames, params["W_app"], cdtype)
+               + step_mod._dot(motion, params["W_mot"], cdtype)
+               + params["b_fuse"])
+    if cfg.encoder == "lstm":
+        ctx = ctx + _frame_lstm(params, cfg, ctx)   # residual (masked
+        # frames are excluded downstream by the temporal-attention mask)
+    return ctx
+
+
+def _frame_lstm(params: Params, cfg: ModelConfig, ctx: jax.Array
+                ) -> jax.Array:
+    """Frame-level LSTM over the K frames (reference encoder='lstm').
+
+    The input projection for all K frames runs as one MXU matmul
+    outside the scan; only the recurrence is sequential.
+    """
+    cdtype = jnp.dtype(cfg.compute_dtype)
+    dc = cfg.ctx_dim
+    B = ctx.shape[0]
+    x_pre = step_mod._dot(ctx, params["enc_W"], cdtype) + params["enc_b"]
+
+    def body(carry, x_t):
+        h, c = carry
+        preact = x_t + step_mod._dot(h, params["enc_U"], cdtype)
+        i = jax.nn.sigmoid(preact[:, 0 * dc: 1 * dc])
+        f = jax.nn.sigmoid(preact[:, 1 * dc: 2 * dc])
+        o = jax.nn.sigmoid(preact[:, 2 * dc: 3 * dc])
+        g = jnp.tanh(preact[:, 3 * dc: 4 * dc])
+        c_t = f * c + i * g
+        h_t = o * jnp.tanh(c_t)
+        return (h_t, c_t), h_t
+
+    init = (jnp.zeros((B, dc)), jnp.zeros((B, dc)))
+    _, hs = jax.lax.scan(body, init, jnp.swapaxes(x_pre, 0, 1))
+    return jnp.swapaxes(hs, 0, 1)                    # (B, K, dc)
 
 
 # ---------------------------------------------------------------------------

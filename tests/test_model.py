@@ -79,6 +79,27 @@ def test_motion_variant_runs():
     assert np.isfinite(np.asarray(out.logits)).all()
 
 
+def test_lstm_encoder_variant():
+    """Reference option encoder='lstm': frame LSTM before attention."""
+    cfg = small_cfg(encoder="lstm")
+    ds = synthetic_dataset(n_videos=4, k=cfg.n_frames, d=cfg.ctx_dim,
+                           maxlen=10, seed=4)
+    b = _batch(ds)
+    p = init_params(jax.random.PRNGKey(0), cfg)
+    assert "enc_U" in p
+    out = forward_train(p, cfg, b, train=False)
+    assert np.isfinite(np.asarray(out.logits)).all()
+    # encoder params must receive gradients
+    from stvd.train.loss import loss_fn as _lf
+    g = jax.grad(lambda pp: _lf(pp, cfg, b, train=False)[0])(p)
+    assert float(jnp.abs(g["enc_U"]).max()) > 0
+    # and the encoder must change the output vs encoder='none' params
+    cfg0 = small_cfg()
+    p0 = {k: v for k, v in p.items() if not k.startswith("enc_")}
+    out0 = forward_train(p0, cfg0, b, train=False)
+    assert float(jnp.abs(out.logits - out0.logits).max()) > 1e-6
+
+
 def test_frame_mask_blocks_padded_frames(cfg, dataset, params):
     """Changing features of masked-out frames must not change the loss."""
     b = _batch(dataset)
