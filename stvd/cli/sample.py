@@ -35,6 +35,10 @@ def main(argv=None) -> int:
     ap.add_argument("--dump-attention", type=int, default=0, metavar="N",
                     help="greedy-decode the first N videos recording the "
                          "temporal attention maps -> {split}_attention.npz")
+    ap.add_argument("--nbest", type=int, default=0, metavar="N",
+                    help="write all beams (reference gen_sample returns "
+                         "every hypothesis + score) for the first N videos "
+                         "-> {split}_nbest.json")
     args = ap.parse_args(argv)
 
     with open(os.path.join(args.run_dir, "config.json")) as f:
@@ -51,6 +55,29 @@ def main(argv=None) -> int:
     ds = splits[args.split]
     scores = evaluate_split(state["params"], cfg, ds, split=args.split,
                             save_dir=args.run_dir, step_fn=step_fn)
+    if args.nbest > 0:
+        import numpy as np
+        from ..decode.beam import beam_decode
+        n = min(args.nbest, ds.bank.n_videos)
+        dev = ds.bank.to_device()
+        b = {k: v[:n] for k, v in dev.items()}
+        out = beam_decode(state["params"], cfg.model, b,
+                          beam_size=max(2, cfg.decode.beam_size),
+                          maxlen=cfg.decode.maxlen,
+                          length_norm=cfg.decode.length_norm,
+                          step_fn=step_fn)
+        toks = np.asarray(out.all_tokens)
+        scrs = np.asarray(out.all_scores)
+        rows = []
+        for i in range(n):
+            beams = [{"caption": " ".join(ds.vocab.decode(toks[i, j])),
+                      "logprob": float(scrs[i, j])}
+                     for j in range(toks.shape[1])]
+            rows.append({"image_id": ds.bank.ids[i], "beams": beams})
+        path = os.path.join(args.run_dir, f"{args.split}_nbest.json")
+        with open(path, "w") as f:
+            json.dump(rows, f, indent=1)
+        print(f"n-best lists -> {path}")
     if args.dump_attention > 0:
         import numpy as np
         from ..decode.greedy import greedy_decode
