@@ -179,6 +179,128 @@ def _core_bwd(selector, res, g):
 _core_diff.defvjp(_core_fwd, _core_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Spatial-attention core (config 2): softmax over R regions per frame.
+# The per-step working set (B, K, R, s_attn) is the framework's largest
+# activation; fusing tanh->score->softmax->weighted-sum keeps it in VMEM.
+# ---------------------------------------------------------------------------
+
+def _spatial_kernel(scal_ref, hs_ref, pregion_ref, regions_ref, us_ref,
+                    spat_ref, alpha_ref):
+    c_s = scal_ref[0]
+    bt, kt, r, s = pregion_ref.shape
+    btn = hs_ref.shape[0]
+    nb = btn // bt
+    dr = regions_ref.shape[-1]
+
+    h5 = hs_ref[:].reshape(bt, nb, 1, 1, s)
+    e = jnp.tanh(pregion_ref[:][:, None] + h5)        # (bt,nb,kt,R,s)
+    u = us_ref[:][:, 0]
+    scores = jnp.sum(e * u[None, None, None, None, :], axis=4) + c_s
+    m = jnp.max(scores, axis=3, keepdims=True)
+    ex = jnp.exp(scores - m)
+    alpha = ex / jnp.maximum(jnp.sum(ex, axis=3, keepdims=True), 1e-20)
+    spat = jnp.sum(alpha[..., None] * regions_ref[:][:, None], axis=3)
+    spat_ref[:] = spat.reshape(btn, kt, dr)
+    alpha_ref[:] = alpha.reshape(btn, kt, r)
+
+
+def _pick_spatial_tiles(bc: int, k: int, nb: int, r: int, s: int, dr: int
+                        ) -> Tuple[int, int]:
+    budget = 8 * 1024 * 1024
+    for bt in (4, 2, 1):
+        if bc % bt:
+            continue
+        for kt in (8, 4, 2, 1):
+            if k % kt:
+                continue
+            work = bt * nb * kt * r * s * 4 + bt * kt * r * (s + dr) * 4
+            if work <= budget:
+                return bt, kt
+    return 1, 1
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _spatial_pallas_call(h_satt, pregion, regions, u_s, c_s,
+                         interpret: bool):
+    bc, k, r, s = pregion.shape
+    bs = h_satt.shape[0]
+    nb = bs // bc
+    dr = regions.shape[-1]
+    bt, kt = _pick_spatial_tiles(bc, k, nb, r, s, dr)
+    grid = (bc // bt, k // kt)
+    scal = jnp.stack([c_s.astype(jnp.float32)])
+    out_shape = (jax.ShapeDtypeStruct((bs, k, dr), jnp.float32),
+                 jax.ShapeDtypeStruct((bs, k, r), jnp.float32))
+    spat, alpha = pl.pallas_call(
+        _spatial_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # scalars
+            pl.BlockSpec((bt * nb, s), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),              # h_satt
+            pl.BlockSpec((bt, kt, r, s), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),              # pregion
+            pl.BlockSpec((bt, kt, r, dr), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),              # regions
+            pl.BlockSpec((s, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),              # Us_att
+        ],
+        out_specs=(
+            pl.BlockSpec((bt * nb, kt, dr), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt * nb, kt, r), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(scal, h_satt, pregion, regions, u_s)
+    return spat, alpha
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _spatial_diff(h_satt, pregion, regions, u_s, c_s):
+    interpret = jax.default_backend() != "tpu"
+    return _spatial_pallas_call(
+        h_satt.astype(jnp.float32), pregion.astype(jnp.float32),
+        regions.astype(jnp.float32), u_s[:, None].astype(jnp.float32),
+        jnp.asarray(c_s), interpret)
+
+
+def _spatial_fwd(h_satt, pregion, regions, u_s, c_s):
+    return (_spatial_diff(h_satt, pregion, regions, u_s, c_s),
+            (h_satt, pregion, regions, u_s, c_s))
+
+
+def _spatial_bwd(res, g):
+    h_satt, pregion, regions, u_s, c_s = res
+
+    def f(h_satt, pregion, regions, u_s, c_s):
+        spat, alpha = step_mod._spatial_core_jnp(
+            h_satt, pregion, regions, u_s, c_s, jnp.float32)
+        bs = h_satt.shape[0]
+        return (spat.reshape(bs, *spat.shape[2:]),
+                alpha.reshape(bs, *alpha.shape[2:]))
+
+    _, vjp = jax.vjp(f, h_satt, pregion, regions, u_s, c_s)
+    return vjp(g)
+
+
+_spatial_diff.defvjp(_spatial_fwd, _spatial_bwd)
+
+
+def spatial_core_pallas(h_satt, pregion, regions, u_s, c_s, cdtype
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """Pallas drop-in for ``step._spatial_core_jnp`` (same contract:
+    returns (Bc, nb, K, Dr) / (Bc, nb, K, R))."""
+    bc = pregion.shape[0]
+    bs = h_satt.shape[0]
+    nb = bs // bc
+    spat, alpha = _spatial_diff(h_satt, pregion, regions, u_s, c_s)
+    return (spat.reshape(bc, nb, *spat.shape[1:]),
+            alpha.reshape(bc, nb, *alpha.shape[1:]))
+
+
 def attention_core_pallas(h_att, beta_logit, pctx, ctx, ctx_mask, u_att,
                           c_att, b_sel, selector: bool
                           ) -> Tuple[jax.Array, jax.Array]:
@@ -189,10 +311,11 @@ def attention_core_pallas(h_att, beta_logit, pctx, ctx, ctx_mask, u_att,
 
 
 def step_pallas(params, cfg: ModelConfig, state, sc, emb_t, x_pre=None):
-    """Decoder step using the fused Pallas attention core (drop-in
-    replacement for ``step.step``; used by train scan AND decoding)."""
+    """Decoder step using the fused Pallas attention cores (temporal +
+    spatial; drop-in for ``step.step``, used by train scan AND decode)."""
     return step_mod.step_with_core(params, cfg, state, sc, emb_t, x_pre,
-                                   attention_core=attention_core_pallas)
+                                   attention_core=attention_core_pallas,
+                                   spatial_core=spatial_core_pallas)
 
 
 def get_step_fn(use_pallas: bool):

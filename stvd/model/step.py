@@ -181,10 +181,32 @@ def _attention_core_jnp(h_att, beta_logit, pctx_k, ctx_k, ctx_mask, u_att,
     return ctx_t, alpha
 
 
+def _spatial_core_jnp(h_satt, pregion, regions, u_s, c_s, cdtype
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """Spatial attention over R regions per frame (jnp oracle core).
+
+    h_satt is (Bs, s) with Bs = Bc * nb (beam broadcast against the
+    un-tiled region bank).  Returns (spat (Bc, nb, K, Dr) fp32-ish,
+    alpha_s (Bc, nb, K, R)).
+    """
+    bc = pregion.shape[0]
+    bs = h_satt.shape[0]
+    nb = bs // bc
+    hsk = h_satt.reshape(bc, nb, 1, 1, h_satt.shape[-1])
+    e_s = jnp.tanh(pregion[:, None] + hsk)          # (Bc, nb, K, R, s)
+    e_s = jnp.einsum("bjkrd,d->bjkr", e_s.astype(cdtype),
+                     u_s.astype(cdtype)) + c_s
+    alpha_s = masked_softmax(e_s.astype(jnp.float32), None, axis=-1)
+    spat = jnp.einsum("bjkr,bkrd->bjkd", alpha_s.astype(cdtype),
+                      regions.astype(cdtype))       # (Bc, nb, K, Dr)
+    return spat, alpha_s
+
+
 def step_with_core(params: Params, cfg: ModelConfig, state: StepState,
                    sc: StepContext, emb_t: jax.Array,
                    x_pre: Optional[jax.Array] = None,
-                   attention_core=_attention_core_jnp) -> StepOut:
+                   attention_core=_attention_core_jnp,
+                   spatial_core=_spatial_core_jnp) -> StepOut:
     """One decoder step.  ``emb_t`` is the (B, dim_word) previous-word
     embedding (teacher-forced in training, model-fed in decoding).
     ``x_pre`` optionally carries the precomputed input projection
@@ -216,13 +238,9 @@ def step_with_core(params: Params, cfg: ModelConfig, state: StepState,
         h_satt = hp[:, 4 * dim + attn + 1:]         # (Bs, s_attn)
         # spatial scores over R regions within each frame (beam axis j
         # broadcasts against the un-tiled region bank)
-        hsk = h_satt.reshape(bc, nb, 1, 1, h_satt.shape[-1])
-        e_s = jnp.tanh(sc.pregion[:, None] + hsk)   # (Bc, nb, K, R, s)
-        e_s = jnp.einsum("bjkrd,d->bjkr", e_s.astype(cdtype),
-                         params["Us_att"].astype(cdtype)) + params["cs_att"]
-        alpha_s = masked_softmax(e_s.astype(jnp.float32), None, axis=-1)
-        spat = jnp.einsum("bjkr,bkrd->bjkd", alpha_s.astype(cdtype),
-                          sc.regions.astype(cdtype))       # (Bc, nb, K, Dr)
+        spat, alpha_s = spatial_core(
+            h_satt, sc.pregion, sc.regions, params["Us_att"],
+            params["cs_att"], cdtype)
         ctx_k = ctx_k[:, None] + _dot(spat, params["W_spat_fuse"], cdtype)
         pctx_k = pctx_k[:, None] + _dot(spat, sc.w_sf_att, cdtype)
         k_f = ctx_k.shape[2]

@@ -137,6 +137,34 @@ def test_step_pallas_matches_step_spatial(spatial_cfg):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_spatial_kernel_beam_decode_parity(spatial_cfg):
+    """Beam decode with BOTH pallas cores (temporal + spatial) active
+    and beam broadcast == oracle beam decode."""
+    from stvd.decode.beam import beam_decode
+    params, batch = _setup(spatial_cfg)
+    ref = beam_decode(params, spatial_cfg, batch, beam_size=3, maxlen=8)
+    ker = beam_decode(params, spatial_cfg, batch, beam_size=3, maxlen=8,
+                      step_fn=kmod.step_pallas)
+    np.testing.assert_array_equal(np.asarray(ref.tokens),
+                                  np.asarray(ker.tokens))
+
+
+def test_spatial_kernel_grads_match(spatial_cfg):
+    from stvd.train.loss import loss_fn
+    params, batch = _setup(spatial_cfg)
+
+    def l(p, step_fn):
+        return loss_fn(p, spatial_cfg, batch, train=False,
+                       step_fn=step_fn)[0]
+
+    g_ref = jax.grad(lambda p: l(p, None))(params)
+    g_ker = jax.grad(lambda p: l(p, kmod.step_pallas))(params)
+    for k in ("Us_att", "Ws_att", "W_spat_fuse", "Wsd_att", "U", "Wemb"):
+        np.testing.assert_allclose(np.asarray(g_ker[k]),
+                                   np.asarray(g_ref[k]),
+                                   rtol=1e-3, atol=1e-4, err_msg=k)
+
+
 def test_forward_train_with_kernel_matches(cfg):
     """Full teacher-forced forward: oracle vs pallas step inside scan."""
     params, batch = _setup(cfg)
