@@ -71,7 +71,8 @@ class TrainConfig:
     sample_freq: int = 200          # sample captions every N updates
     valid_freq: int = 2000          # validate every N updates
     save_freq: int = 2000           # checkpoint every N updates
-    metric: str = "meteor"          # early-stop metric: meteor|bleu4|cider|nll
+    metric: str = "meteor"          # early-stop metric: meteor|bleu4|cider|
+    # rouge|nll ('blue' accepted as the reference's spelling of bleu4)
     ss_prob: float = 0.0            # scheduled-sampling probability
     seed: int = 1234
     reload_: bool = False           # resume from save_dir checkpoint

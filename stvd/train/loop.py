@@ -372,8 +372,9 @@ def _print_samples(params, cfg: Config, ds: Dataset, dev, sampler, log,
 
 
 def _metric_key(name: str) -> str:
-    return {"meteor": "METEOR", "bleu4": "Bleu_4", "cider": "CIDEr",
-            "nll": "nll"}[name]
+    # 'blue' is the reference's (misspelled) early-stop metric option
+    return {"meteor": "METEOR", "bleu4": "Bleu_4", "blue": "Bleu_4",
+            "cider": "CIDEr", "rouge": "ROUGE_L", "nll": "nll"}[name]
 
 
 def _validate(params, cfg: Config, valid_ds: Dataset, step_fn, log,
