@@ -103,10 +103,16 @@ def beam_decode(
         eos_only = jnp.full((V,), _NEG).at[EOS_ID].set(0.0)
         logp = jnp.where(finished[..., None], eos_only[None, None, :], logp)
 
-        cand = (scores[..., None] + logp).reshape(B, k * V)
-        new_scores, flat_idx = jax.lax.top_k(cand, k)          # (B, k)
-        parent = (flat_idx // V).astype(jnp.int32)
-        word = (flat_idx % V).astype(jnp.int32)
+        # two-stage top-k: per-beam top-k over V, then merge over k*ki —
+        # avoids a single top-k across k*V lanes (TPU-friendly; exact,
+        # since the global top-k of the union is within each beam's top-k)
+        ki = min(k, V)
+        pb_vals, pb_idx = jax.lax.top_k(logp, ki)              # (B, k, ki)
+        cand = (scores[..., None] + pb_vals).reshape(B, k * ki)
+        new_scores, merge_idx = jax.lax.top_k(cand, k)         # (B, k)
+        parent = (merge_idx // ki).astype(jnp.int32)
+        word = jnp.take_along_axis(
+            pb_idx.reshape(B, k * ki), merge_idx, axis=1).astype(jnp.int32)
 
         def g(x):                                    # gather along beam axis
             return jnp.take_along_axis(x, parent, axis=1)
