@@ -114,6 +114,8 @@ def evaluate_split(
     hyps: Dict[str, List[str]] = {}
     gts: Dict[str, List[str]] = {}
     for row, vid in enumerate(ds.bank.ids):
+        if not ds.references[row]:
+            continue  # video with no ground-truth captions: unscorable
         toks = ds.vocab.decode(token_rows[row])
         hyps[vid] = [" ".join(toks) if toks else "unk"]
         gts[vid] = [" ".join(r) for r in ds.references[row]]
@@ -121,8 +123,9 @@ def evaluate_split(
         os.makedirs(save_dir, exist_ok=True)
         with open(os.path.join(save_dir, f"{split}_samples.txt"), "w") as f:
             for vid in ds.bank.ids:
-                f.write(f"{vid}\t{hyps[vid][0]}\n")
+                if vid in hyps:
+                    f.write(f"{vid}\t{hyps[vid][0]}\n")
         with open(os.path.join(save_dir, f"{split}_samples.json"), "w") as f:
             json.dump([{"image_id": v, "caption": hyps[v][0]}
-                       for v in ds.bank.ids], f, indent=1)
+                       for v in ds.bank.ids if v in hyps], f, indent=1)
     return score_all(gts, hyps)
