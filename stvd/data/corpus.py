@@ -86,7 +86,7 @@ def load_splits(cfg: Config) -> Dict[str, Dataset]:
     """
     d = cfg.data
     m = cfg.model
-    if d.dataset == "synthetic-structured":
+    if d.dataset in ("synthetic-structured", "synthetic-hard"):
         from .synthetic import structured_splits
         return structured_splits(
             n_train=d.synthetic_videos,
@@ -96,7 +96,8 @@ def load_splits(cfg: Config) -> Dict[str, Dataset]:
             n_regions=m.n_regions if m.use_spatial else 0,
             region_dim=m.region_dim,
             motion_dim=m.motion_dim if m.use_motion else 0,
-            maxlen=cfg.train.maxlen)
+            maxlen=cfg.train.maxlen,
+            hard=d.dataset == "synthetic-hard")
     if d.dataset == "synthetic":
         from .batching import synthetic_dataset
         sizes = {"train": d.synthetic_videos,
