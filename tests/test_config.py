@@ -1,0 +1,59 @@
+"""Config-system tests: presets, JSON round-trip, CLI overrides,
+validation (reference config.py + validate_options semantics)."""
+
+import pytest
+
+from stvd.cli.train import apply_overrides
+from stvd.config import Config, ModelConfig, TrainConfig, preset, validate
+
+
+def test_all_presets_validate():
+    for name in ("msvd-temporal", "msvd-spatial", "msvd-beam",
+                 "msrvtt-fused", "msvd-dp", "1", "2", "3", "4", "5"):
+        cfg = validate(preset(name))
+        assert isinstance(cfg, Config)
+    with pytest.raises(KeyError):
+        preset("nope")
+
+
+def test_preset_semantics():
+    assert preset("msvd-temporal").decode.beam_size == 1
+    assert preset("msvd-spatial").model.use_spatial
+    assert preset("msvd-beam").decode.beam_size == 5
+    m4 = preset("msrvtt-fused").model
+    assert m4.use_motion and m4.ctx_dim == 2048
+
+
+def test_json_roundtrip():
+    cfg = preset("msrvtt-fused")
+    cfg2 = Config.from_json(cfg.to_json())
+    assert cfg2 == cfg
+
+
+def test_overrides_typed():
+    cfg = Config()
+    cfg = apply_overrides(cfg, ["model.dim=96", "train.lr=0.5",
+                                "model.use_spatial=true",
+                                "data.dataset=synthetic-hard"])
+    assert cfg.model.dim == 96 and isinstance(cfg.model.dim, int)
+    assert cfg.train.lr == 0.5
+    assert cfg.model.use_spatial is True
+    assert cfg.data.dataset == "synthetic-hard"
+
+
+def test_validate_rejects_bad_configs():
+    import dataclasses
+    with pytest.raises(ValueError):
+        validate(Config(model=ModelConfig(n_words=2)))
+    with pytest.raises(ValueError):
+        validate(Config(train=TrainConfig(optimizer="lbfgs")))
+    with pytest.raises(ValueError):
+        validate(Config(train=TrainConfig(ss_prob=1.5)))
+    with pytest.raises(ValueError):
+        validate(Config(model=ModelConfig(encoder="transformer")))
+
+
+def test_recipes_on_disk_validate():
+    for r in ("recipes/msvd.json", "recipes/msrvtt.json"):
+        with open(r) as f:
+            validate(Config.from_json(f.read()))

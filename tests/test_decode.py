@@ -126,6 +126,16 @@ def test_greedy_return_alphas(cfg):
         np.testing.assert_allclose(sums[i, :covered], 1.0, rtol=1e-5)
 
 
+def test_decode_deterministic(cfg):
+    """Same params + features -> identical tokens across invocations
+    (production serving requirement; no hidden RNG in decode)."""
+    params, batch = _setup(cfg)
+    a = beam_decode(params, cfg, batch, beam_size=3, maxlen=8)
+    b = beam_decode(params, cfg, batch, beam_size=3, maxlen=8)
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+    np.testing.assert_array_equal(np.asarray(a.scores), np.asarray(b.scores))
+
+
 def test_length_norm_modes(cfg):
     params, batch = _setup(cfg)
     for mode, alpha in (("gnmt", 0.6), ("linear", 0.0), ("none", 0.0)):
