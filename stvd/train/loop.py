@@ -260,6 +260,7 @@ def fit(
     if tcfg.debug_nans:
         from ..utils.debug import enable_nan_debug
         enable_nan_debug(True)
+    own_logger = logger is None
     log = logger or MetricsLogger(tcfg.save_dir)
     rng = jax.random.PRNGKey(tcfg.seed)
     state = init_train_state(rng, mcfg, tcfg)
@@ -339,6 +340,8 @@ def fit(
         # reference loses all progress since the last saveFreq save)
         log.log("interrupt", update=update)
     save_checkpoint(ckpt_dir, state)
+    if own_logger:
+        log.close()
     return FitResult(best_metric=float(best), best_step=best_step,
                      history=history, state=state)
 
