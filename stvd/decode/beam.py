@@ -63,6 +63,7 @@ def beam_decode(
     step_fn: Optional[StepFn] = None,
 ) -> BeamOut:
     step_fn = step_fn or step_mod.step
+    params = step_mod.cast_params(params, cfg)  # one weight cast, not T
     k = beam_size
     B = batch["frames"].shape[0]
     V = cfg.n_words

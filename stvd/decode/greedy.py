@@ -44,6 +44,7 @@ def greedy_decode(
     visualizations — reference alphas from §build_sampler).
     """
     step_fn = step_fn or step_mod.step
+    params = step_mod.cast_params(params, cfg)  # one weight cast, not T
     B = batch["frames"].shape[0]
     ctx = encode_context(params, cfg, batch["frames"], batch.get("motion"))
     sc = precompute(params, cfg, ctx, batch["frame_mask"],

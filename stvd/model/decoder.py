@@ -195,6 +195,7 @@ def forward_train(
     token_mask (B,T), optionally regions (B,K,R,Dr), motion (B,K,Dm).
     """
     step_fn = step_fn or step_mod.step
+    params = step_mod.cast_params(params, cfg)  # one weight cast, not T
     tokens = batch["tokens"]
     B, T = tokens.shape
     if rng is None:

@@ -81,9 +81,28 @@ class StepOut(NamedTuple):
 
 
 def _dot(a: jax.Array, b: jax.Array, cdtype) -> jax.Array:
-    """Matmul in compute dtype with fp32 accumulation (MXU-friendly)."""
+    """Matmul in compute dtype with fp32 accumulation (MXU-friendly).
+
+    ``astype`` is a no-op when the operand is already in compute dtype —
+    ``cast_params`` pre-casts weight matrices once per forward so the
+    scan body never re-reads fp32 weights (no reliance on XLA LICM).
+    """
     return jnp.dot(a.astype(cdtype), b.astype(cdtype),
                    preferred_element_type=jnp.float32)
+
+
+def cast_params(params: Params, cfg: ModelConfig) -> Params:
+    """Pre-cast weight matrices (ndim >= 2) to the compute dtype ONCE.
+
+    Biases/vectors/scalars stay fp32 (they add into fp32 accumulators).
+    Differentiable: gradients flow through the cast back to the fp32
+    master parameters (standard mixed precision).
+    """
+    cdtype = jnp.dtype(cfg.compute_dtype)
+    if cdtype == jnp.float32:
+        return params
+    return {k: (v.astype(cdtype) if v.ndim >= 2 else v)
+            for k, v in params.items()}
 
 
 def precompute(params: Params, cfg: ModelConfig, ctx: jax.Array,
