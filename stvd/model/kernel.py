@@ -47,6 +47,11 @@ def _attn_core_kernel(scal_ref, hatt_ref, beta_ref, pctx_ref, ctx_ref,
     """One context tile: (Bt, K, A) attention chain fully in VMEM,
     broadcast over the nb beams riding in the state refs (Bt*nb rows).
 
+    Batch-major operands are lifted to a singleton second-to-last dim
+    (h_att (Btn,1,A), mask (Bt,1,K), outputs (Btn,1,.)) so Mosaic's
+    tiling rule (second-to-last block dim % 8 or full) never constrains
+    the batch tile.
+
     scal_ref (SMEM, (3,)): [c_att, b_sel, selector_flag]
     """
     c_att = scal_ref[0]
@@ -58,14 +63,14 @@ def _attn_core_kernel(scal_ref, hatt_ref, beta_ref, pctx_ref, ctx_ref,
     nb = btn // bt
     dc = ctx_ref.shape[-1]
 
-    h4 = hatt_ref[:].reshape(bt, nb, 1, a)
+    h4 = hatt_ref[:, 0, :].reshape(bt, nb, 1, a)
     e = jnp.tanh(pctx_ref[:][:, None, :, :] + h4)            # (Bt,nb,K,A)
     u = uatt_ref[:][:, 0]
     # score reduction over A as a VPU multiply-reduce (Mosaic has no
     # batched dot; a width-1 MXU matmul would waste the systolic array)
     scores = jnp.sum(e * u[None, None, None, :], axis=3) + c_att
 
-    mask = mask_ref[:] > 0                                    # (Bt, K)
+    mask = mask_ref[:, 0, :] > 0                              # (Bt, K)
     scores = jnp.where(mask[:, None, :], scores, _NEG_INF)
     m = jnp.max(scores, axis=2, keepdims=True)
     ex = jnp.exp(scores - m)
@@ -76,21 +81,30 @@ def _attn_core_kernel(scal_ref, hatt_ref, beta_ref, pctx_ref, ctx_ref,
     # ctx_t = sum_k alpha_k * ctx_k (multiply-reduce over K on the VPU)
     ctx_t = jnp.sum(alpha[..., None] * ctx_ref[:][:, None, :, :], axis=2)
 
-    beta = jax.nn.sigmoid(beta_ref[:, 0] + b_sel)             # (Bt*nb,)
+    beta = jax.nn.sigmoid(beta_ref[:, 0, 0] + b_sel)          # (Bt*nb,)
     gate = jnp.where(use_sel > 0, beta, jnp.ones_like(beta))
-    ctx_t_ref[:] = ctx_t.reshape(btn, dc) * gate[:, None]
-    alpha_ref[:] = alpha.reshape(btn, k)
+    ctx_t_ref[:] = (ctx_t.reshape(btn, dc) * gate[:, None]).reshape(
+        btn, 1, dc)
+    alpha_ref[:] = alpha.reshape(btn, 1, k)
 
 
-def _pick_batch_tile(bc: int, nb: int, k: int, a: int) -> int:
-    """Largest Bc tile whose (Bt, nb, K, A) working set fits VMEM."""
-    budget = 8 * 1024 * 1024  # leave headroom of the ~16MB VMEM
+_VMEM_BUDGET = 8 * 1024 * 1024  # leave headroom of the ~16MB VMEM
+
+
+def _pick_batch_tile(bc: int, nb: int, k: int, a: int, dc: int):
+    """Largest Bc tile whose working set fits VMEM, or None.
+
+    No Mosaic divisibility constraint on bt: every block with bt (or
+    bt*nb) in a tiled position carries a singleton second-to-last dim.
+    """
     for t in (8, 4, 2, 1):
         if bc % t:
             continue
-        if t * nb * k * a * 4 + 2 * t * k * a * 4 <= budget:
+        work = (t * nb * k * a + t * k * a + t * k * dc
+                + t * nb * dc) * 4
+        if work <= _VMEM_BUDGET:
             return t
-    return 1
+    return None
 
 
 @functools.partial(jax.jit, static_argnames=("selector", "interpret"))
@@ -100,42 +114,44 @@ def _attn_core_pallas_call(h_att, beta_logit, pctx, ctx, ctx_mask, u_att,
     bs = h_att.shape[0]
     nb = bs // bc
     dc = ctx.shape[-1]
-    bt = _pick_batch_tile(bc, nb, k, a)
+    bt = _pick_batch_tile(bc, nb, k, a, dc)
+    assert bt is not None  # caller falls back to jnp when None
     grid = (bc // bt,)
     scal = jnp.stack([c_att.astype(jnp.float32),
                       b_sel.astype(jnp.float32),
                       jnp.float32(1.0 if selector else 0.0)])
     f32 = jnp.float32
-    out_shape = (jax.ShapeDtypeStruct((bs, dc), f32),
-                 jax.ShapeDtypeStruct((bs, k), f32))
+    out_shape = (jax.ShapeDtypeStruct((bs, 1, dc), f32),
+                 jax.ShapeDtypeStruct((bs, 1, k), f32))
     ctx_t, alpha = pl.pallas_call(
         _attn_core_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),             # scalars
-            pl.BlockSpec((bt * nb, a), lambda i: (i, 0),
+            pl.BlockSpec((bt * nb, 1, a), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),             # h_att
-            pl.BlockSpec((bt * nb, 1), lambda i: (i, 0),
+            pl.BlockSpec((bt * nb, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),             # beta_logit
             pl.BlockSpec((bt, k, a), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),             # pctx
             pl.BlockSpec((bt, k, dc), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),             # ctx
-            pl.BlockSpec((bt, k), lambda i: (i, 0),
+            pl.BlockSpec((bt, 1, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),             # mask
             pl.BlockSpec((a, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),             # U_att
         ],
         out_specs=(
-            pl.BlockSpec((bt * nb, dc), lambda i: (i, 0),
+            pl.BlockSpec((bt * nb, 1, dc), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt * nb, k), lambda i: (i, 0),
+            pl.BlockSpec((bt * nb, 1, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=out_shape,
         interpret=interpret,
-    )(scal, h_att, beta_logit, pctx, ctx, ctx_mask, u_att)
-    return ctx_t, alpha
+    )(scal, h_att[:, None, :], beta_logit[:, :, None], pctx, ctx,
+      ctx_mask[:, None, :], u_att)
+    return ctx_t[:, 0, :], alpha[:, 0, :]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
@@ -187,13 +203,16 @@ _core_diff.defvjp(_core_fwd, _core_bwd)
 
 def _spatial_kernel(scal_ref, hs_ref, pregion_ref, regions_ref, us_ref,
                     spat_ref, alpha_ref):
+    """Batch-major operands/outputs carry singleton tiled dims (see
+    _attn_core_kernel) so only VMEM, not Mosaic tiling rules, bounds
+    the (bt, kt) tile choice."""
     c_s = scal_ref[0]
     bt, kt, r, s = pregion_ref.shape
     btn = hs_ref.shape[0]
     nb = btn // bt
     dr = regions_ref.shape[-1]
 
-    h5 = hs_ref[:].reshape(bt, nb, 1, 1, s)
+    h5 = hs_ref[:, 0, :].reshape(bt, nb, 1, 1, s)
     e = jnp.tanh(pregion_ref[:][:, None] + h5)        # (bt,nb,kt,R,s)
     u = us_ref[:][:, 0]
     scores = jnp.sum(e * u[None, None, None, None, :], axis=4) + c_s
@@ -201,23 +220,24 @@ def _spatial_kernel(scal_ref, hs_ref, pregion_ref, regions_ref, us_ref,
     ex = jnp.exp(scores - m)
     alpha = ex / jnp.maximum(jnp.sum(ex, axis=3, keepdims=True), 1e-20)
     spat = jnp.sum(alpha[..., None] * regions_ref[:][:, None], axis=3)
-    spat_ref[:] = spat.reshape(btn, kt, dr)
-    alpha_ref[:] = alpha.reshape(btn, kt, r)
+    spat_ref[:] = spat.reshape(btn, kt, 1, dr)
+    alpha_ref[:] = alpha.reshape(btn, kt, 1, r)
 
 
-def _pick_spatial_tiles(bc: int, k: int, nb: int, r: int, s: int, dr: int
-                        ) -> Tuple[int, int]:
-    budget = 8 * 1024 * 1024
+def _pick_spatial_tiles(bc: int, k: int, nb: int, r: int, s: int, dr: int):
+    """(bt, kt) whose working set fits VMEM, or None (caller falls back
+    to jnp).  The e intermediate (bt, nb, kt, R, s) dominates."""
     for bt in (4, 2, 1):
         if bc % bt:
             continue
         for kt in (8, 4, 2, 1):
             if k % kt:
                 continue
-            work = bt * nb * kt * r * s * 4 + bt * kt * r * (s + dr) * 4
-            if work <= budget:
+            work = (bt * nb * kt * r * s + bt * kt * r * (s + dr)
+                    + bt * nb * kt * (dr + r)) * 4
+            if work <= _VMEM_BUDGET:
                 return bt, kt
-    return 1, 1
+    return None
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -227,17 +247,19 @@ def _spatial_pallas_call(h_satt, pregion, regions, u_s, c_s,
     bs = h_satt.shape[0]
     nb = bs // bc
     dr = regions.shape[-1]
-    bt, kt = _pick_spatial_tiles(bc, k, nb, r, s, dr)
+    tiles = _pick_spatial_tiles(bc, k, nb, r, s, dr)
+    assert tiles is not None  # caller falls back to jnp when None
+    bt, kt = tiles
     grid = (bc // bt, k // kt)
     scal = jnp.stack([c_s.astype(jnp.float32)])
-    out_shape = (jax.ShapeDtypeStruct((bs, k, dr), jnp.float32),
-                 jax.ShapeDtypeStruct((bs, k, r), jnp.float32))
+    out_shape = (jax.ShapeDtypeStruct((bs, k, 1, dr), jnp.float32),
+                 jax.ShapeDtypeStruct((bs, k, 1, r), jnp.float32))
     spat, alpha = pl.pallas_call(
         _spatial_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),              # scalars
-            pl.BlockSpec((bt * nb, s), lambda i, j: (i, 0),
+            pl.BlockSpec((bt * nb, 1, s), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),              # h_satt
             pl.BlockSpec((bt, kt, r, s), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),              # pregion
@@ -247,15 +269,15 @@ def _spatial_pallas_call(h_satt, pregion, regions, u_s, c_s,
                          memory_space=pltpu.VMEM),              # Us_att
         ],
         out_specs=(
-            pl.BlockSpec((bt * nb, kt, dr), lambda i, j: (i, j, 0),
+            pl.BlockSpec((bt * nb, kt, 1, dr), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt * nb, kt, r), lambda i, j: (i, j, 0),
+            pl.BlockSpec((bt * nb, kt, 1, r), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=out_shape,
         interpret=interpret,
-    )(scal, h_satt, pregion, regions, u_s)
-    return spat, alpha
+    )(scal, h_satt[:, None, :], pregion, regions, u_s)
+    return spat[:, :, 0, :], alpha[:, :, 0, :]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
@@ -292,10 +314,17 @@ _spatial_diff.defvjp(_spatial_fwd, _spatial_bwd)
 def spatial_core_pallas(h_satt, pregion, regions, u_s, c_s, cdtype
                         ) -> Tuple[jax.Array, jax.Array]:
     """Pallas drop-in for ``step._spatial_core_jnp`` (same contract:
-    returns (Bc, nb, K, Dr) / (Bc, nb, K, R))."""
-    bc = pregion.shape[0]
+    returns (Bc, nb, K, Dr) / (Bc, nb, K, R)).
+
+    Falls back to the jnp oracle when no Mosaic-legal tiling fits VMEM
+    (e.g. large beam x spatial working sets where kt is forced to K).
+    """
+    bc, k, r, s = pregion.shape
     bs = h_satt.shape[0]
     nb = bs // bc
+    if _pick_spatial_tiles(bc, k, nb, r, s, regions.shape[-1]) is None:
+        return step_mod._spatial_core_jnp(h_satt, pregion, regions, u_s,
+                                          c_s, cdtype)
     spat, alpha = _spatial_diff(h_satt, pregion, regions, u_s, c_s)
     return (spat.reshape(bc, nb, *spat.shape[1:]),
             alpha.reshape(bc, nb, *alpha.shape[1:]))
@@ -305,7 +334,14 @@ def attention_core_pallas(h_att, beta_logit, pctx, ctx, ctx_mask, u_att,
                           c_att, b_sel, selector: bool
                           ) -> Tuple[jax.Array, jax.Array]:
     """Pallas drop-in for ``step._attention_core_jnp`` (same signature,
-    beam-broadcast aware, differentiable via custom VJP)."""
+    beam-broadcast aware, differentiable via custom VJP).  Falls back to
+    the jnp oracle when no Mosaic-legal tiling fits VMEM."""
+    bc, k, a = pctx.shape
+    nb = h_att.shape[0] // bc
+    if _pick_batch_tile(bc, nb, k, a, ctx.shape[-1]) is None:
+        return step_mod._attention_core_jnp(
+            h_att, beta_logit, pctx, ctx, ctx_mask, u_att, c_att, b_sel,
+            selector)
     return _core_diff(h_att, beta_logit, pctx, ctx, ctx_mask, u_att,
                       jnp.asarray(c_att), jnp.asarray(b_sel), selector)
 
