@@ -165,6 +165,18 @@ void stvd_bleu_stats(const int32_t* hyp, int32_t nh,
         idx = (idx + 1) % table.size();
       }
     };
+    // lookup WITHOUT inserting: the table is sized for hypothesis
+    // n-grams only; reference-side folding must not grow it (40+ refs
+    // per video would overflow it and wedge the linear probe)
+    auto lookup = [&](uint64_t key) -> Slot* {
+      size_t idx = key % table.size();
+      for (;;) {
+        Slot& s = table[idx];
+        if (!s.occ) return nullptr;
+        if (s.key == key) return &s;
+        idx = (idx + 1) % table.size();
+      }
+    };
     auto ngram_key = [&](const int32_t* t, int32_t pos) -> uint64_t {
       uint64_t h = 1469598103934665603ull;
       for (int k = 0; k < n; ++k) h = mix(h, (uint64_t)(t[pos + k] + 1));
@@ -190,8 +202,8 @@ void stvd_bleu_stats(const int32_t* hyp, int32_t nh,
       for (int32_t i = 0; i + n <= rl; ++i) lfind(ngram_key(rt, i))->hc++;
       for (const Slot& s : local) {
         if (!s.occ) continue;
-        Slot* g = find(s.key);
-        if (s.hc > g->rc) g->rc = s.hc;
+        Slot* g = lookup(s.key);  // ref-only n-grams never clip anything
+        if (g && s.hc > g->rc) g->rc = s.hc;
       }
     }
     int64_t matched = 0;

@@ -87,6 +87,17 @@ def test_bleu_stats_fuzz():
                          key=lambda rl: (abs(rl - len(hyp)), rl))
 
 
+def test_bleu_stats_many_long_refs_terminates():
+    """MSVD-scale reference sets (40 refs/video): the global table must
+    not be grown by reference-side n-grams (regression: overflow wedged
+    the linear probe into an infinite loop)."""
+    rng = np.random.RandomState(3)
+    hyp = rng.randint(0, 50, 6).tolist()        # short hypothesis
+    refs = [rng.randint(0, 50, 18).tolist() for _ in range(40)]
+    m, t, cl = nat.bleu_stats(np.array(hyp), [np.array(r) for r in refs])
+    assert m.tolist() == _py_bleu_stats(hyp, refs)
+
+
 def test_score_all_native_vs_python_subprocess():
     """End-to-end scorer parity with the native path disabled."""
     gts = {"a": ["a man is playing a guitar loudly",
