@@ -121,7 +121,7 @@ class Captioner:
                 if motion is not None else None)
         bank = pack_bank(feats, self.cfg.model.n_frames, ids=ids,
                          regions=regs, motion=mots)
-        dev = bank.to_device()
+        dev = bank.to_device(dtype=jnp.dtype(self.cfg.model.compute_dtype))
         batch = {"frames": dev["frames"], "frame_mask": dev["frame_mask"]}
         for k in ("regions", "motion"):
             if k in dev:

@@ -107,7 +107,7 @@ def evaluate_split(
 ) -> Dict[str, float]:
     """Decode + score a split; writes the reference's parity artifacts
     (``{split}_samples.txt`` and ``.json``) when ``save_dir`` is given."""
-    dev_bank = ds.bank.to_device()
+    dev_bank = ds.bank.to_device(dtype=jnp.dtype(cfg.model.compute_dtype))
     token_rows = generate_captions(params, cfg.model, dev_bank,
                                    ds.bank.n_videos, cfg.decode,
                                    step_fn=step_fn, mesh=mesh)

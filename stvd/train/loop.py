@@ -189,7 +189,7 @@ def evaluate_nll(params, mcfg: ModelConfig, ds: Dataset, batch_size: int,
     wrapped tail carries zero weights instead of a ragged shape (one
     compiled executable)."""
     ev = make_eval_nll(mcfg, step_fn)
-    dev = ds.bank.to_device()
+    dev = ds.bank.to_device(dtype=jnp.dtype(mcfg.compute_dtype))
     it = BatchIterator(ds.captions.n, min(batch_size, ds.captions.n),
                        shuffle=False)
     num = den = 0.0
@@ -275,7 +275,7 @@ def fit(
 
     train_step = make_train_step(mcfg, tcfg, step_fn, mesh,
                                  use_shard_map=use_shard_map)
-    dev = train_ds.bank.to_device()
+    dev = train_ds.bank.to_device(dtype=jnp.dtype(mcfg.compute_dtype))
     it = BatchIterator(train_ds.captions.n, tcfg.batch_size, seed=tcfg.seed)
     sampler = _make_sampler(mcfg, cfg.decode.maxlen, step_fn)
     from ..utils.profiling import StepTimer
