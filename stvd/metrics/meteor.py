@@ -33,14 +33,22 @@ GAMMA = 0.5    # fragmentation weight
 # scoring function for exact-jar replication later.
 
 _stemmer = None
+_stem_cache: Dict[str, str] = {}
 
 
 def _stem(w: str) -> str:
-    global _stemmer
-    if _stemmer is None:
-        from nltk.stem.porter import PorterStemmer
-        _stemmer = PorterStemmer()
-    return _stemmer.stem(w)
+    """Memoized Porter stem (the stemmer is pure Python and dominates
+    corpus-scale METEOR cost otherwise — vocab is small, captions
+    repeat words constantly)."""
+    s = _stem_cache.get(w)
+    if s is None:
+        global _stemmer
+        if _stemmer is None:
+            from nltk.stem.porter import PorterStemmer
+            _stemmer = PorterStemmer()
+        s = _stemmer.stem(w)
+        _stem_cache[w] = s
+    return s
 
 
 _wordnet_checked = False
@@ -145,10 +153,22 @@ def _segment_stats(hyp: List[str], refs: Sequence[List[str]],
     'Best' = highest segment METEOR score, ties to fewer chunks (what
     the jar optimizes per segment before corpus aggregation).
     """
+    from . import _native
+    use_native = _get_wordnet() is None and _native.get_lib() is not None
+    if use_native:
+        # hoist hypothesis interning/stemming out of the reference loop
+        intern = _native.Interner()
+        h_ids = intern(hyp)
+        h_stems = intern([_stem(w) for w in hyp])
     best = None
     best_score = -1.0
     for r in refs:
-        nm, nchunks = _align_stats(hyp, r)
+        if use_native:
+            nm, nchunks = _native.meteor_align(
+                h_ids, h_stems, None, intern(r),
+                intern([_stem(w) for w in r]), None)
+        else:
+            nm, nchunks = _align_stats(hyp, r)
         stats = (nm, len(hyp), len(r), nchunks)
         s = _score_from_stats(*stats, alpha=alpha, beta=beta, gamma=gamma)
         if s > best_score or (s == best_score and best is not None
