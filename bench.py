@@ -217,10 +217,19 @@ def main():
         if args.what == "dp":
             jax.config.update("jax_num_cpu_devices", 8)  # simulate a slice
     elif not args.no_probe and not probe_device():
+        # TPU tunnel wedged (known failure mode on this machine when a
+        # TPU client is SIGKILLed): measure on CPU rather than hang,
+        # and say so — the number is a severe LOWER bound for the chip.
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        cps, per_batch = bench_decode(True, args.kernel, max(2, args.iters // 2))
         print(json.dumps({
-            "metric": "decode_captions_per_sec_per_chip", "value": 0,
-            "unit": "captions/s", "vs_baseline": 0,
-            "error": "device probe timed out (TPU tunnel unresponsive)"}))
+            "metric": "decode_captions_per_sec_per_chip",
+            "value": round(cps, 2), "unit": "captions/s",
+            "vs_baseline": round(cps / LEGACY_CAPTIONS_PER_SEC, 1),
+            "platform": "cpu-fallback (1 core)",
+            "error": "TPU tunnel unresponsive; CPU lower bound reported",
+            "beam": 5, "batch_decode_ms": round(per_batch * 1e3, 1)}))
         return
 
     if args.what == "dp":
