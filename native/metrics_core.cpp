@@ -216,3 +216,102 @@ void stvd_bleu_stats(const int32_t* hyp, int32_t nh,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// CIDEr-D corpus scorer.
+//
+// Token ids arrive interned (CSR layout).  For each n in 1..4:
+//   df[g]   = number of videos whose reference set contains gram g
+//   weights = count * (log(N) - log(max(df,1)))
+//   sim     = sum_g min(wh, wr) * wr / (|wh||wr|)   (CIDEr-D clipping)
+//   penalty = exp(-(lh-lr)^2 / (2 sigma^2))
+// score(video) = 10 * mean_refs( mean_n( sim * penalty ) )
+// Matches stvd/metrics/cider.py (fuzz-tested).
+// ---------------------------------------------------------------------------
+
+#include <cmath>
+#include <unordered_map>
+
+namespace {
+
+struct GramCounts {
+  std::unordered_map<uint64_t, int32_t> c;
+  int32_t len = 0;  // token count
+};
+
+inline uint64_t cider_key(const int32_t* t, int32_t pos, int n) {
+  uint64_t h = 1469598103934665603ull;
+  for (int k = 0; k < n; ++k) h = mix(h, (uint64_t)(t[pos + k] + 1));
+  return fin(h);
+}
+
+void count_grams(const int32_t* tok, int32_t len, int n, GramCounts* out) {
+  out->len = len;
+  for (int32_t i = 0; i + n <= len; ++i) out->c[cider_key(tok, i, n)]++;
+}
+
+}  // namespace
+
+extern "C" void stvd_cider(
+    const int32_t* hyp_tok, const int32_t* hyp_off,
+    const int32_t* ref_tok, const int32_t* ref_off,
+    const int32_t* vid_ref_off,  // per-video [start, end) into refs
+    int32_t n_vid, double sigma, double* out_scores) {
+  const double log_n = std::log(std::max(n_vid, 1));
+  for (int n = 1; n <= 4; ++n) {
+    // document frequency over videos
+    std::unordered_map<uint64_t, int32_t> df;
+    for (int32_t v = 0; v < n_vid; ++v) {
+      std::unordered_map<uint64_t, int32_t> seen;
+      for (int32_t r = vid_ref_off[v]; r < vid_ref_off[v + 1]; ++r) {
+        const int32_t rl = ref_off[r + 1] - ref_off[r];
+        for (int32_t i = 0; i + n <= rl; ++i)
+          seen.emplace(cider_key(ref_tok + ref_off[r], i, n), 1);
+      }
+      for (auto& kv : seen) df[kv.first]++;
+    }
+    auto idf = [&](uint64_t g) {
+      auto it = df.find(g);
+      const double d = it == df.end() ? 1.0 : std::max(it->second, 1);
+      return log_n - std::log(d);
+    };
+    for (int32_t v = 0; v < n_vid; ++v) {
+      GramCounts hc;
+      count_grams(hyp_tok + hyp_off[v], hyp_off[v + 1] - hyp_off[v], n, &hc);
+      double hnorm2 = 0.0;
+      for (auto& kv : hc.c) {
+        const double w = kv.second * idf(kv.first);
+        hnorm2 += w * w;
+      }
+      const double hnorm = std::sqrt(hnorm2);
+      const int32_t n_refs = vid_ref_off[v + 1] - vid_ref_off[v];
+      double acc = 0.0;
+      for (int32_t r = vid_ref_off[v]; r < vid_ref_off[v + 1]; ++r) {
+        GramCounts rc;
+        count_grams(ref_tok + ref_off[r], ref_off[r + 1] - ref_off[r], n, &rc);
+        double rnorm2 = 0.0;
+        for (auto& kv : rc.c) {
+          const double w = kv.second * idf(kv.first);
+          rnorm2 += w * w;
+        }
+        const double rnorm = std::sqrt(rnorm2);
+        double dot = 0.0;
+        for (auto& kv : hc.c) {
+          auto it = rc.c.find(kv.first);
+          if (it == rc.c.end()) continue;
+          const double i = idf(kv.first);
+          const double wh = kv.second * i, wr = it->second * i;
+          dot += (wh < wr ? wh : wr) * wr;
+        }
+        double sim = (hnorm > 0.0 && rnorm > 0.0) ? dot / (hnorm * rnorm)
+                                                  : 0.0;
+        const double delta = (double)hc.len - (double)rc.len;
+        sim *= std::exp(-(delta * delta) / (2.0 * sigma * sigma));
+        acc += sim;
+      }
+      // accumulate mean over refs for this n; caller divides by 4 via
+      // the running sum here (add each n's contribution)
+      out_scores[v] += 10.0 * (n_refs > 0 ? acc / n_refs : 0.0) / 4.0;
+    }
+  }
+}

@@ -58,6 +58,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.stvd_bleu_stats.argtypes = [i32p, ctypes.c_int32, i32p, i32p,
                                     ctypes.c_int32, i64p, i64p, i32p]
     lib.stvd_bleu_stats.restype = None
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.stvd_cider.argtypes = [i32p, i32p, i32p, i32p, i32p,
+                               ctypes.c_int32, ctypes.c_double, f64p]
+    lib.stvd_cider.restype = None
     _lib = lib
     return _lib
 
@@ -143,6 +147,43 @@ def bleu_stats(hyp_ids: np.ndarray, refs_ids: List[np.ndarray]
         total.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ctypes.byref(closest))
     return match, total, int(closest.value)
+
+
+def cider(hyp_ids: List[np.ndarray], refs_ids: List[List[np.ndarray]],
+          sigma: float = 6.0) -> Optional[np.ndarray]:
+    """Per-video CIDEr-D scores, or None if the native lib is absent.
+
+    ``hyp_ids[v]`` is the hypothesis id array of video v; ``refs_ids[v]``
+    its list of reference id arrays.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_vid = len(hyp_ids)
+    hyp_off = np.zeros(n_vid + 1, np.int32)
+    for i, h in enumerate(hyp_ids):
+        hyp_off[i + 1] = hyp_off[i] + len(h)
+    hyp_flat = (np.concatenate([_as_i32(h) for h in hyp_ids])
+                if n_vid else np.zeros(0, np.int32))
+    flat_refs: List[np.ndarray] = []
+    vid_ref_off = np.zeros(n_vid + 1, np.int32)
+    for v, refs in enumerate(refs_ids):
+        flat_refs.extend(_as_i32(r) for r in refs)
+        vid_ref_off[v + 1] = vid_ref_off[v] + len(refs)
+    ref_off = np.zeros(len(flat_refs) + 1, np.int32)
+    for i, r in enumerate(flat_refs):
+        ref_off[i + 1] = ref_off[i] + len(r)
+    ref_flat = (np.concatenate(flat_refs) if flat_refs
+                else np.zeros(0, np.int32))
+    hyp_flat = np.ascontiguousarray(hyp_flat)
+    ref_flat = np.ascontiguousarray(ref_flat)
+    out = np.zeros(n_vid, np.float64)
+    lib.stvd_cider(_ptr(hyp_flat), _ptr(np.ascontiguousarray(hyp_off)),
+                   _ptr(ref_flat), _ptr(np.ascontiguousarray(ref_off)),
+                   _ptr(np.ascontiguousarray(vid_ref_off)),
+                   np.int32(n_vid), float(sigma),
+                   out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out
 
 
 if __name__ == "__main__":

@@ -58,8 +58,20 @@ def _tfidf_vec(counts: List[Counter], df: List[Counter], log_n: float
 def cider_score(gts: Dict[str, List[List[str]]],
                 res: Dict[str, List[List[str]]]
                 ) -> Tuple[float, Dict[str, float]]:
-    """COCOScorer-style interface on tokenized {id: [tokens...]} dicts."""
+    """COCOScorer-style interface on tokenized {id: [tokens...]} dicts.
+
+    Uses the native C++ scorer (native/metrics_core.cpp:stvd_cider)
+    when built; pure-Python fallback below (parity fuzz-tested)."""
     ids = sorted(gts)
+    from . import _native
+    if _native.get_lib() is not None:
+        intern = _native.Interner()
+        hyp_ids = [intern(res[i][0]) for i in ids]
+        refs_ids = [[intern(r) for r in gts[i]] for i in ids]
+        out = _native.cider(hyp_ids, refs_ids, sigma=SIGMA)
+        if out is not None:
+            avg = float(out.mean()) if len(out) else 0.0
+            return avg, {"CIDEr": avg}
     df = _compute_doc_freq({i: gts[i] for i in ids})
     log_n = math.log(max(len(ids), 1))
     scores = []

@@ -98,6 +98,49 @@ def test_bleu_stats_many_long_refs_terminates():
     assert m.tolist() == _py_bleu_stats(hyp, refs)
 
 
+def test_cider_native_vs_python_fuzz():
+    """Native CIDEr == pure-Python CIDEr on random corpora."""
+    from stvd.metrics.cider import (SIGMA, _compute_doc_freq, _ngram_counts,
+                                    _tfidf_vec)
+    import math
+
+    def py_cider(gts, res):
+        ids = sorted(gts)
+        df = _compute_doc_freq({i: gts[i] for i in ids})
+        log_n = math.log(max(len(ids), 1))
+        scores = []
+        for i in ids:
+            hv, hnorm, hlen = _tfidf_vec(_ngram_counts(res[i][0]), df, log_n)
+            per_ref = []
+            for r in gts[i]:
+                rv, rnorm, rlen = _tfidf_vec(_ngram_counts(r), df, log_n)
+                tot = 0.0
+                for n in range(4):
+                    dot = sum(min(w, rv[n][g]) * rv[n][g]
+                              for g, w in hv[n].items() if g in rv[n])
+                    sim = (dot / (hnorm[n] * rnorm[n])
+                           if hnorm[n] > 0 and rnorm[n] > 0 else 0.0)
+                    sim *= math.exp(-((hlen - rlen) ** 2) / (2 * SIGMA ** 2))
+                    tot += sim
+                per_ref.append(tot / 4)
+            scores.append(10.0 * sum(per_ref) / max(len(per_ref), 1))
+        return sum(scores) / len(scores)
+
+    rng = np.random.RandomState(7)
+    vocab = [f"t{i}" for i in range(30)]
+    for _ in range(10):
+        n_vid = rng.randint(2, 12)
+        gts = {f"v{i}": [[vocab[j] for j in
+                          rng.randint(0, 30, rng.randint(2, 12))]
+                         for _ in range(rng.randint(1, 5))]
+               for i in range(n_vid)}
+        res = {k: [[vocab[j] for j in rng.randint(0, 30, rng.randint(2, 12))]]
+               for k in gts}
+        from stvd.metrics.cider import cider_score
+        native_avg, _ = cider_score(gts, res)
+        assert abs(native_avg - py_cider(gts, res)) < 1e-9
+
+
 def test_score_all_native_vs_python_subprocess():
     """End-to-end scorer parity with the native path disabled."""
     gts = {"a": ["a man is playing a guitar loudly",
