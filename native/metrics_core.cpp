@@ -315,3 +315,55 @@ extern "C" void stvd_cider(
     }
   }
 }
+
+// ---------------------------------------------------------------------------
+// METEOR corpus driver: per-video best-reference alignment statistics.
+// Reuses stvd_meteor_align per pair; 'best' = highest segment score
+// under (alpha, beta, gamma), ties to fewer chunks — mirrors
+// stvd/metrics/meteor.py:_segment_stats exactly.
+// out_stats: n_vid * 4 ints: [matches, hyp_len, ref_len, chunks].
+// ---------------------------------------------------------------------------
+
+namespace {
+
+double meteor_pair_score(int32_t m, int32_t hlen, int32_t rlen,
+                         int32_t chunks, double alpha, double beta,
+                         double gamma) {
+  if (m == 0 || hlen == 0 || rlen == 0) return 0.0;
+  const double p = (double)m / hlen, r = (double)m / rlen;
+  const double f = p * r / (alpha * p + (1.0 - alpha) * r);
+  const double frag = (double)chunks / m;
+  const double penalty = chunks > 0 ? gamma * std::pow(frag, beta) : 0.0;
+  return f * (1.0 - penalty);
+}
+
+}  // namespace
+
+extern "C" void stvd_meteor_corpus(
+    const int32_t* hyp_tok, const int32_t* hyp_stem, const int32_t* hyp_off,
+    const int32_t* ref_tok, const int32_t* ref_stem, const int32_t* ref_off,
+    const int32_t* vid_ref_off, int32_t n_vid,
+    double alpha, double beta, double gamma, int32_t* out_stats) {
+  for (int32_t v = 0; v < n_vid; ++v) {
+    const int32_t nh = hyp_off[v + 1] - hyp_off[v];
+    const int32_t* h = hyp_tok + hyp_off[v];
+    const int32_t* hs = hyp_stem + hyp_off[v];
+    int32_t best[4] = {0, nh, 0, 0};
+    double best_score = -1.0;
+    for (int32_t r = vid_ref_off[v]; r < vid_ref_off[v + 1]; ++r) {
+      const int32_t nr = ref_off[r + 1] - ref_off[r];
+      int32_t m = 0, chunks = 0;
+      stvd_meteor_align(h, hs, nullptr, nh,
+                        ref_tok + ref_off[r], ref_stem + ref_off[r],
+                        nullptr, nr, &m, &chunks);
+      const double s = meteor_pair_score(m, nh, nr, chunks, alpha, beta,
+                                         gamma);
+      if (s > best_score ||
+          (s == best_score && best_score >= 0.0 && chunks < best[3])) {
+        best_score = s;
+        best[0] = m; best[1] = nh; best[2] = nr; best[3] = chunks;
+      }
+    }
+    for (int k = 0; k < 4; ++k) out_stats[v * 4 + k] = best[k];
+  }
+}

@@ -62,6 +62,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.stvd_cider.argtypes = [i32p, i32p, i32p, i32p, i32p,
                                ctypes.c_int32, ctypes.c_double, f64p]
     lib.stvd_cider.restype = None
+    lib.stvd_meteor_corpus.argtypes = [i32p, i32p, i32p, i32p, i32p, i32p,
+                                       i32p, ctypes.c_int32,
+                                       ctypes.c_double, ctypes.c_double,
+                                       ctypes.c_double, i32p]
+    lib.stvd_meteor_corpus.restype = None
     _lib = lib
     return _lib
 
@@ -184,6 +189,45 @@ def cider(hyp_ids: List[np.ndarray], refs_ids: List[List[np.ndarray]],
                    np.int32(n_vid), float(sigma),
                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return out
+
+
+def meteor_corpus(hyp_ids, hyp_stems, refs_ids, refs_stems,
+                  alpha: float, beta: float, gamma: float
+                  ) -> Optional[np.ndarray]:
+    """Per-video best-ref (m, hlen, rlen, chunks), or None.
+
+    ``hyp_ids[v]`` / ``hyp_stems[v]``: id arrays; ``refs_ids[v]`` /
+    ``refs_stems[v]``: lists of id arrays.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_vid = len(hyp_ids)
+
+    def csr(items):
+        off = np.zeros(len(items) + 1, np.int32)
+        for i, x in enumerate(items):
+            off[i + 1] = off[i] + len(x)
+        flat = (np.concatenate([_as_i32(x) for x in items])
+                if items else np.zeros(0, np.int32))
+        return np.ascontiguousarray(flat), np.ascontiguousarray(off)
+
+    h_flat, h_off = csr(hyp_ids)
+    hs_flat, _ = csr(hyp_stems)
+    all_refs = [r for refs in refs_ids for r in refs]
+    all_stems = [r for refs in refs_stems for r in refs]
+    r_flat, r_off = csr(all_refs)
+    rs_flat, _ = csr(all_stems)
+    vid_off = np.zeros(n_vid + 1, np.int32)
+    for v, refs in enumerate(refs_ids):
+        vid_off[v + 1] = vid_off[v] + len(refs)
+    out = np.zeros(n_vid * 4, np.int32)
+    lib.stvd_meteor_corpus(
+        _ptr(h_flat), _ptr(hs_flat), _ptr(h_off),
+        _ptr(r_flat), _ptr(rs_flat), _ptr(r_off),
+        _ptr(np.ascontiguousarray(vid_off)), np.int32(n_vid),
+        float(alpha), float(beta), float(gamma), _ptr(out))
+    return out.reshape(n_vid, 4)
 
 
 if __name__ == "__main__":

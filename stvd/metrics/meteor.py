@@ -205,6 +205,24 @@ def meteor_score(gts: Dict[str, List[List[str]]],
     """Corpus METEOR on tokenized {id: [tokens...]} dicts (aggregated
     statistics, matching the jar's corpus-level final score)."""
     ids = sorted(gts)
+    from . import _native
+    if _get_wordnet() is None and _native.get_lib() is not None:
+        # one native call for the whole corpus (per-pair ctypes overhead
+        # dominates otherwise)
+        intern = _native.Interner()
+        hyp_ids = [intern(res[i][0]) for i in ids]
+        hyp_stems = [intern([_stem(w) for w in res[i][0]]) for i in ids]
+        refs_ids = [[intern(r) for r in gts[i]] for i in ids]
+        refs_stems = [[intern([_stem(w) for w in r]) for r in gts[i]]
+                      for i in ids]
+        stats = _native.meteor_corpus(hyp_ids, hyp_stems, refs_ids,
+                                      refs_stems, alpha, beta, gamma)
+        if stats is not None:
+            tm, th, tr, tc = (int(stats[:, 0].sum()), int(stats[:, 1].sum()),
+                              int(stats[:, 2].sum()), int(stats[:, 3].sum()))
+            score = _score_from_stats(tm, th, tr, tc, alpha=alpha,
+                                      beta=beta, gamma=gamma)
+            return score, {"METEOR": score}
     tm = th = tr = tc = 0
     for i in ids:
         m, h, r, c = _segment_stats(res[i][0], gts[i], alpha, beta, gamma)

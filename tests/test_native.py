@@ -98,6 +98,30 @@ def test_bleu_stats_many_long_refs_terminates():
     assert m.tolist() == _py_bleu_stats(hyp, refs)
 
 
+def test_meteor_corpus_native_vs_python_fuzz():
+    """The one-call native METEOR corpus driver must match the Python
+    per-segment driver (best-ref selection + stat aggregation)."""
+    from stvd.metrics.meteor import (_score_from_stats, _segment_stats,
+                                     meteor_score)
+    rng = np.random.RandomState(9)
+    vocab = [f"t{i}" for i in range(25)]
+    for _ in range(8):
+        n_vid = rng.randint(2, 10)
+        gts = {f"v{i}": [[vocab[j] for j in
+                          rng.randint(0, 25, rng.randint(2, 10))]
+                         for _ in range(rng.randint(1, 6))]
+               for i in range(n_vid)}
+        res = {k: [[vocab[j] for j in rng.randint(0, 25, rng.randint(2, 10))]]
+               for k in gts}
+        got, _ = meteor_score(gts, res)
+        tm = th = tr = tc = 0
+        for i in sorted(gts):
+            m, h, r, c = _segment_stats(res[i][0], gts[i])
+            tm, th, tr, tc = tm + m, th + h, tr + r, tc + c
+        want = _score_from_stats(tm, th, tr, tc)
+        assert abs(got - want) < 1e-12, (got, want)
+
+
 def test_cider_native_vs_python_fuzz():
     """Native CIDEr == pure-Python CIDEr on random corpora."""
     from stvd.metrics.cider import (SIGMA, _compute_doc_freq, _ngram_counts,
