@@ -67,6 +67,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                        ctypes.c_double, ctypes.c_double,
                                        ctypes.c_double, i32p]
     lib.stvd_meteor_corpus.restype = None
+    lib.stvd_lcs_batch.argtypes = [i32p, i32p, i32p, i32p, ctypes.c_int32,
+                                   i32p, i32p, i32p]
+    lib.stvd_lcs_batch.restype = None
     _lib = lib
     return _lib
 
@@ -188,6 +191,42 @@ def cider(hyp_ids: List[np.ndarray], refs_ids: List[List[np.ndarray]],
                    _ptr(np.ascontiguousarray(vid_ref_off)),
                    np.int32(n_vid), float(sigma),
                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out
+
+
+def lcs_batch(hyp_ids, refs_ids) -> Optional[np.ndarray]:
+    """LCS lengths for every (video hyp, video ref) pair in one call.
+
+    Returns a flat int32 array ordered video-major (all of video 0's
+    refs, then video 1's, ...), or None without the native lib.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+
+    def csr(items):
+        off = np.zeros(len(items) + 1, np.int32)
+        for i, x in enumerate(items):
+            off[i + 1] = off[i] + len(x)
+        flat = (np.concatenate([_as_i32(x) for x in items])
+                if items else np.zeros(0, np.int32))
+        return np.ascontiguousarray(flat), np.ascontiguousarray(off)
+
+    h_flat, h_off = csr(hyp_ids)
+    all_refs = [r for refs in refs_ids for r in refs]
+    r_flat, r_off = csr(all_refs)
+    pair_h, pair_r = [], []
+    ri = 0
+    for v, refs in enumerate(refs_ids):
+        for _ in refs:
+            pair_h.append(v)
+            pair_r.append(ri)
+            ri += 1
+    ph = _as_i32(pair_h)
+    pr = _as_i32(pair_r)
+    out = np.zeros(len(pair_h), np.int32)
+    lib.stvd_lcs_batch(_ptr(h_flat), _ptr(h_off), _ptr(r_flat), _ptr(r_off),
+                       np.int32(len(pair_h)), _ptr(ph), _ptr(pr), _ptr(out))
     return out
 
 

@@ -53,6 +53,29 @@ def rouge_l_sentence(hyp: Sequence[str],
 def rouge_score(gts: Dict[str, List[List[str]]],
                 res: Dict[str, List[List[str]]]) -> Tuple[float, Dict[str, float]]:
     ids = sorted(gts)
+    from . import _native
+    if _native.get_lib() is not None:
+        # batched native LCS: one ctypes call for every (hyp, ref) pair
+        intern = _native.Interner()
+        hyp_ids = [intern(res[i][0]) for i in ids]
+        refs_ids = [[intern(r) for r in gts[i]] for i in ids]
+        lcs = _native.lcs_batch(hyp_ids, refs_ids)
+        if lcs is not None:
+            scores = []
+            ri = 0
+            for v, i in enumerate(ids):
+                hyp = res[i][0]
+                precs, recs = [], []
+                for r in gts[i]:
+                    l = int(lcs[ri])
+                    ri += 1
+                    precs.append(l / len(hyp) if hyp else 0.0)
+                    recs.append(l / len(r) if r else 0.0)
+                p, rc = max(precs), max(recs)
+                scores.append(0.0 if p == 0.0 and rc == 0.0 else
+                              ((1 + BETA ** 2) * p * rc) / (rc + BETA ** 2 * p))
+            avg = sum(scores) / len(scores) if scores else 0.0
+            return avg, {"ROUGE_L": avg}
     scores = [rouge_l_sentence(res[i][0], gts[i]) for i in ids]
     avg = sum(scores) / len(scores) if scores else 0.0
     return avg, {"ROUGE_L": avg}
