@@ -85,12 +85,17 @@ def bench_decode(small: bool, use_kernel: bool, iters: int = 8,
     return cps, dt / iters
 
 
-def bench_train(small: bool, use_kernel: bool, iters: int = 10):
+def bench_train(small: bool, use_kernel: bool, iters: int = 10,
+                batch: int = 0):
+    import dataclasses
+
     import jax
     from stvd.model.kernel import get_step_fn
     from stvd.train.loop import init_train_state, make_train_step
 
     mcfg, tcfg, _ = _cfgs(small)
+    if batch:
+        tcfg = dataclasses.replace(tcfg, batch_size=batch)
     state = init_train_state(jax.random.PRNGKey(0), mcfg, tcfg)
     step = make_train_step(mcfg, tcfg, step_fn=get_step_fn(use_kernel))
     batch = _batch(mcfg, tcfg, tcfg.batch_size)
@@ -251,8 +256,17 @@ def main():
     extras = {}
     if args.what in ("train", "all"):
         sps, spt = bench_train(args.small, args.kernel)
+        mcfg, tcfg, _ = _cfgs(args.small)
         extras["train_steps_per_sec"] = round(sps, 3)
         extras["train_step_ms"] = round(spt * 1e3, 2)
+        extras["train_examples_per_sec"] = round(sps * tcfg.batch_size, 1)
+        if not args.small:
+            # train is weight-bandwidth-bound per step: larger batches
+            # raise examples/s nearly linearly until compute-bound
+            sps256, _ = bench_train(False, args.kernel,
+                                    max(2, args.iters // 2), batch=256)
+            extras["train_examples_per_sec_batch256"] = round(
+                sps256 * 256, 1)
         if args.what == "train":
             print(json.dumps({
                 "metric": "train_steps_per_sec", "value": round(sps, 3),
