@@ -62,7 +62,12 @@ def bench_decode(small: bool, use_kernel: bool, iters: int = 8,
     from stvd.model.kernel import get_step_fn
 
     mcfg, tcfg, dcfg = _cfgs(small)
-    params = init_params(jax.random.PRNGKey(0), mcfg)
+    params = dict(init_params(jax.random.PRNGKey(0), mcfg))
+    # random weights emit EOS immediately and the early-exit while_loop
+    # finishes in ~1 step (3.6M "captions"/s of empty strings). Suppress
+    # EOS so every sequence runs the full maxlen steps — the honest
+    # WORST case; trained models finish earlier and decode faster.
+    params["ff_logit_b"] = params["ff_logit_b"].at[0].set(-1e9)
     b = batch or dcfg.decode_batch
     batch = {k: v for k, v in _batch(mcfg, tcfg, b).items()
              if k in ("frames", "frame_mask")}
@@ -70,16 +75,18 @@ def bench_decode(small: bool, use_kernel: bool, iters: int = 8,
 
     @jax.jit
     def run(params, batch):
+        # scalar output: value transfer is the only reliable completion
+        # sync through this machine's axon relay (block_until_ready
+        # returns before remote execution finishes)
         return beam_decode(params, mcfg, batch, beam_size=dcfg.beam_size,
                            maxlen=dcfg.maxlen, length_norm=0.6,
-                           step_fn=step_fn).tokens
+                           step_fn=step_fn).tokens.sum()
 
-    toks = run(params, batch)
-    jax.block_until_ready(toks)              # compile + warmup
+    float(run(params, batch))                # compile + warmup + sync
     t0 = time.perf_counter()
     for _ in range(iters):
-        toks = run(params, batch)
-    jax.block_until_ready(toks)
+        s = run(params, batch)               # dispatches pipeline
+    float(s)                                 # one full sync at the end
     dt = time.perf_counter() - t0
     cps = b * iters / dt
     return cps, dt / iters
@@ -101,11 +108,11 @@ def bench_train(small: bool, use_kernel: bool, iters: int = 10,
     batch = _batch(mcfg, tcfg, tcfg.batch_size)
     batch["weight"] = batch["token_mask"][:, 0]
     state, m = step(state, batch)
-    jax.block_until_ready(m["loss"])          # compile + warmup
+    float(m["loss"])                          # compile + warmup + sync
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, batch)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])                          # full completion sync
     dt = time.perf_counter() - t0
     return iters / dt, dt / iters
 
@@ -192,11 +199,11 @@ def bench_dp(small: bool, use_kernel: bool, iters: int = 10):
     batch["weight"] = batch["token_mask"][:, 0]
     batch = parallel.shard_batch(batch, mesh)
     state, m = step(state, batch)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])                          # compile + warmup + sync
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, batch)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])                          # full completion sync
     dt = time.perf_counter() - t0
     return iters / dt, n_dev, b
 
