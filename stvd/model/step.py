@@ -114,6 +114,8 @@ def precompute(params: Params, cfg: ModelConfig, ctx: jax.Array,
     ``decoder.encode_context`` for the input fusion).
     """
     cdtype = jnp.dtype(cfg.compute_dtype)
+    # pctx stays fp32: measured on v5e, storing it bf16 costs ~8% decode
+    # (kernel re-upcasts) — attention reads are not the bottleneck
     pctx = _dot(ctx, params["Wc_att"], cdtype) + params["b_att"]
     denom = jnp.maximum(jnp.sum(ctx_mask, axis=1, keepdims=True), 1.0)
     mean_ctx = jnp.sum(ctx * ctx_mask[..., None], axis=1) / denom

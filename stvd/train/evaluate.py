@@ -81,7 +81,9 @@ def generate_captions(
         n_dev = mesh.devices.size
         bsz = max(n_dev, (bsz // n_dev) * n_dev)
     run_j = _decoder_fn(mcfg, dcfg, step_fn, mesh)
-    out: List[List[int]] = []
+    # dispatch every batch first (device pipeline), then materialize —
+    # per-batch host syncs pay the full relay RTT on this machine
+    pending = []
     for s in range(0, n_videos, bsz):
         rows = np.arange(s, min(s + bsz, n_videos))
         pad = bsz - len(rows)
@@ -91,8 +93,11 @@ def generate_captions(
         for key in ("regions", "motion"):
             if key in dev_bank:
                 batch[key] = jnp.take(dev_bank[key], rows_p, axis=0)
-        toks = np.asarray(run_j(params, batch))
-        out.extend(toks[i].tolist() for i in range(len(rows)))
+        pending.append((len(rows), run_j(params, batch)))
+    out: List[List[int]] = []
+    for n_real, toks_dev in pending:
+        toks = np.asarray(toks_dev)
+        out.extend(toks[i].tolist() for i in range(n_real))
     return out
 
 
