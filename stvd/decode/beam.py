@@ -4,8 +4,8 @@ Replaces the reference's host-side python beam search (reference
 ``model_attention.py:§gen_sample`` — SURVEY.md §3.3: python lists of
 hypotheses, one video at a time, a host<->device round-trip per token).
 Here the full batch x beam state lives in HBM; every step is one fused
-XLA program (vectorized top-k over beam*vocab, EOS retirement as masks,
-static shapes throughout) under ``lax.scan``.
+XLA program (two-stage vectorized top-k, EOS retirement as masks,
+static shapes throughout) under an early-exiting ``lax.while_loop``.
 
 Invariant (tested): ``beam_decode(k=1)`` emits exactly the greedy tokens.
 """

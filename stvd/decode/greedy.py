@@ -3,7 +3,7 @@
 Replaces the reference's per-video host loop (reference
 ``model_attention.py:§gen_sample`` with k=1 — SURVEY.md §3.3: one GPU
 round-trip PER TOKEN PER VIDEO).  Here the whole batch decodes in one
-``lax.scan`` with zero host synchronization; the step function is the
+early-exiting ``lax.while_loop`` with zero host synchronization; the step function is the
 same one training uses (BASELINE: train/infer share the step).
 """
 
