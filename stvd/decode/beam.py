@@ -12,7 +12,7 @@ Invariant (tested): ``beam_decode(k=1)`` emits exactly the greedy tokens.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +33,28 @@ class BeamOut(NamedTuple):
     lengths: jax.Array      # (B,) tokens incl. EOS of best beam
     all_tokens: jax.Array   # (B, k, maxlen)
     all_scores: jax.Array   # (B, k)
+
+
+def _topk_rows(x: jax.Array, ki: int, chunks: int = 1
+               ) -> Tuple[jax.Array, jax.Array]:
+    """Exact row-wise top-k, optionally computed over vocab chunks.
+
+    With ``chunks > 1`` the vocab axis splits into chunks, top-k runs on
+    the (rows*chunks, V/chunks) 2D view, and a second top-k merges the
+    candidates — exact (each row's global top-k is a subset of the union
+    of its per-chunk top-k).  A tuning knob for TPU top_k lowering cost
+    at large serving widths; chunks=1 is a plain 2D top_k.
+    """
+    rows, v = x.shape
+    if chunks <= 1 or v % chunks or v // chunks < ki:
+        return jax.lax.top_k(x, ki)
+    cw = v // chunks
+    vals, idx = jax.lax.top_k(x.reshape(rows * chunks, cw), ki)
+    base = (jnp.arange(chunks, dtype=jnp.int32) * cw)[None, :, None]
+    idx = (idx.reshape(rows, chunks, ki) + base).reshape(rows, chunks * ki)
+    vals = vals.reshape(rows, chunks * ki)
+    v2, i2 = jax.lax.top_k(vals, ki)
+    return v2, jnp.take_along_axis(idx, i2, axis=1)
 
 
 def _length_penalty(lengths: jax.Array, alpha: float, mode: str) -> jax.Array:
@@ -61,6 +83,7 @@ def beam_decode(
     length_norm: float = 0.6,
     norm_mode: str = "gnmt",
     step_fn: Optional[StepFn] = None,
+    topk_chunks: int = 1,
 ) -> BeamOut:
     step_fn = step_fn or step_mod.step
     params = step_mod.cast_params(params, cfg)  # one weight cast, not T
@@ -110,7 +133,8 @@ def beam_decode(
         # top-k).  The per-beam top_k runs on a 2D view: XLA's 3D top_k
         # lowering is ~12x slower on TPU (measured 5.7 vs 0.46 ms/step).
         ki = min(k, V)
-        pb_vals, pb_idx = jax.lax.top_k(logp.reshape(B * k, V), ki)
+        pb_vals, pb_idx = _topk_rows(logp.reshape(B * k, V), ki,
+                                     topk_chunks)
         pb_vals = pb_vals.reshape(B, k, ki)
         pb_idx = pb_idx.reshape(B, k, ki)
         cand = (scores[..., None] + pb_vals).reshape(B, k * ki)

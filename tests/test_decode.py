@@ -126,6 +126,25 @@ def test_greedy_return_alphas(cfg):
         np.testing.assert_allclose(sums[i, :covered], 1.0, rtol=1e-5)
 
 
+def test_topk_rows_chunked_exact():
+    from stvd.decode.beam import _topk_rows
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(12, 48), jnp.float32)
+    v0, i0 = _topk_rows(x, 5, chunks=1)
+    for chunks in (2, 4, 6):
+        v, i = _topk_rows(x, 5, chunks=chunks)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v0))
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i0))
+
+
+def test_beam_topk_chunks_equivalent(cfg):
+    params, batch = _setup(cfg)
+    a = beam_decode(params, cfg, batch, beam_size=3, maxlen=8)
+    b = beam_decode(params, cfg, batch, beam_size=3, maxlen=8,
+                    topk_chunks=4)
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+
+
 def test_decode_deterministic(cfg):
     """Same params + features -> identical tokens across invocations
     (production serving requirement; no hidden RNG in decode)."""
