@@ -47,6 +47,9 @@ class ModelConfig:
     # --- numerics ---
     param_dtype: str = "float32"    # parameter storage dtype
     compute_dtype: str = "bfloat16"  # activation dtype inside matmuls (MXU)
+    scan_unroll: int = 1            # train-scan unroll factor: batches the
+    # backward wgrad-accumulator round-trips (measured -15% step time at
+    # unroll=5 on v5e, reference scale); costs compile time, so default 1
 
     @property
     def attn_dim(self) -> int:

@@ -227,7 +227,8 @@ def forward_train(
 
         _, (hs, ctxs, alphas) = jax.lax.scan(
             body, state0,
-            (jnp.swapaxes(emb_in, 0, 1), jnp.swapaxes(x_pre_all, 0, 1)))
+            (jnp.swapaxes(emb_in, 0, 1), jnp.swapaxes(x_pre_all, 0, 1)),
+            unroll=cfg.scan_unroll)
         hs = jnp.swapaxes(hs, 0, 1)          # (B, T, dim)
         ctxs = jnp.swapaxes(ctxs, 0, 1)      # (B, T, ctx_dim)
         alphas = jnp.swapaxes(alphas, 0, 1)  # (B, T, K)
