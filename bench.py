@@ -224,6 +224,13 @@ def main():
     args = ap.parse_args()
 
     import os
+
+    import jax as _jax
+    # persistent compile cache: repeated bench invocations (driver runs,
+    # kernel/batch variants) reuse executables instead of recompiling
+    _jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     if args.cpu or os.environ.get("STVD_FORCE_CPU"):
         import jax
         jax.config.update("jax_platforms", "cpu")
