@@ -76,6 +76,8 @@ class TrainConfig:
     save_freq: int = 2000           # checkpoint every N updates
     metric: str = "meteor"          # early-stop metric: meteor|bleu4|cider|
     # rouge|nll ('blue' accepted as the reference's spelling of bleu4)
+    meteor_profile: str = "meteor2005"  # METEOR parameter profile used in
+    # validation scoring: meteor2005 | meteor15-en (metrics/meteor.py)
     ss_prob: float = 0.0            # scheduled-sampling probability
     seed: int = 1234
     reload_: bool = False           # resume from save_dir checkpoint

@@ -40,9 +40,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
     _checked = True
     if os.environ.get("STVD_NO_NATIVE"):
         return None
-    if not os.path.exists(_LIB_PATH):
-        if not build():
-            return None
+    # ALWAYS invoke make: its dependency rule makes this a cheap no-op
+    # when the .so is newer than the sources, and it guarantees edits to
+    # metrics_core.cpp can never be shadowed by a stale binary.
+    if not build() or not os.path.exists(_LIB_PATH):
+        return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:

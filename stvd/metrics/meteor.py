@@ -1,10 +1,30 @@
-"""METEOR, pure Python.
+"""METEOR, pure Python, with selectable parameter profiles.
 
 Replaces the Java METEOR-1.5 jar the reference's scorer pipes to
 (reference ``cocoeval.py`` -> coco-caption ``meteor/meteor-1.5.jar`` —
-SURVEY.md §2 row 11; no Java in this environment).  Implements the
-METEOR algorithm (Banerjee & Lavie / Denkowski & Lavie) with the English
-defaults alpha=0.85, beta=0.2, gamma=0.6 used by METEOR 1.5:
+SURVEY.md §2 row 11; no Java in this environment).
+
+Two profiles are shipped (select via ``profile=`` on every scoring
+function, or ``score_all(meteor_profile=...)``):
+
+``meteor2005`` (the DEFAULT, and the module-level ALPHA/BETA/GAMMA
+constants): the classic Banerjee & Lavie 2005 parameters —
+F = 10PR/(R+9P) i.e. alpha=0.9, penalty = 0.5*(chunks/matches)^3
+(beta=3, gamma=0.5), unweighted words, equal stage weights.  Under
+these parameters an exact match scores ~1.0, and the fast native
+aligner applies.
+
+``meteor15-en``: the METEOR-1.5 English task parameters (Denkowski &
+Lavie 2014): alpha=0.85, beta=0.2, gamma=0.6, content/function-word
+weighting delta=0.75, stage weights exact=1.0, stem=0.6, synonym=0.8.
+NOT certified jar-identical: the jar's function-word list (corpus
+relative frequency > 1e-3) is approximated here by a fixed English
+function-word set, and the jar's exhaustive beam search over
+alignments is approximated by a positional-distance heuristic.
+Treat METEOR-1.5 numbers as non-comparable to jar scores until
+validated (see PARITY.md).
+
+Common machinery for both profiles:
 
   * staged unigram alignment: exact -> Porter stem -> WordNet synonym
     (the synonym stage activates only if the WordNet corpus is present;
@@ -18,19 +38,71 @@ defaults alpha=0.85, beta=0.2, gamma=0.6 used by METEOR 1.5:
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 ALPHA = 0.9    # recall weight in F_mean: F = P*R / (a*P + (1-a)*R)
 BETA = 3.0    # fragmentation exponent
 GAMMA = 0.5    # fragmentation weight
 
-# NOTE on parameters: defaults are the classic, unambiguously documented
-# METEOR parameters (Banerjee & Lavie 2005: F = 10PR/(R+9P), penalty =
-# 0.5*(chunks/matches)^3), under which an exact match scores ~1.0.  The
-# METEOR-1.5 jar the reference uses ships retuned English weights; they
-# cannot be verified from this machine (no network, empty reference
-# mount — SURVEY.md §0), so the tuple is exposed as arguments on every
-# scoring function for exact-jar replication later.
+
+@dataclasses.dataclass(frozen=True)
+class MeteorProfile:
+    """A METEOR parameter tuple.  ``delta`` enables METEOR-1.5's
+    content/function-word weighting (None = unweighted, as in 2005);
+    ``w_exact/w_stem/w_syn`` weight matches by the stage that found
+    them (1.5 uses 1.0/0.6/0.8; 2005 weighs all stages equally)."""
+    name: str
+    alpha: float
+    beta: float
+    gamma: float
+    delta: Optional[float] = None
+    w_exact: float = 1.0
+    w_stem: float = 1.0
+    w_syn: float = 1.0
+
+    @property
+    def weighted(self) -> bool:
+        return (self.delta is not None or self.w_stem != self.w_exact
+                or self.w_syn != self.w_exact)
+
+
+PROFILES: Dict[str, MeteorProfile] = {
+    "meteor2005": MeteorProfile("meteor2005", ALPHA, BETA, GAMMA),
+    "meteor15-en": MeteorProfile("meteor15-en", 0.85, 0.2, 0.6,
+                                 delta=0.75, w_stem=0.6, w_syn=0.8),
+}
+
+
+def resolve_profile(p: Union[str, MeteorProfile, None]) -> MeteorProfile:
+    if p is None:
+        return PROFILES["meteor2005"]
+    if isinstance(p, MeteorProfile):
+        return p
+    try:
+        return PROFILES[p]
+    except KeyError:
+        raise KeyError(f"unknown METEOR profile {p!r}; "
+                       f"available: {sorted(PROFILES)}")
+
+
+# Approximation of the METEOR-1.5 English function-word list (the jar
+# derives it from corpus relative frequency > 1e-3; no corpus here).
+FUNCTION_WORDS = frozenset("""
+a an the this that these those some any each every no
+i you he she it we they me him her us them my your his its our their
+mine yours hers ours theirs myself yourself himself herself itself
+ourselves themselves
+am is are was were be been being do does did done doing have has had
+having will would shall should may might can could must ought need
+of in on at by for with about against between into through during
+before after above below to from up down out off over under again
+further once here there and but or nor so yet both either neither
+not only just than too very as if because while although though
+whether when where why how what which who whom whose
+'s n't 're 've 'll 'd 'm
+""".split())
+
 
 _stemmer = None
 _stem_cache: Dict[str, str] = {}
@@ -87,11 +159,17 @@ def _align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int]]:
     positional distance (a chunk-minimizing heuristic standing in for
     the jar's exhaustive beam search over alignments).
     """
-    matches: List[Tuple[int, int]] = []
+    return [(h, r) for h, r, _ in _align_staged(hyp, ref)]
+
+
+def _align_staged(hyp: List[str], ref: List[str]
+                  ) -> List[Tuple[int, int, int]]:
+    """(hyp_pos, ref_pos, stage) triples; stage 0=exact 1=stem 2=syn."""
+    matches: List[Tuple[int, int, int]] = []
     hyp_used = [False] * len(hyp)
     ref_used = [False] * len(ref)
 
-    def run_stage(eq) -> None:
+    def run_stage(eq, stage: int) -> None:
         for i, hw in enumerate(hyp):
             if hyp_used[i]:
                 continue
@@ -105,12 +183,12 @@ def _align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int]]:
             if best_j >= 0:
                 hyp_used[i] = True
                 ref_used[best_j] = True
-                matches.append((i, best_j))
+                matches.append((i, best_j, stage))
 
-    run_stage(lambda a, b: a == b)
-    run_stage(lambda a, b: _stem(a) == _stem(b))
+    run_stage(lambda a, b: a == b, 0)
+    run_stage(lambda a, b: _stem(a) == _stem(b), 1)
     if _get_wordnet() is not None:
-        run_stage(lambda a, b: a in _synonyms(b) or b in _synonyms(a))
+        run_stage(lambda a, b: a in _synonyms(b) or b in _synonyms(a), 2)
     return sorted(matches)
 
 
@@ -144,6 +222,10 @@ def _align_stats(hyp: List[str], ref: List[str]) -> Tuple[int, int]:
     m = _align(hyp, ref)
     return len(m), _count_chunks(m)
 
+
+# ---------------------------------------------------------------------------
+# Unweighted (2005-style) scoring — native-accelerated
+# ---------------------------------------------------------------------------
 
 def _segment_stats(hyp: List[str], refs: Sequence[List[str]],
                    alpha: float = ALPHA, beta: float = BETA,
@@ -191,9 +273,73 @@ def _score_from_stats(m: int, hlen: int, rlen: int, chunks: int,
     return f_mean * (1.0 - penalty)
 
 
+# ---------------------------------------------------------------------------
+# Weighted (METEOR-1.5-style) scoring — pure Python
+# ---------------------------------------------------------------------------
+
+def _word_weight(w: str, delta: Optional[float]) -> float:
+    if delta is None:
+        return 1.0
+    return (1.0 - delta) if w in FUNCTION_WORDS else delta
+
+
+_W15 = Tuple[float, float, float, float, int, int]  # mwh mwr whl wrl m ch
+
+
+def _segment_stats_weighted(hyp: List[str], refs: Sequence[List[str]],
+                            prof: MeteorProfile) -> _W15:
+    """Best-reference weighted stats: (weighted hyp matches, weighted
+    ref matches, weighted hyp len, weighted ref len, raw matches,
+    chunks) — the sufficient statistics of the METEOR-1.5 score."""
+    stage_w = (prof.w_exact, prof.w_stem, prof.w_syn)
+    whl = sum(_word_weight(w, prof.delta) for w in hyp)
+    best: Optional[_W15] = None
+    best_score = -1.0
+    for r in refs:
+        triples = _align_staged(hyp, r)
+        mwh = sum(stage_w[s] * _word_weight(hyp[h], prof.delta)
+                  for h, _, s in triples)
+        mwr = sum(stage_w[s] * _word_weight(r[j], prof.delta)
+                  for _, j, s in triples)
+        wrl = sum(_word_weight(w, prof.delta) for w in r)
+        ch = _count_chunks([(h, j) for h, j, _ in triples])
+        stats: _W15 = (mwh, mwr, whl, wrl, len(triples), ch)
+        s = _score_from_weighted(stats, prof)
+        if s > best_score or (s == best_score and best is not None
+                              and stats[5] < best[5]):
+            best_score = s
+            best = stats
+    return best if best is not None else (0.0, 0.0, whl, 0.0, 0, 0)
+
+
+def _score_from_weighted(stats: _W15, prof: MeteorProfile) -> float:
+    mwh, mwr, whl, wrl, m, ch = stats
+    if m == 0 or whl <= 0 or wrl <= 0:
+        return 0.0
+    p = mwh / whl
+    r = mwr / wrl
+    if p <= 0 or r <= 0:
+        return 0.0
+    f_mean = p * r / (prof.alpha * p + (1 - prof.alpha) * r)
+    penalty = prof.gamma * ((ch / m) ** prof.beta) if ch > 0 else 0.0
+    return f_mean * (1.0 - penalty)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
 def meteor_sentence(hyp: List[str], refs: Sequence[List[str]],
                     alpha: float = ALPHA, beta: float = BETA,
-                    gamma: float = GAMMA) -> float:
+                    gamma: float = GAMMA,
+                    profile: Union[str, MeteorProfile, None] = None) -> float:
+    """Segment METEOR.  ``profile`` overrides alpha/beta/gamma."""
+    if profile is not None:
+        prof = resolve_profile(profile)
+        if prof.weighted:
+            return _score_from_weighted(
+                _segment_stats_weighted(hyp, refs, prof), prof)
+        alpha, beta, gamma = prof.alpha, prof.beta, prof.gamma
     return _score_from_stats(*_segment_stats(hyp, refs, alpha, beta, gamma),
                              alpha=alpha, beta=beta, gamma=gamma)
 
@@ -201,10 +347,28 @@ def meteor_sentence(hyp: List[str], refs: Sequence[List[str]],
 def meteor_score(gts: Dict[str, List[List[str]]],
                  res: Dict[str, List[List[str]]],
                  alpha: float = ALPHA, beta: float = BETA,
-                 gamma: float = GAMMA) -> Tuple[float, Dict[str, float]]:
+                 gamma: float = GAMMA,
+                 profile: Union[str, MeteorProfile, None] = None
+                 ) -> Tuple[float, Dict[str, float]]:
     """Corpus METEOR on tokenized {id: [tokens...]} dicts (aggregated
-    statistics, matching the jar's corpus-level final score)."""
+    statistics, matching the jar's corpus-level final score).
+
+    ``profile`` selects a parameter profile ('meteor2005' default,
+    'meteor15-en'); when omitted, the explicit alpha/beta/gamma apply
+    with unweighted 2005-style statistics.
+    """
     ids = sorted(gts)
+    if profile is not None:
+        prof = resolve_profile(profile)
+        if prof.weighted:
+            tot = [0.0, 0.0, 0.0, 0.0, 0, 0]
+            for i in ids:
+                s = _segment_stats_weighted(res[i][0], gts[i], prof)
+                for k in range(6):
+                    tot[k] += s[k]
+            score = _score_from_weighted(tuple(tot), prof)
+            return score, {"METEOR": score}
+        alpha, beta, gamma = prof.alpha, prof.beta, prof.gamma
     from . import _native
     if _get_wordnet() is None and _native.get_lib() is not None:
         # one native call for the whole corpus (per-pair ctypes overhead

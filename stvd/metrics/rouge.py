@@ -39,6 +39,8 @@ def _lcs_len(a: Sequence[str], b: Sequence[str]) -> int:
 
 def rouge_l_sentence(hyp: Sequence[str],
                      refs: Sequence[Sequence[str]]) -> float:
+    if not refs:
+        return 0.0      # no ground truth: unscorable, not an error
     precs, recs = [], []
     for r in refs:
         l = _lcs_len(hyp, r)
@@ -65,6 +67,9 @@ def rouge_score(gts: Dict[str, List[List[str]]],
             ri = 0
             for v, i in enumerate(ids):
                 hyp = res[i][0]
+                if not gts[i]:
+                    scores.append(0.0)
+                    continue
                 precs, recs = [], []
                 for r in gts[i]:
                     l = int(lcs[ri])

@@ -21,13 +21,15 @@ Tok = Dict[str, List[List[str]]]
 
 
 def score_all(gts: Union[Raw, Tok], res: Union[Raw, Tok],
-              tokenized: bool = False) -> Dict[str, float]:
+              tokenized: bool = False,
+              meteor_profile: str = "meteor2005") -> Dict[str, float]:
     """Score hypotheses against references.
 
     ``gts[id]`` = list of reference captions, ``res[id]`` = list with one
     hypothesis caption.  Pass raw strings (default; PTB-tokenized here,
     like the reference pipeline) or pre-tokenized token lists with
-    ``tokenized=True``.
+    ``tokenized=True``.  ``meteor_profile`` picks the METEOR parameter
+    profile ('meteor2005' | 'meteor15-en' — see metrics/meteor.py).
     """
     missing = set(gts) - set(res)
     if missing:
@@ -38,7 +40,7 @@ def score_all(gts: Union[Raw, Tok], res: Union[Raw, Tok],
     out: Dict[str, float] = {}
     _, b = bleu_score(gts, res)
     out.update(b)
-    _, m = meteor_score(gts, res)
+    _, m = meteor_score(gts, res, profile=meteor_profile)
     out.update(m)
     _, r = rouge_score(gts, res)
     out.update(r)

@@ -241,9 +241,13 @@ def forward_train(
 
         def body(carry, xs):
             state, prev_pred = carry
-            emb_gold_t, drop_rng, ss_rng = xs
-            use_model = jax.random.bernoulli(
-                ss_rng, ss_prob, (B,))
+            t, emb_gold_t, drop_rng, ss_rng = xs
+            # t=0 always takes the gold (zero) embedding: there is no
+            # previous prediction yet, and both the teacher-forced path
+            # and the decoders feed zeros at the first step — feeding
+            # Wemb[0] (EOS) here would make the t=0 input convention
+            # inconsistent whenever ss_prob > 0.
+            use_model = jax.random.bernoulli(ss_rng, ss_prob, (B,)) & (t > 0)
             emb_model = params["Wemb"][prev_pred]
             emb_t = jnp.where(use_model[:, None], emb_model, emb_gold_t)
             out = step_fn(params, cfg, state, sc, emb_t)
@@ -256,7 +260,7 @@ def forward_train(
         init = (state0, jnp.zeros((B,), jnp.int32))
         _, (logits, alphas) = jax.lax.scan(
             body, init,
-            (jnp.swapaxes(emb_in, 0, 1), drop_rngs, ss_rngs))
+            (jnp.arange(T), jnp.swapaxes(emb_in, 0, 1), drop_rngs, ss_rngs))
         logits = jnp.swapaxes(logits, 0, 1)
         alphas = jnp.swapaxes(alphas, 0, 1)
 

@@ -34,9 +34,13 @@ def _decoder_fn(mcfg: ModelConfig, dcfg: DecodeConfig, step_fn, mesh=None):
 
     With a mesh, the batch is sharded over the data axis (data-parallel
     decoding across chips — no reference equivalent; the reference
-    decodes one video at a time on one device)."""
+    decodes one video at a time on one device).
+
+    Cache keys hold the step_fn/mesh objects themselves (identity
+    semantics) — never ``id()``, which can be reused after GC and serve
+    a stale executable for a different function."""
     key = (mcfg, dcfg.beam_size, dcfg.maxlen, dcfg.length_norm,
-           id(step_fn), id(mesh))
+           step_fn, mesh)
     fn = _DECODER_CACHE.get(key)
     if fn is None:
         def run(params, batch):
@@ -133,4 +137,4 @@ def evaluate_split(
         with open(os.path.join(save_dir, f"{split}_samples.json"), "w") as f:
             json.dump([{"image_id": v, "caption": hyps[v][0]}
                        for v in ds.bank.ids if v in hyps], f, indent=1)
-    return score_all(gts, hyps)
+    return score_all(gts, hyps, meteor_profile=cfg.train.meteor_profile)

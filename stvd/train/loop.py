@@ -166,8 +166,10 @@ _EVAL_NLL_CACHE: Dict[Any, Any] = {}
 
 def make_eval_nll(mcfg: ModelConfig, step_fn: Optional[StepFn] = None):
     """Jitted validation NLL terms (reference §pred_probs), cached per
-    config so repeated validation rounds reuse one executable."""
-    key = (mcfg, id(step_fn))
+    config so repeated validation rounds reuse one executable.  The key
+    holds step_fn itself (identity semantics, keeps it alive) — not
+    ``id()``, which can be reused after GC."""
+    key = (mcfg, step_fn)
     fn = _EVAL_NLL_CACHE.get(key)
     if fn is None:
         from .loss import loss_terms
@@ -224,6 +226,42 @@ def restore_checkpoint(path: str, template: TrainState) -> TrainState:
     return jax.tree.map(jnp.asarray, restored)
 
 
+def _fit_state_path(save_dir: str) -> str:
+    return os.path.join(save_dir, "fit_state.json")
+
+
+def save_fit_state(save_dir: str, *, best: float, best_step: int,
+                   bad_rounds: int, history: list, metric: str) -> None:
+    """Persist the early-stop bookkeeping next to the Orbax checkpoint
+    (the reference saves ``history_errs`` with the model — SURVEY.md §5;
+    without this, a resumed run re-saves a worse "best" checkpoint and
+    restarts patience from zero)."""
+    import json
+    import math
+    d = {"best": float(best) if math.isfinite(best) else None,
+         "best_step": int(best_step), "bad_rounds": int(bad_rounds),
+         "history": history, "metric": metric}
+    path = _fit_state_path(save_dir)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(d, f)
+    os.replace(tmp, path)
+
+
+def load_fit_state(save_dir: str, metric: str) -> Optional[dict]:
+    """Early-stop state from a previous fit(), or None if absent or the
+    early-stop metric changed (stale best values are not comparable)."""
+    import json
+    path = _fit_state_path(save_dir)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        d = json.load(f)
+    if d.get("metric") != metric:
+        return None
+    return d
+
+
 # ---------------------------------------------------------------------------
 # The full fit loop (reference train() epoch loop)
 # ---------------------------------------------------------------------------
@@ -234,6 +272,7 @@ class FitResult:
     best_step: int
     history: list
     state: TrainState
+    bad_rounds: int = 0
 
 
 def fit(
@@ -245,12 +284,16 @@ def fit(
     logger: Optional[MetricsLogger] = None,
     max_updates: Optional[int] = None,
     use_shard_map: bool = False,
+    test_ds: Optional[Dataset] = None,
 ) -> FitResult:
     """Train until max_epochs / patience exhausted (reference §train).
 
     Early stopping: track the chosen validation metric (meteor/bleu4/
     cider from generated captions, or nll); save best + periodic
-    checkpoints in cfg.train.save_dir.
+    checkpoints in cfg.train.save_dir.  ``test_ds``, when given, is
+    scored at every validation round exactly like the reference's
+    train() (SURVEY.md §3.1 computes NLL + metrics for valid AND test
+    every validFreq) — model selection still uses valid only.
     """
     tcfg, mcfg = cfg.train, cfg.model
     if mesh is not None and tcfg.batch_size % mesh.devices.size != 0:
@@ -267,11 +310,26 @@ def fit(
     if mesh is not None:
         state = parallel.replicate(state, mesh)
 
+    metric_name = tcfg.metric
+    bigger_is_better = metric_name != "nll"
+    best = -np.inf if bigger_is_better else np.inf
+    best_step = 0
+    bad_rounds = 0
+    history = []
+
     ckpt_dir = os.path.join(tcfg.save_dir, "ckpt")
     best_dir = os.path.join(tcfg.save_dir, "ckpt_best")
     if tcfg.reload_ and os.path.exists(ckpt_dir):
         state = restore_checkpoint(ckpt_dir, state)
-        log.log("reload", step=int(state["step"]))
+        fs = load_fit_state(tcfg.save_dir, metric_name)
+        if fs is not None:
+            if fs["best"] is not None:
+                best = fs["best"]
+            best_step = fs["best_step"]
+            bad_rounds = fs["bad_rounds"]
+            history = fs["history"]
+        log.log("reload", step=int(state["step"]), best=float(best),
+                bad_rounds=bad_rounds)
 
     train_step = make_train_step(mcfg, tcfg, step_fn, mesh,
                                  use_shard_map=use_shard_map)
@@ -281,14 +339,13 @@ def fit(
     from ..utils.profiling import StepTimer
     timer = StepTimer(window=max(tcfg.disp_freq, 10))
 
-    metric_name = tcfg.metric
-    bigger_is_better = metric_name != "nll"
-    best = -np.inf if bigger_is_better else np.inf
-    best_step = 0
-    bad_rounds = 0
-    history = []
     update = int(state["step"])
     stop = False
+
+    def _persist_fit_state():
+        save_fit_state(tcfg.save_dir, best=best, best_step=best_step,
+                       bad_rounds=bad_rounds, history=history,
+                       metric=metric_name)
 
     try:
         for epoch in range(tcfg.max_epochs):
@@ -314,6 +371,9 @@ def fit(
                         and valid_ds is not None:
                     scores = _validate(state["params"], cfg, valid_ds,
                                        step_fn, log, update)
+                    if test_ds is not None:
+                        _validate(state["params"], cfg, test_ds, step_fn,
+                                  log, update, split="test")
                     val = scores[_metric_key(metric_name)]
                     history.append({"update": update, **scores})
                     improved = ((val > best) if bigger_is_better
@@ -329,9 +389,12 @@ def fit(
                             log.log("early_stop", update=update,
                                     bad_rounds=bad_rounds)
                             stop = True
-                            break
+                    _persist_fit_state()
+                    if stop:
+                        break
                 if tcfg.save_freq > 0 and update % tcfg.save_freq == 0:
                     save_checkpoint(ckpt_dir, state)
+                    _persist_fit_state()
                 if max_updates is not None and update >= max_updates:
                     stop = True
                     break
@@ -340,10 +403,11 @@ def fit(
         # reference loses all progress since the last saveFreq save)
         log.log("interrupt", update=update)
     save_checkpoint(ckpt_dir, state)
+    _persist_fit_state()
     if own_logger:
         log.close()
     return FitResult(best_metric=float(best), best_step=best_step,
-                     history=history, state=state)
+                     history=history, state=state, bad_rounds=bad_rounds)
 
 
 def _make_sampler(mcfg: ModelConfig, maxlen: int, step_fn):
@@ -381,13 +445,13 @@ def _metric_key(name: str) -> str:
 
 
 def _validate(params, cfg: Config, valid_ds: Dataset, step_fn, log,
-              update: int) -> Dict[str, float]:
+              update: int, split: str = "valid") -> Dict[str, float]:
     nll = evaluate_nll(params, cfg.model, valid_ds,
                        cfg.train.valid_batch_size, step_fn)
-    scores = evaluate_split(params, cfg, valid_ds, split="valid",
+    scores = evaluate_split(params, cfg, valid_ds, split=split,
                             save_dir=cfg.train.save_dir, step_fn=step_fn)
     scores["nll"] = nll
-    log.log("valid", update=update, **scores)
+    log.log(split, update=update, **scores)
     return scores
 
 

@@ -115,9 +115,91 @@ def test_cider_single_video_degenerate():
     assert d["CIDEr"] == 0.0
 
 
+def test_meteor_profile_2005_hand_computed():
+    """Pin the meteor2005 formula on a hand-computed pair.
+
+    hyp=[the cat sat on mat] vs ref=[the cat sat on the mat]:
+    5 exact matches, hyp positions 0..4 align to ref 0,1,2,3,5 -> 2
+    chunks.  P=5/5, R=5/6, F=PR/(.9P+.1R), pen=.5*(2/5)^3."""
+    from stvd.metrics.meteor import meteor_sentence
+    hyp = ["the", "cat", "sat", "on", "mat"]
+    ref = ["the", "cat", "sat", "on", "the", "mat"]
+    p, r = 1.0, 5 / 6
+    f = p * r / (0.9 * p + 0.1 * r)
+    pen = 0.5 * (2 / 5) ** 3
+    assert meteor_sentence(hyp, [ref], profile="meteor2005") == \
+        pytest.approx(f * (1 - pen))
+
+
+def test_meteor_profile_15en_hand_computed():
+    """Pin the meteor15-en formula (alpha=.85, beta=.2, gamma=.6,
+    delta=.75 content weighting) on the same pair.
+
+    Function words: the, on (weight .25); content: cat sat mat (.75).
+    All 5 matches are exact (stage weight 1): weighted hyp matches =
+    weighted hyp len = 2.75; weighted ref matches = 2.75, weighted ref
+    len = 3.0 (extra 'the').  2 chunks of 5 matches."""
+    from stvd.metrics.meteor import meteor_sentence
+    hyp = ["the", "cat", "sat", "on", "mat"]
+    ref = ["the", "cat", "sat", "on", "the", "mat"]
+    p = 2.75 / 2.75
+    r = 2.75 / 3.0
+    f = p * r / (0.85 * p + 0.15 * r)
+    pen = 0.6 * (2 / 5) ** 0.2
+    assert meteor_sentence(hyp, [ref], profile="meteor15-en") == \
+        pytest.approx(f * (1 - pen))
+
+
+def test_meteor_profile_15en_stage_weights():
+    """Stem-stage matches carry weight 0.6 in meteor15-en: 'dogs' vs
+    'dog' is one stem match of a content word -> P=R=0.6, single chunk
+    penalty .6*1^.2."""
+    from stvd.metrics.meteor import meteor_sentence
+    s = meteor_sentence(["dogs"], [["dog"]], profile="meteor15-en")
+    p = r = (0.6 * 0.75) / 0.75
+    f = p * r / (0.85 * p + 0.15 * r)
+    assert s == pytest.approx(f * (1 - 0.6))
+
+
+def test_meteor_profile_plumbed_through_score_all():
+    gts = {"a": ["the cat sat on the mat"]}
+    res = {"a": ["the cat sat on mat"]}
+    s05 = score_all(gts, res, meteor_profile="meteor2005")["METEOR"]
+    s15 = score_all(gts, res, meteor_profile="meteor15-en")["METEOR"]
+    assert s05 != s15           # profiles actually change the number
+    assert 0 < s15 < s05        # beta=.2 penalizes fragmentation harder
+
+
+def test_meteor_unknown_profile_raises():
+    from stvd.metrics.meteor import meteor_score
+    with pytest.raises(KeyError):
+        meteor_score({"a": [["x"]]}, {"a": [["x"]]}, profile="nope")
+
+
 def test_ptb_tokenize():
     assert ptb_tokenize("A man, playing GUITAR!") == ["a", "man", "playing",
                                                       "guitar"]
+
+
+def test_ptb_tokenize_clitics():
+    """PTB keeps clitics as their own apostrophe-bearing tokens
+    (Stanford PTBTokenizer: "man's" -> [man, 's])."""
+    assert ptb_tokenize("the man's dog") == ["the", "man", "'s", "dog"]
+    assert ptb_tokenize("don't run") == ["do", "n't", "run"]
+    assert ptb_tokenize("they're, we've, I'll, he'd, I'm") == \
+        ["they", "'re", "we", "'ve", "i", "'ll", "he", "'d", "i", "'m"]
+    # a bare apostrophe is punctuation, not a clitic
+    assert ptb_tokenize("the dogs' bones") == ["the", "dogs", "bones"]
+
+
+def test_rouge_empty_refs_scores_zero():
+    """A video with zero references scores 0, not ValueError
+    (score_all is a public API; evaluate_split filters but callers
+    may not)."""
+    assert rouge_l_sentence(["a", "b"], []) == 0.0
+    avg, d = rouge_score({"v": [], "w": [["a", "b"]]},
+                         {"v": [["a", "b"]], "w": [["a", "b"]]})
+    assert d["ROUGE_L"] == pytest.approx(0.5)
 
 
 def test_score_all_interface():

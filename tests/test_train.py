@@ -182,3 +182,77 @@ def test_fit_reload_resumes(tmp_path):
     res2 = fit(cfg2, train_ds, None, max_updates=6)
     # resumed from step 4 (the final checkpoint), trained 2 more
     assert int(res2.state["step"]) == 6
+
+
+def test_early_stop_state_survives_resume(tmp_path, monkeypatch):
+    """Reference train() persists history_errs with the model (SURVEY.md
+    §5).  A resumed run must (a) keep the saved best, so a worse
+    validation does NOT overwrite ckpt_best, and (b) continue counting
+    patience from the saved bad_rounds instead of restarting."""
+    import stvd.train.loop as loop_mod
+
+    base = dataclasses.replace(
+        TCFG, max_epochs=50, valid_freq=2, save_freq=2, disp_freq=100,
+        sample_freq=0, patience=3, valid_batch_size=8, maxlen=10,
+        save_dir=str(tmp_path / "run"), metric="bleu4")
+    cfg = Config(model=MCFG, train=base,
+                 decode=DecodeConfig(beam_size=1, maxlen=10, decode_batch=4))
+    train_ds = synthetic_dataset(n_videos=8, captions_per_video=1, k=6,
+                                 d=32, maxlen=10, seed=0)
+    valid_ds = synthetic_dataset(n_videos=4, captions_per_video=1, k=6,
+                                 d=32, maxlen=10, seed=1)
+    res1 = fit(cfg, train_ds, valid_ds, max_updates=4)
+    assert res1.history
+    best1 = res1.best_metric
+    assert os.path.exists(os.path.join(base.save_dir, "fit_state.json"))
+
+    # resume with every validation forced WORSE than the saved best
+    monkeypatch.setattr(
+        loop_mod, "evaluate_split",
+        lambda *a, **k: {"Bleu_1": -1.0, "Bleu_2": -1.0, "Bleu_3": -1.0,
+                         "Bleu_4": -1.0, "METEOR": -1.0, "ROUGE_L": -1.0,
+                         "CIDEr": -1.0})
+    saved_paths = []
+    real_save = loop_mod.save_checkpoint
+    monkeypatch.setattr(
+        loop_mod, "save_checkpoint",
+        lambda p, s: (saved_paths.append(p), real_save(p, s)))
+    cfg2 = Config(model=MCFG, train=dataclasses.replace(base, reload_=True),
+                  decode=DecodeConfig(beam_size=1, maxlen=10, decode_batch=4))
+    res2 = fit(cfg2, train_ds, valid_ds, max_updates=20)
+    # the stale best survived the reload and was never overwritten
+    assert res2.best_metric == best1
+    assert not any(p.endswith("ckpt_best") for p in saved_paths)
+    # patience kept counting: 3 worse rounds after resume -> early stop
+    # well before max_updates (validations at 6, 8, 10)
+    assert res2.bad_rounds >= 3
+    assert int(res2.state["step"]) <= 10
+
+
+def test_executable_caches_key_on_objects():
+    """Decoder/eval caches must key on the step_fn object itself (which
+    keeps it alive), never id(): after GC a recycled id could serve a
+    stale executable compiled for a different function."""
+    import stvd.train.evaluate as ev
+    import stvd.train.loop as loop_mod
+    from stvd.model import step as step_mod
+
+    dcfg = DecodeConfig(beam_size=1, maxlen=4, decode_batch=2)
+
+    def mk():
+        def sf(*a, **kw):
+            return step_mod.step(*a, **kw)
+        return sf
+
+    f1, f2 = mk(), mk()
+    d1 = ev._decoder_fn(MCFG, dcfg, f1)
+    d2 = ev._decoder_fn(MCFG, dcfg, f2)
+    assert d1 is not d2                      # distinct fns -> distinct entries
+    assert ev._decoder_fn(MCFG, dcfg, f1) is d1   # stable on re-query
+    e1 = loop_mod.make_eval_nll(MCFG, f1)
+    e2 = loop_mod.make_eval_nll(MCFG, f2)
+    assert e1 is not e2
+    # the caches hold the function objects, so they can't be GC'd while
+    # cached (id-reuse is structurally impossible)
+    assert any(f1 in k for k in ev._DECODER_CACHE)
+    assert any(f1 in k for k in loop_mod._EVAL_NLL_CACHE)
