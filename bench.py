@@ -23,6 +23,52 @@ sys.path.insert(0, ".")
 
 LEGACY_CAPTIONS_PER_SEC = 2.5   # documented estimate, see module docstring
 
+# v5e-1 peaks (public spec): 197 TFLOP/s bf16, ~820 GB/s HBM
+V5E_PEAK_FLOPS = 197e12
+V5E_HBM_BW = 820e9
+
+
+def decode_cost_model(mcfg, batch: int, beam: int):
+    """Analytic per-while-step FLOPs and HBM bytes for beam decode.
+
+    CORRECTED round-2 model (the round-1 BASELINE.md roofline assumed
+    the decode is weight-bandwidth-bound; per-fusion profiling on v5e
+    showed the combined gates matmul runs at ~181 TF/s — COMPUTE-bound
+    — so both bounds are reported).  Weight re-reads per step: the
+    [W;U;Wc] gates stack, the h attention projection, the logit-stack
+    weights, and the vocab matrix streamed by the fused tail kernel.
+    """
+    bt = batch * beam
+    d, dw, dc, a, v = (mcfg.dim, mcfg.dim_word, mcfg.ctx_dim,
+                       mcfg.attn_dim, mcfg.n_words)
+    k_f = mcfg.n_frames
+    flops = (
+        2 * bt * d * (a + 1)              # h @ [Wd_att | W_sel]
+        + 2 * bt * (dw + d + dc) * 4 * d  # [emb|h|ctx] @ [W;U;Wc]
+        + 4 * bt * k_f * a                # attention scores (tanh+reduce)
+        + 2 * bt * k_f * dc               # context reduction
+        + 2 * bt * d * dw + 2 * bt * dc * dw  # logit activation matmuls
+        + 2 * bt * dw * v                 # vocab matmul (tail kernel)
+    )
+    wbytes = 2 * ((dw + d + dc) * 4 * d   # gates stack, bf16
+                  + d * (a + 1)           # attention projection
+                  + dw * (d + dc)         # logit stack (transposed reads)
+                  + dw * v                # vocab matrix
+                  + dc * a)               # pctx precompute share ~0 (hoisted)
+    abytes = (4 * 4 * bt * d              # h,c carries r/w fp32
+              + 2 * 2 * bt * (dw + d + dc)  # x_cat concat r/w bf16
+              + 2 * batch * k_f * (a + dc) * 2)  # pctx/ctx attention reads
+    return flops, wbytes + abytes
+
+
+def roofline(flops: float, hbm_bytes: float, step_s: float):
+    """(mfu, hbm_bw_util, roofline_ratio): utilization vs chip peaks and
+    measured-time / max(compute-bound, bandwidth-bound) floor."""
+    mfu = flops / (V5E_PEAK_FLOPS * step_s)
+    bw = hbm_bytes / (V5E_HBM_BW * step_s)
+    floor = max(flops / V5E_PEAK_FLOPS, hbm_bytes / V5E_HBM_BW)
+    return round(mfu, 4), round(bw, 4), round(step_s / floor, 2)
+
 
 def _cfgs(small: bool):
     from stvd.config import ModelConfig, TrainConfig, DecodeConfig
@@ -93,6 +139,34 @@ def bench_decode(small: bool, use_kernel: bool, iters: int = 8,
     return cps, dt / iters
 
 
+def bench_greedy(use_kernel: bool, iters: int = 4, batch: int = 512):
+    """Config-1 (greedy) decode throughput at reference scale."""
+    import jax
+    from stvd.decode.greedy import greedy_decode
+    from stvd.model.decoder import init_params
+    from stvd.model.kernel import get_step_fn
+
+    mcfg, tcfg, dcfg = _cfgs(False)
+    params = dict(init_params(jax.random.PRNGKey(0), mcfg))
+    params["ff_logit_b"] = params["ff_logit_b"].at[0].set(-1e9)
+    b = {k: v for k, v in _batch(mcfg, tcfg, batch).items()
+         if k in ("frames", "frame_mask")}
+    step_fn = get_step_fn(use_kernel)
+
+    @jax.jit
+    def run(params, b):
+        return greedy_decode(params, mcfg, b, maxlen=dcfg.maxlen,
+                             step_fn=step_fn).tokens.sum()
+
+    float(run(params, b))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s = run(params, b)
+    float(s)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt, dt / iters
+
+
 def bench_train(small: bool, use_kernel: bool, iters: int = 10,
                 batch: int = 0):
     import dataclasses
@@ -118,7 +192,7 @@ def bench_train(small: bool, use_kernel: bool, iters: int = 10,
     return iters / dt, dt / iters
 
 
-def probe_device(timeout_s: int = 60) -> bool:
+def probe_device(timeout_s: int = 150) -> bool:
     """Run a trivial computation in a subprocess with a timeout.
 
     A SIGKILLed TPU client can wedge this machine's axon tunnel so that
@@ -298,23 +372,43 @@ def main():
         **extras,
     }
     if not args.small:
-        # larger batch amortizes per-step fixed costs (serving config)
-        cps256, _ = bench_decode(False, args.kernel,
-                                 max(2, args.iters // 2), batch=256)
-        out["captions_per_sec_batch256"] = round(cps256, 2)
-        if cps256 > cps:
-            out["value"] = round(cps256, 2)
-            out["batch"] = 256
+        mcfg, tcfg, dcfg = _cfgs(False)
+        best_b = dcfg.decode_batch
+        # larger batch amortizes weight reads until VMEM spill; v5e
+        # sweet spot measured at 384 (round 2), 256 kept for history
+        for b in (256, 384):
+            cps_b, pb = bench_decode(False, args.kernel,
+                                     max(2, args.iters // 2), batch=b)
+            out[f"captions_per_sec_batch{b}"] = round(cps_b, 2)
+            if cps_b > out["value"]:
+                out["value"] = round(cps_b, 2)
+                out["batch"] = b
+                per_batch = pb
+                best_b = b
         if not args.kernel:
-            # the fused Pallas kernels measured +8% on v5e — report the
-            # better step implementation as the headline
-            cps_k, _ = bench_decode(False, True, max(2, args.iters // 2),
-                                    batch=256)
+            # the fused Pallas kernels (attention core + logit tail)
+            # are the production step — report the better as headline
+            cps_k, pb = bench_decode(False, True, max(2, args.iters // 2),
+                                     batch=384)
             out["captions_per_sec_kernel"] = round(cps_k, 2)
             if cps_k > out["value"]:
                 out["value"] = round(cps_k, 2)
                 out["kernel"] = True
-                out["batch"] = 256
+                out["batch"] = 384
+                per_batch = pb
+                best_b = 384
+        # corrected cost model (round 2): MFU / HBM utilization /
+        # distance from the compute-vs-bandwidth roofline floor
+        step_s = per_batch / dcfg.maxlen
+        flops, hbm = decode_cost_model(mcfg, best_b, dcfg.beam_size)
+        mfu, bwu, ratio = roofline(flops, hbm, step_s)
+        out["mfu"] = mfu
+        out["hbm_bw_util"] = bwu
+        out["roofline_ratio"] = ratio
+        # config-1 greedy headline rides along (fused tail top-1)
+        g_cps, _ = bench_greedy(args.kernel or True,
+                                max(2, args.iters // 2), batch=512)
+        out["greedy_captions_per_sec"] = round(g_cps, 2)
         out["vs_baseline"] = round(out["value"] / LEGACY_CAPTIONS_PER_SEC, 1)
     print(json.dumps(out))
 

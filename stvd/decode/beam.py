@@ -90,6 +90,14 @@ def beam_decode(
     k = beam_size
     B = batch["frames"].shape[0]
     V = cfg.n_words
+    ki = min(k, V)
+
+    # fused Pallas logit tail (matmul+logsumexp+top-k, see
+    # kernel.make_logit_tail) when the step function provides one; built
+    # OUTSIDE the while_loop so its weight prep is loop-invariant
+    mk_tail = getattr(step_fn, "make_logit_tail", None)
+    tail = mk_tail(params["ff_logit_W"], params["ff_logit_b"], ki) \
+        if mk_tail is not None else None
 
     ctx = encode_context(params, cfg, batch["frames"], batch.get("motion"))
     sc = precompute(params, cfg, ctx, batch["frame_mask"],
@@ -118,25 +126,34 @@ def beam_decode(
             t == 0, jnp.zeros((B * k, cfg.dim_word), params["Wemb"].dtype),
             params["Wemb"][prev.reshape(B * k)])
         out = step_fn(params, cfg, StepState(h, c), sc, emb_t)
-        logits = logits_from_states(params, cfg, out.h, out.ctx_t, emb_t,
-                                    train=False)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        logp = logp.reshape(B, k, V)
+        if tail is not None:
+            # fused path: logits never materialize at (B*k, V)
+            act = step_mod.logit_activation(params, cfg, out.h, out.ctx_t,
+                                            emb_t, train=False)
+            vals, idx, lse = tail(act)
+            pb_vals = (vals - lse[:, None]).reshape(B, k, ki)
+            pb_idx = idx.reshape(B, k, ki)
+        else:
+            logits = logits_from_states(params, cfg, out.h, out.ctx_t,
+                                        emb_t, train=False)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            # two-stage top-k: per-beam top-k over V, then merge over
+            # k*ki — avoids a single top-k across k*V lanes
+            # (TPU-friendly; exact, since the global top-k of the union
+            # is within each beam's top-k).  The per-beam top_k runs on
+            # a 2D view: XLA's 3D top_k lowering is ~12x slower on TPU
+            # (measured 5.7 vs 0.46 ms/step).
+            pb_vals, pb_idx = _topk_rows(logp.reshape(B * k, V), ki,
+                                         topk_chunks)
+            pb_vals = pb_vals.reshape(B, k, ki)
+            pb_idx = pb_idx.reshape(B, k, ki)
 
         # finished beams may only extend with EOS at zero cost
-        eos_only = jnp.full((V,), _NEG).at[EOS_ID].set(0.0)
-        logp = jnp.where(finished[..., None], eos_only[None, None, :], logp)
-
-        # two-stage top-k: per-beam top-k over V, then merge over k*ki —
-        # avoids a single top-k across k*V lanes (TPU-friendly; exact,
-        # since the global top-k of the union is within each beam's
-        # top-k).  The per-beam top_k runs on a 2D view: XLA's 3D top_k
-        # lowering is ~12x slower on TPU (measured 5.7 vs 0.46 ms/step).
-        ki = min(k, V)
-        pb_vals, pb_idx = _topk_rows(logp.reshape(B * k, V), ki,
-                                     topk_chunks)
-        pb_vals = pb_vals.reshape(B, k, ki)
-        pb_idx = pb_idx.reshape(B, k, ki)
+        eos_vals = jnp.full((ki,), _NEG).at[0].set(0.0)
+        eos_idx = jnp.where(jnp.arange(ki, dtype=jnp.int32) == 0, EOS_ID,
+                            jnp.arange(ki, dtype=jnp.int32))
+        pb_vals = jnp.where(finished[..., None], eos_vals, pb_vals)
+        pb_idx = jnp.where(finished[..., None], eos_idx, pb_idx)
         cand = (scores[..., None] + pb_vals).reshape(B, k * ki)
         new_scores, merge_idx = jax.lax.top_k(cand, k)         # (B, k)
         parent = (merge_idx // ki).astype(jnp.int32)

@@ -46,6 +46,11 @@ def greedy_decode(
     step_fn = step_fn or step_mod.step
     params = step_mod.cast_params(params, cfg)  # one weight cast, not T
     B = batch["frames"].shape[0]
+    # fused Pallas logit tail (top-1 + logsumexp, no (B, V) logits in
+    # HBM) when the step function provides one; built outside the loop
+    mk_tail = getattr(step_fn, "make_logit_tail", None)
+    tail = mk_tail(params["ff_logit_W"], params["ff_logit_b"], 1) \
+        if mk_tail is not None else None
     ctx = encode_context(params, cfg, batch["frames"], batch.get("motion"))
     sc = precompute(params, cfg, ctx, batch["frame_mask"],
                     batch.get("regions"))
@@ -67,11 +72,18 @@ def greedy_decode(
                           jnp.zeros((B, cfg.dim_word), params["Wemb"].dtype),
                           params["Wemb"][prev])
         out = step_fn(params, cfg, state, sc, emb_t)
-        logits = logits_from_states(params, cfg, out.h, out.ctx_t, emb_t,
-                                    train=False)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
-        tok_logp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+        if tail is not None:
+            act = step_mod.logit_activation(params, cfg, out.h, out.ctx_t,
+                                            emb_t, train=False)
+            vals, idx, lse = tail(act)
+            nxt = idx[:, 0]
+            tok_logp = vals[:, 0] - lse
+        else:
+            logits = logits_from_states(params, cfg, out.h, out.ctx_t,
+                                        emb_t, train=False)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+            tok_logp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
         alive = jnp.logical_not(finished)
         score = score + jnp.where(alive, tok_logp, 0.0)
         length = length + alive.astype(jnp.int32)

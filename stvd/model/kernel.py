@@ -346,12 +346,211 @@ def attention_core_pallas(h_att, beta_logit, pctx, ctx, ctx_mask, u_att,
                       jnp.asarray(c_att), jnp.asarray(b_sel), selector)
 
 
+# ---------------------------------------------------------------------------
+# Fused logit tail: vocab matmul + streaming logsumexp + streaming top-k.
+#
+# Round-2 profiling (tools/profile_decode.py on v5e-1, beam=5, b=256)
+# showed XLA's top_k over (B*k, 13056) at 0.62 ms/step — 24% of the
+# whole decode step — plus ~0.3 ms/step materializing the f32
+# (B*k, n_words) logits+logp in HBM, and at b=512 those tensors blow the
+# VMEM working set and regress everything around them.  This kernel
+# computes the vocab logits TILE BY TILE in VMEM and reduces them
+# immediately to (top-k values, top-k indices, logsumexp) — the
+# (rows, n_words) matrix never exists in HBM.
+# ---------------------------------------------------------------------------
+
+_IDX_BIG = 2 ** 30   # plain int: jnp scalars would be captured consts
+
+
+def _make_tail_kernel(k_sel: int, tv: int):
+    def kernel(x_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref,
+               m_scr, s_scr, bv_scr, bi_scr):
+        j = pl.program_id(1)
+        nv = pl.num_programs(1)
+
+        @pl.when(j == 0)
+        def _():
+            m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+            s_scr[:] = jnp.zeros_like(s_scr)
+            bv_scr[:] = jnp.full_like(bv_scr, _NEG_INF)
+            bi_scr[:] = jnp.zeros_like(bi_scr)
+
+        logits = jnp.dot(x_ref[:], w_ref[:],
+                         preferred_element_type=jnp.float32) + b_ref[:]
+        tr = logits.shape[0]
+
+        # streaming logsumexp (flash-softmax style rescaling)
+        tile_max = jnp.max(logits, axis=1, keepdims=True)        # (TR,1)
+        m_old = m_scr[:]
+        m_new = jnp.maximum(m_old, tile_max)
+        s_scr[:] = (s_scr[:] * jnp.exp(m_old - m_new)
+                    + jnp.sum(jnp.exp(logits - m_new), axis=1,
+                              keepdims=True))
+        m_scr[:] = m_new
+
+        # streaming top-k: k_sel masked-max passes over the tile, each
+        # candidate insertion-merged into the running sorted top-k.
+        # Ties resolve to the lowest global index (jax.lax.top_k
+        # semantics): within a tile the first pass takes the lowest
+        # index among equals, and the merge keeps existing (earlier,
+        # lower-index) entries ahead of equal-valued candidates.
+        cols = (jax.lax.broadcasted_iota(jnp.int32, (tr, tv), 1)
+                + j * tv)
+        lt = logits
+        for _ in range(k_sel):
+            v = jnp.max(lt, axis=1, keepdims=True)               # (TR,1)
+            ismax = lt == v
+            iv = jnp.min(jnp.where(ismax, cols, _IDX_BIG), axis=1,
+                         keepdims=True)                          # (TR,1)
+            lt = jnp.where(cols == iv, _NEG_INF, lt)
+            # insertion merge into the sorted running top-k
+            bv = bv_scr[:]
+            bi = bi_scr[:]
+            rank = jnp.sum((bv >= v).astype(jnp.int32), axis=1,
+                           keepdims=True)                        # (TR,1)
+            new_v, new_i = [], []
+            for p in range(k_sel):
+                keep = rank > p
+                ins = rank == p
+                pv = bv[:, p - 1:p] if p > 0 else v
+                pi = bi[:, p - 1:p] if p > 0 else iv
+                new_v.append(jnp.where(keep, bv[:, p:p + 1],
+                                       jnp.where(ins, v, pv)))
+                new_i.append(jnp.where(keep, bi[:, p:p + 1],
+                                       jnp.where(ins, iv, pi)))
+            bv_scr[:] = jnp.concatenate(new_v, axis=1)
+            bi_scr[:] = jnp.concatenate(new_i, axis=1)
+
+        @pl.when(j == nv - 1)
+        def _():
+            vals_ref[:] = bv_scr[:]
+            idx_ref[:] = bi_scr[:]
+            lse_ref[:] = m_scr[:] + jnp.log(s_scr[:])
+
+    return kernel
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pick_row_tile(rows: int, cap: int = 256) -> int:
+    for tr in (256, 128, 64, 32, 16, 8):
+        if tr <= cap and rows % tr == 0:
+            return tr
+    return 8
+
+
+def _pick_vocab_tile(v: int, cap: int = 4608) -> int:
+    # cap tuned on v5e-1: tv=4352/tr=128 ran 0.537 ms/step at
+    # (1280x512)@(512x13056) vs 0.646 at tv=2176 and 1.014 for the XLA
+    # matmul+log_softmax+top_k path (tv=6528 fails to compile: VMEM)
+    """Largest 128-multiple tile <= cap that divides round_up(v, 128)
+    (no tile -> no padded vocab copy; 13056 = 6 x 2176, 20096 = 2 x
+    10048 ... falls back to padding only when v128 is prime x 128)."""
+    v128 = _round_up(v, 128) // 128
+    best = 0
+    for d in range(1, v128 + 1):
+        if v128 % d == 0 and d * 128 <= cap:
+            best = d * 128
+    return best if best else min(cap, 2048)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k_sel", "tv", "tr_cap", "interpret"))
+def _tail_pallas_call(x, w, b, k_sel: int, tv: int, tr_cap: int,
+                      interpret: bool):
+    rows, dw = x.shape
+    vp = w.shape[1]
+    rp = _round_up(rows, 8)
+    tr = _pick_row_tile(rp, tr_cap)
+    if rp != rows:
+        x = jnp.pad(x, ((0, rp - rows), (0, 0)))
+    grid = (rp // tr, vp // tv)
+    f32 = jnp.float32
+    vals, idx, lse = pl.pallas_call(
+        _make_tail_kernel(k_sel, tv),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tr, dw), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),               # x
+            pl.BlockSpec((dw, tv), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),               # w
+            pl.BlockSpec((1, tv), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),               # bias
+        ],
+        out_specs=(
+            pl.BlockSpec((tr, k_sel), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, k_sel), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((rp, k_sel), f32),
+                   jax.ShapeDtypeStruct((rp, k_sel), jnp.int32),
+                   jax.ShapeDtypeStruct((rp, 1), f32)),
+        scratch_shapes=[
+            pltpu.VMEM((tr, 1), f32),          # running max
+            pltpu.VMEM((tr, 1), f32),          # running sumexp
+            pltpu.VMEM((tr, k_sel), f32),      # running top-k values
+            pltpu.VMEM((tr, k_sel), jnp.int32),  # running top-k indices
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rp * dw * vp,
+            bytes_accessed=(rp * dw * x.dtype.itemsize
+                            + (rp // tr) * dw * vp * w.dtype.itemsize
+                            + rp * (2 * k_sel + 1) * 4),
+            transcendentals=rp * vp,
+        ),
+        interpret=interpret,
+    )(x, w, b[None, :])
+    return vals[:rows], idx[:rows], lse[:rows, 0]
+
+
+def make_logit_tail(w, b, k_sel: int, tv: int = 0, tr_cap: int = 128):
+    """Build the fused logit-tail closure: activation (rows, dw) ->
+    (top-k raw logits, top-k indices, logsumexp per row); top-k
+    log-probs are ``vals - lse[:, None]``.
+
+    Called ONCE per decode program (outside the while_loop) so the
+    vocab-padding copy of W is loop-invariant; returns None when the
+    shape doesn't fit the kernel's tiling assumptions (caller keeps the
+    XLA path: materialized logits + lax.top_k).  ``tv``/``tr_cap`` are
+    tuning knobs (vocab tile width / max row tile); defaults are the
+    v5e-tuned choices.
+    """
+    dw, v = w.shape
+    if v < 8 * k_sel or dw % 128 != 0 or k_sel > 8:
+        return None
+    tv = tv or _pick_vocab_tile(v)
+    vp = _round_up(v, tv)
+    b = b.astype(jnp.float32)
+    if vp != v:
+        # pad bias with -1e30: padded logits never reach the top-k and
+        # underflow to 0 inside the logsumexp
+        w = jnp.pad(w, ((0, 0), (0, vp - v)))
+        b = jnp.pad(b, (0, vp - v), constant_values=_NEG_INF)
+
+    def tail(logit_act):
+        interpret = jax.default_backend() != "tpu"
+        return _tail_pallas_call(logit_act, w, b, k_sel, tv, tr_cap,
+                                 interpret)
+
+    return tail
+
+
 def step_pallas(params, cfg: ModelConfig, state, sc, emb_t, x_pre=None):
     """Decoder step using the fused Pallas attention cores (temporal +
     spatial; drop-in for ``step.step``, used by train scan AND decode)."""
     return step_mod.step_with_core(params, cfg, state, sc, emb_t, x_pre,
                                    attention_core=attention_core_pallas,
                                    spatial_core=spatial_core_pallas)
+
+
+# decode loops pick the fused logit tail up from the step function (the
+# oracle step carries none, so the jnp path stays byte-identical)
+step_pallas.make_logit_tail = make_logit_tail
 
 
 def get_step_fn(use_pallas: bool):

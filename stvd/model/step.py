@@ -70,6 +70,8 @@ class StepContext(NamedTuple):
     pregion: Optional[jax.Array] = None    # (B, K, R, s_attn)
     w_sf_att: Optional[jax.Array] = None   # (Dr, attn_dim) = W_spat_fuse @ Wc_att
     h_proj_w: Optional[jax.Array] = None   # (dim, 4d+attn+1[+s]) fused h weights
+    h_att_w: Optional[jax.Array] = None    # (dim, attn+1[+s]) h weights sans U
+    gates_w: Optional[jax.Array] = None    # (dw+dim+ctx, 4d) = [W; U; Wc]
 
 
 class StepOut(NamedTuple):
@@ -132,7 +134,9 @@ def precompute(params: Params, cfg: ModelConfig, ctx: jax.Array,
     return StepContext(ctx=ctx, pctx=pctx, ctx_mask=ctx_mask,
                        mean_ctx=mean_ctx, regions=regions, pregion=pregion,
                        w_sf_att=w_sf_att,
-                       h_proj_w=_h_projection_weights(params, cfg))
+                       h_proj_w=_h_projection_weights(params, cfg),
+                       h_att_w=_h_att_weights(params, cfg),
+                       gates_w=_gates_weights(params))
 
 
 def init_state(params: Params, cfg: ModelConfig, sc: StepContext) -> StepState:
@@ -157,6 +161,25 @@ def _h_projection_weights(params: Params, cfg: ModelConfig) -> jax.Array:
     if cfg.use_spatial:
         cols.append(params["Wsd_att"])
     return jnp.concatenate(cols, axis=1)
+
+
+def _h_att_weights(params: Params, cfg: ModelConfig) -> jax.Array:
+    """h-projection weights for the DECODE path: attention/selector
+    columns only ([Wd_att | W_sel (| Wsd_att)]) — the LSTM gate term
+    h @ U instead rides in the combined gates matmul (profiled on v5e:
+    the split saves the f32 (B, 4d+attn+1) materialization + layout
+    copy per decode step)."""
+    cols = [params["Wd_att"], params["W_sel"][:, None]]
+    if cfg.use_spatial:
+        cols.append(params["Wsd_att"])
+    return jnp.concatenate(cols, axis=1)
+
+
+def _gates_weights(params: Params) -> jax.Array:
+    """[W; U; Wc] stacked so decode computes the full LSTM preactivation
+    as ONE matmul over [emb_t | h_{t-1} | ctx_t] (fewer HBM round-trips
+    than three matmuls + two adds; same fp32-accumulated math)."""
+    return jnp.concatenate([params["W"], params["U"], params["Wc"]], axis=0)
 
 
 def _attention_core_jnp(h_att, beta_logit, pctx_k, ctx_k, ctx_mask, u_att,
@@ -237,15 +260,29 @@ def step_with_core(params: Params, cfg: ModelConfig, state: StepState,
     dim = cfg.dim
     attn = cfg.attn_dim
     h, c = state
+    fused_gates = x_pre is None   # decode path: one [emb|h|ctx] matmul
 
     # --- single fused h-projection (MXU); the weight concat is hoisted
-    # into precompute so the scan body sees a loop-invariant constant ---
-    hw = (sc.h_proj_w if sc.h_proj_w is not None
-          else _h_projection_weights(params, cfg))
-    hp = _dot(h, hw, cdtype)                       # (B, 4d+attn+1[+s_attn])
-    h_gates = hp[:, : 4 * dim]
-    h_att = hp[:, 4 * dim: 4 * dim + attn]
-    beta_logit = hp[:, 4 * dim + attn]
+    # into precompute so the scan body sees a loop-invariant constant.
+    # Teacher-forced training (x_pre given) folds U into it; decode
+    # projects only the attention/selector columns and computes the
+    # gates as one combined matmul after the attention (below) ---
+    if fused_gates:
+        hw = (sc.h_att_w if sc.h_att_w is not None
+              else _h_att_weights(params, cfg))
+        hp = _dot(h, hw, cdtype)                   # (B, attn+1[+s_attn])
+        h_gates = None
+        h_att = hp[:, :attn]
+        beta_logit = hp[:, attn]
+        sat_off = attn + 1
+    else:
+        hw = (sc.h_proj_w if sc.h_proj_w is not None
+              else _h_projection_weights(params, cfg))
+        hp = _dot(h, hw, cdtype)                   # (B, 4d+attn+1[+s_attn])
+        h_gates = hp[:, : 4 * dim]
+        h_att = hp[:, 4 * dim: 4 * dim + attn]
+        beta_logit = hp[:, 4 * dim + attn]
+        sat_off = 4 * dim + attn + 1
 
     # beam broadcasting: context tensors stay at their (Bc, ...) batch;
     # only recurrent state carries the beam axis (Bs = Bc * n_beams)
@@ -256,7 +293,7 @@ def step_with_core(params: Params, cfg: ModelConfig, state: StepState,
     pctx_k = sc.pctx                                # (Bc, K, attn)
     alpha_s = None
     if cfg.use_spatial:
-        h_satt = hp[:, 4 * dim + attn + 1:]         # (Bs, s_attn)
+        h_satt = hp[:, sat_off:]                    # (Bs, s_attn)
         # spatial scores over R regions within each frame (beam axis j
         # broadcasts against the un-tiled region bank)
         spat, alpha_s = spatial_core(
@@ -278,9 +315,15 @@ def step_with_core(params: Params, cfg: ModelConfig, state: StepState,
         params["U_att"], params["c_att"], params["b_sel"], cfg.selector)
 
     # --- LSTM gates ---
-    if x_pre is None:
-        x_pre = _dot(emb_t, params["W"], cdtype) + params["b"]
-    preact = x_pre + h_gates + _dot(ctx_t, params["Wc"], cdtype)
+    if fused_gates:
+        gw = (sc.gates_w if sc.gates_w is not None
+              else _gates_weights(params))
+        x_cat = jnp.concatenate(
+            [emb_t.astype(cdtype), h.astype(cdtype),
+             ctx_t.astype(cdtype)], axis=1)
+        preact = _dot(x_cat, gw, cdtype) + params["b"]
+    else:
+        preact = x_pre + h_gates + _dot(ctx_t, params["Wc"], cdtype)
     i = jax.nn.sigmoid(preact[:, 0 * dim: 1 * dim])
     f = jax.nn.sigmoid(preact[:, 1 * dim: 2 * dim])
     o = jax.nn.sigmoid(preact[:, 2 * dim: 3 * dim])
@@ -298,16 +341,15 @@ def step(params: Params, cfg: ModelConfig, state: StepState,
                           attention_core=_attention_core_jnp)
 
 
-def logits_from_states(params: Params, cfg: ModelConfig, h: jax.Array,
-                       ctx_t: jax.Array, emb: jax.Array,
-                       dropout_rng: Optional[jax.Array] = None,
-                       train: bool = False) -> jax.Array:
-    """Output projection to vocab logits (reference ff_logit_* stack).
-
-    Shapes are arbitrary-leading: works for (B, ...) per-step in decoding
-    AND (T, B, ...) whole-sequence after scan (the TPU-first trick — one
-    big (T*B, dim) @ (dim, dim_word) MXU pass instead of T small ones).
-    """
+def logit_activation(params: Params, cfg: ModelConfig, h: jax.Array,
+                     ctx_t: jax.Array, emb: jax.Array,
+                     dropout_rng: Optional[jax.Array] = None,
+                     train: bool = False) -> jax.Array:
+    """The (.., dim_word) pre-vocab activation (reference ff_logit_lstm/
+    ctx/prev merge + tanh + dropout) — everything of the logit stack
+    except the final vocab matmul.  Split out so the decode path can
+    feed it to the fused Pallas logit-tail kernel (matmul + logsumexp +
+    top-k in one VMEM pass, never materializing (B, n_words) in HBM)."""
     cdtype = jnp.dtype(cfg.compute_dtype)
     logit = (_dot(h, params["ff_logit_lstm_W"], cdtype)
              + params["ff_logit_lstm_b"]
@@ -321,4 +363,20 @@ def logits_from_states(params: Params, cfg: ModelConfig, h: jax.Array,
         keep = 1.0 - cfg.dropout_rate
         mask = jax.random.bernoulli(dropout_rng, keep, logit.shape)
         logit = jnp.where(mask, logit / keep, 0.0)
+    return logit
+
+
+def logits_from_states(params: Params, cfg: ModelConfig, h: jax.Array,
+                       ctx_t: jax.Array, emb: jax.Array,
+                       dropout_rng: Optional[jax.Array] = None,
+                       train: bool = False) -> jax.Array:
+    """Output projection to vocab logits (reference ff_logit_* stack).
+
+    Shapes are arbitrary-leading: works for (B, ...) per-step in decoding
+    AND (T, B, ...) whole-sequence after scan (the TPU-first trick — one
+    big (T*B, dim) @ (dim, dim_word) MXU pass instead of T small ones).
+    """
+    cdtype = jnp.dtype(cfg.compute_dtype)
+    logit = logit_activation(params, cfg, h, ctx_t, emb,
+                             dropout_rng=dropout_rng, train=train)
     return _dot(logit, params["ff_logit_W"], cdtype) + params["ff_logit_b"]

@@ -88,3 +88,92 @@ def test_load_splits_missing_file_raises():
     cfg = Config(data=DataConfig(dataset="legacy", data_dir="/tmp"))
     with pytest.raises(ValueError):
         load_splits(cfg)
+
+
+# ---------------------------------------------------------------------------
+# TRUE Py2 pickle fixtures (round 2): byte streams with Py2 str opcodes
+# and Py2-numpy array states, as only encoding='latin1' can decode.
+# tests/fixtures/gen_py2_fixture.py documents and regenerates them.
+# ---------------------------------------------------------------------------
+
+FIXDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+
+def _gen_module():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "gen_py2_fixture", os.path.join(FIXDIR, "gen_py2_fixture.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_py2_fixtures_match_generator():
+    """The committed binaries are exactly what the committed generator
+    emits (no unauditable blobs)."""
+    gen = _gen_module()
+    for name, fn in gen.FIXTURES.items():
+        with open(os.path.join(FIXDIR, name), "rb") as f:
+            assert f.read() == fn(), name
+
+
+def test_py2_fixture_is_a_real_py2_stream():
+    """Loading WITHOUT latin1 must fail — i.e. the fixture genuinely
+    exercises the Py2-str decode path, unlike a Py3-written pickle."""
+    with pytest.raises(UnicodeDecodeError):
+        with open(os.path.join(FIXDIR, "py2_FEAT.pkl"), "rb") as f:
+            pickle.load(f)
+
+
+def test_true_py2_worddict_and_caps():
+    from stvd.data.text import Vocab
+    v = Vocab.load_pickle(os.path.join(FIXDIR, "py2_worddict.pkl"))
+    assert v.word_to_id["man"] == 3
+    assert v.word_to_id["caf\xe9"] == 7      # latin1 byte 0xe9
+    caps = load_captions(os.path.join(FIXDIR, "py2_CAP.pkl"))
+    assert caps["vid1"][0] == ["a", "man", "is", "playing", "guitar"]
+    assert caps["vid2"][0] == ["a", "man", "is", "playing", "caf\xe9",
+                               "music"]
+
+
+def test_true_py2_features_roundtrip():
+    from stvd.data.bank import load_legacy_pickle, pack_bank
+    gen = _gen_module()
+    feats = load_legacy_pickle(os.path.join(FIXDIR, "py2_FEAT.pkl"))
+    exp = gen.expected_feats()
+    assert set(feats) == set(exp)
+    for vid, arr in feats.items():
+        assert arr.dtype == np.float32
+        np.testing.assert_array_equal(arr, exp[vid])
+    bank = pack_bank(feats, 4)
+    assert bank.frames.shape == (3, 4, 6)
+    assert bank.frame_mask.min() >= 0
+
+
+def test_load_splits_from_true_py2_fixtures(tmp_path):
+    """The full reference-style ingestion path on genuine Py2 bytes:
+    worddict.pkl + CAP.pkl + FEAT.pkl -> three Datasets."""
+    import shutil
+    for name, dst in (("py2_worddict.pkl", "worddict.pkl"),
+                      ("py2_CAP.pkl", "CAP.pkl"),
+                      ("py2_FEAT.pkl", "FEAT.pkl")):
+        shutil.copy(os.path.join(FIXDIR, name), str(tmp_path / dst))
+    for split, vids in (("train", ["vid1", "vid2"]), ("valid", ["vid3"]),
+                        ("test", ["vid3"])):
+        with open(str(tmp_path / f"{split}_ids.txt"), "w") as f:
+            f.write("\n".join(vids))
+    cfg = Config(
+        model=ModelConfig(n_words=16, dim_word=8, dim=16, ctx_dim=6,
+                          n_frames=4, compute_dtype="float32"),
+        train=TrainConfig(batch_size=2, maxlen=10,
+                          save_dir=str(tmp_path / "run")),
+        data=DataConfig(dataset="youtube2text", data_dir=str(tmp_path),
+                        feature_file="FEAT.pkl", vocab_file="worddict.pkl",
+                        captions_file="CAP.pkl"))
+    splits = load_splits(cfg)
+    assert splits["train"].bank.n_videos == 2
+    assert splits["valid"].bank.n_videos == 1
+    assert splits["train"].captions.n == 3    # vid1 has 2 caps, vid2 has 1
+    # the latin1 word survived ingestion into the references
+    assert any("caf\xe9" in " ".join(r)
+               for r in splits["train"].references for r in [r[0]])

@@ -199,3 +199,76 @@ def test_kernel_grad_matches_oracle(cfg):
         np.testing.assert_allclose(np.asarray(g_ker[k]),
                                    np.asarray(g_ref[k]),
                                    rtol=1e-3, atol=1e-4, err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# Fused logit tail (matmul + logsumexp + top-k) — round-2 decode kernel
+# ---------------------------------------------------------------------------
+
+def test_logit_tail_matches_xla_topk():
+    """vals/idx must equal lax.top_k of the materialized logits exactly
+    (incl. lowest-index tie-breaking); lse matches logsumexp."""
+    rng = np.random.RandomState(0)
+    rows, dw, V, k = 24, 128, 1000, 5
+    x = jnp.asarray(rng.randn(rows, dw), jnp.float32)
+    w = jnp.asarray(rng.randn(dw, V) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(V), jnp.float32)
+    tail = kmod.make_logit_tail(w, b, k)
+    assert tail is not None
+    vals, idx, lse = jax.jit(tail)(x)
+    logits = x @ w + b
+    rv, ri = jax.lax.top_k(logits, k)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(rv),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ri))
+    np.testing.assert_allclose(np.asarray(lse),
+                               np.asarray(jax.nn.logsumexp(logits, -1)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_logit_tail_ties_and_padding():
+    """All-equal logits tie-break to the lowest indices, and the padded
+    vocab columns (V not a multiple of the tile) never surface."""
+    dw, V, k = 128, 900, 5      # 900 -> padded to a 128-multiple
+    x = jnp.zeros((8, dw), jnp.float32)
+    w = jnp.zeros((dw, V), jnp.float32)
+    b = jnp.zeros((V,), jnp.float32)
+    tail = kmod.make_logit_tail(w, b, k)
+    vals, idx, lse = jax.jit(tail)(x)
+    np.testing.assert_array_equal(np.asarray(idx[0]), np.arange(k))
+    assert float(jnp.abs(lse - np.log(V)).max()) < 1e-4
+    # rows that don't tile evenly (rows=9 -> padded to 16)
+    x2 = jnp.asarray(np.random.RandomState(1).randn(9, dw), jnp.float32)
+    v2, i2, l2 = jax.jit(tail)(x2)
+    assert v2.shape == (9, k) and i2.shape == (9, k) and l2.shape == (9,)
+
+
+def test_logit_tail_small_vocab_falls_back():
+    w = jnp.zeros((128, 30), jnp.float32)
+    assert kmod.make_logit_tail(w, jnp.zeros(30), 5) is None
+    w = jnp.zeros((100, 1000), jnp.float32)   # dw not 128-aligned
+    assert kmod.make_logit_tail(w, jnp.zeros(1000), 5) is None
+
+
+def test_beam_decode_tail_kernel_parity():
+    """End-to-end beam decode with a vocab large enough to engage the
+    fused tail must emit the same tokens as the jnp path."""
+    import dataclasses
+    from stvd.decode.beam import beam_decode
+    from stvd.decode.greedy import greedy_decode
+    from conftest import small_cfg
+    cfg = dataclasses.replace(small_cfg(), n_words=1024, dim_word=128)
+    params, batch = _setup(cfg)
+    ref = beam_decode(params, cfg, batch, beam_size=3, maxlen=8)
+    ker = beam_decode(params, cfg, batch, beam_size=3, maxlen=8,
+                      step_fn=kmod.step_pallas)
+    np.testing.assert_array_equal(np.asarray(ref.tokens),
+                                  np.asarray(ker.tokens))
+    gref = greedy_decode(params, cfg, batch, maxlen=8)
+    gker = greedy_decode(params, cfg, batch, maxlen=8,
+                         step_fn=kmod.step_pallas)
+    np.testing.assert_array_equal(np.asarray(gref.tokens),
+                                  np.asarray(gker.tokens))
+    np.testing.assert_allclose(np.asarray(gref.scores),
+                               np.asarray(gker.scores), rtol=1e-4,
+                               atol=1e-4)
