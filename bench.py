@@ -91,7 +91,7 @@ def _batch(mcfg, tcfg, b, seed=0):
     import jax.numpy as jnp
     import numpy as np
     rng = np.random.RandomState(seed)
-    return {
+    out = {
         "frames": jnp.asarray(rng.randn(b, mcfg.n_frames, mcfg.ctx_dim),
                               jnp.float32),
         "frame_mask": jnp.ones((b, mcfg.n_frames), jnp.float32),
@@ -99,6 +99,14 @@ def _batch(mcfg, tcfg, b, seed=0):
             rng.randint(0, mcfg.n_words, (b, tcfg.maxlen)), jnp.int32),
         "token_mask": jnp.ones((b, tcfg.maxlen), jnp.float32),
     }
+    if mcfg.use_spatial:
+        out["regions"] = jnp.asarray(
+            rng.randn(b, mcfg.n_frames, mcfg.n_regions, mcfg.region_dim)
+            .astype(np.float32) * 0.1)
+    if mcfg.use_motion:
+        out["motion"] = jnp.asarray(
+            rng.randn(b, mcfg.n_frames, mcfg.motion_dim), jnp.float32)
+    return out
 
 
 def bench_decode(small: bool, use_kernel: bool, iters: int = 8,
@@ -190,6 +198,82 @@ def bench_train(small: bool, use_kernel: bool, iters: int = 10,
     float(m["loss"])                          # full completion sync
     dt = time.perf_counter() - t0
     return iters / dt, dt / iters
+
+
+def bench_preset(name: str, use_kernel: bool, iters: int = 4):
+    """Benchmark one of the five BASELINE presets at its own (reference-
+    scale) config — `preset(N)` now IS the BASELINE shape (config.py).
+
+    Presets 1-4 measure decode throughput (greedy for 1, beam-5 for
+    2/3/4 incl. spatial regions / motion stream); preset 5 measures the
+    explicit-shard-map DP train step over all local devices.
+    """
+    import jax
+    from stvd.config import preset
+    from stvd.decode.beam import beam_decode
+    from stvd.decode.greedy import greedy_decode
+    from stvd.model.decoder import init_params
+    from stvd.model.kernel import get_step_fn
+
+    cfg = preset(name)
+    mcfg, dcfg, tcfg = cfg.model, cfg.decode, cfg.train
+    step_fn = get_step_fn(use_kernel)
+
+    if cfg.train.use_shard_map:  # preset 5: DP training
+        from stvd.train import parallel
+        from stvd.train.loop import init_train_state, make_train_step
+        import dataclasses
+        mesh = parallel.make_mesh()
+        n_dev = mesh.devices.size
+        b = (tcfg.per_device_batch or tcfg.batch_size) * n_dev
+        tcfg = dataclasses.replace(tcfg, batch_size=b)
+        state = parallel.replicate(
+            init_train_state(jax.random.PRNGKey(0), mcfg, tcfg), mesh)
+        step = make_train_step(mcfg, tcfg, step_fn=step_fn, mesh=mesh,
+                               use_shard_map=True)
+        batch = _batch(mcfg, tcfg, b)
+        batch["weight"] = batch["token_mask"][:, 0]
+        batch = parallel.shard_batch(batch, mesh)
+        state, m = step(state, batch)
+        float(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step(state, batch)
+        float(m["loss"])
+        dt = time.perf_counter() - t0
+        return {"metric": f"preset{name}_dp_train_steps_per_sec",
+                "value": round(iters / dt, 3), "unit": "steps/s",
+                "vs_baseline": None, "devices": n_dev, "global_batch": b,
+                "examples_per_sec": round(iters / dt * b, 1),
+                "path": "shard_map+psum"}
+
+    params = dict(init_params(jax.random.PRNGKey(0), mcfg))
+    params["ff_logit_b"] = params["ff_logit_b"].at[0].set(-1e9)  # worst case
+    b = dcfg.decode_batch
+    batch = {k: v for k, v in _batch(mcfg, tcfg, b).items()
+             if k in ("frames", "frame_mask", "regions", "motion")}
+
+    @jax.jit
+    def run(params, batch):
+        if dcfg.beam_size == 1:
+            return greedy_decode(params, mcfg, batch, maxlen=dcfg.maxlen,
+                                 step_fn=step_fn).tokens.sum()
+        return beam_decode(params, mcfg, batch, beam_size=dcfg.beam_size,
+                           maxlen=dcfg.maxlen, length_norm=dcfg.length_norm,
+                           step_fn=step_fn).tokens.sum()
+
+    float(run(params, batch))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s = run(params, batch)
+    float(s)
+    dt = time.perf_counter() - t0
+    cps = b * iters / dt
+    return {"metric": f"preset{name}_decode_captions_per_sec",
+            "value": round(cps, 2), "unit": "captions/s",
+            "vs_baseline": round(cps / LEGACY_CAPTIONS_PER_SEC, 1),
+            "beam": dcfg.beam_size, "batch": b,
+            "spatial": mcfg.use_spatial, "motion": mcfg.use_motion}
 
 
 def probe_device(timeout_s: int = 150) -> bool:
@@ -295,6 +379,9 @@ def main():
     ap.add_argument("--no-probe", action="store_true")
     ap.add_argument("--hard", action="store_true",
                     help="quality: harder non-saturating synthetic recipe")
+    ap.add_argument("--preset", default=None,
+                    help="benchmark a BASELINE preset (1-5 or its name) "
+                         "at reference scale instead of --what")
     args = ap.parse_args()
 
     import os
@@ -308,7 +395,7 @@ def main():
     if args.cpu or os.environ.get("STVD_FORCE_CPU"):
         import jax
         jax.config.update("jax_platforms", "cpu")
-        if args.what == "dp":
+        if args.what == "dp" or args.preset in ("5", "msvd-dp"):
             jax.config.update("jax_num_cpu_devices", 8)  # simulate a slice
     elif not args.no_probe and not probe_device():
         # TPU tunnel wedged (known failure mode on this machine when a
@@ -326,6 +413,10 @@ def main():
             "beam": 5, "batch_decode_ms": round(per_batch * 1e3, 1)}))
         return
 
+    if args.preset:
+        print(json.dumps(bench_preset(args.preset, args.kernel,
+                                      max(2, args.iters // 2))))
+        return
     if args.what == "dp":
         sps, n_dev, b = bench_dp(args.small, args.kernel, args.iters)
         print(json.dumps({

@@ -20,6 +20,7 @@ from .data.bank import pack_bank
 from .data.text import Vocab
 from .decode.beam import beam_decode
 from .decode.greedy import greedy_decode
+from .decode.sample import sample_decode
 from .model.decoder import StepFn
 
 
@@ -98,6 +99,52 @@ class Captioner:
             out.extend(" ".join(self.vocab.decode(toks[i]))
                        for i in range(e - s))
         return out
+
+    def caption_nbest(self, batch: Dict, n: Optional[int] = None
+                      ) -> List[List[tuple]]:
+        """All beam hypotheses per video: [(text, logprob), ...] sorted
+        best-first (the reference's gen_sample returns every finished
+        hypothesis + score; beam_decode keeps them in all_tokens)."""
+        import jax
+        cfg = self.cfg
+        if cfg.decode.beam_size <= 1:
+            raise ValueError("n-best export requires beam_size > 1")
+
+        def run(params, batch):
+            out = beam_decode(params, cfg.model, batch,
+                              beam_size=cfg.decode.beam_size,
+                              maxlen=cfg.decode.maxlen,
+                              length_norm=cfg.decode.length_norm,
+                              step_fn=self.step_fn)
+            return out.all_tokens, out.all_scores
+
+        toks, scores = jax.jit(run)(self.params, batch)
+        toks, scores = np.asarray(toks), np.asarray(scores)
+        n = n or toks.shape[1]
+        out = []
+        for b in range(toks.shape[0]):
+            order = np.argsort(-scores[b])[:n]
+            out.append([(" ".join(self.vocab.decode(toks[b, j])),
+                         float(scores[b, j])) for j in order])
+        return out
+
+    def caption_sample(self, batch: Dict, rng=None, temperature: float = 1.0,
+                       top_k: int = 0, n_samples: int = 1
+                       ) -> List[List[str]]:
+        """Stochastically sampled captions (reference gen_sample
+        argmax=False): n_samples independent draws per video."""
+        import jax
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        out = jax.jit(
+            lambda p, b, r: sample_decode(
+                p, self.cfg.model, b, r, maxlen=self.cfg.decode.maxlen,
+                temperature=temperature, top_k=top_k, n_samples=n_samples,
+                step_fn=self.step_fn).tokens
+        )(self.params, batch, rng)
+        toks = np.asarray(out)
+        return [[" ".join(self.vocab.decode(toks[b, j]))
+                 for j in range(toks.shape[1])] for b in range(toks.shape[0])]
 
     def caption(self,
                 features: Union[np.ndarray, Sequence[np.ndarray]],

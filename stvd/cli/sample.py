@@ -39,6 +39,13 @@ def main(argv=None) -> int:
                     help="write all beams (reference gen_sample returns "
                          "every hypothesis + score) for the first N videos "
                          "-> {split}_nbest.json")
+    ap.add_argument("--stochastic", type=int, default=0, metavar="N",
+                    help="draw N stochastic samples per video (reference "
+                         "gen_sample argmax=False) -> {split}_sampled.json")
+    ap.add_argument("--temperature", type=float, default=1.0)
+    ap.add_argument("--top-k", type=int, default=0,
+                    help="truncated top-k sampling (0 = full vocab)")
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
     with open(os.path.join(args.run_dir, "config.json")) as f:
@@ -78,6 +85,30 @@ def main(argv=None) -> int:
         with open(path, "w") as f:
             json.dump(rows, f, indent=1)
         print(f"n-best lists -> {path}")
+    if args.stochastic > 0:
+        import numpy as np
+        from ..decode.sample import sample_decode
+        dev = ds.bank.to_device()
+        n_vid = ds.bank.n_videos
+        out = sample_decode(state["params"], cfg.model, dict(dev),
+                            jax.random.PRNGKey(args.seed),
+                            maxlen=cfg.decode.maxlen,
+                            temperature=args.temperature,
+                            top_k=args.top_k, n_samples=args.stochastic,
+                            step_fn=step_fn)
+        toks = np.asarray(out.tokens)
+        scrs = np.asarray(out.scores)
+        rows = []
+        for i in range(n_vid):
+            samples = [{"caption": " ".join(ds.vocab.decode(toks[i, j])),
+                        "logprob": float(scrs[i, j])}
+                       for j in range(toks.shape[1])]
+            rows.append({"image_id": ds.bank.ids[i], "samples": samples})
+        path = os.path.join(args.run_dir, f"{args.split}_sampled.json")
+        with open(path, "w") as f:
+            json.dump(rows, f, indent=1)
+        print(f"stochastic samples (T={args.temperature}, "
+              f"top_k={args.top_k}) -> {path}")
     if args.dump_attention > 0:
         import numpy as np
         from ..decode.greedy import greedy_decode

@@ -84,6 +84,12 @@ class TrainConfig:
     save_dir: str = "runs/default"
     # --- parallelism (no reference equivalent; SURVEY.md §2 rows 9-10) ---
     data_parallel: bool = True      # shard batch over the 'data' mesh axis
+    use_shard_map: bool = False     # explicit lax.psum collectives under
+    # shard_map instead of XLA sharding propagation (both paths produce
+    # bit-identical updates; see train/loop.py:_make_shard_map_train_step)
+    per_device_batch: int = 0       # when >0, global batch_size is scaled
+    # to per_device_batch * mesh size at fit() time (DP recipes stay
+    # valid across slice sizes: v5e-1 ... v5e-8)
     donate_state: bool = True       # donate train-state buffers to jit
     # --- debugging (reference common.py:§grad_nan_report equivalent) ---
     debug_nans: bool = False        # raise on first NaN-producing op
@@ -159,6 +165,16 @@ def validate(cfg: Config) -> Config:
 
 
 # Named presets mirroring the five BASELINE.json target configs.
+#
+# Presets carry REFERENCE-SCALE dims (the BASELINE.md benchmark shapes):
+# the reference's dim≈3518 is rounded up to 3584 (28×128, MXU-tile
+# aligned), dim_word 468→512, MSVD vocab ~13k→13056 (102×128), K=28
+# frames, maxlen 30, beam 5 — so `preset(N)` IS the BASELINE config,
+# not a toy.  Tests use explicitly small ModelConfigs instead.
+_REF_MODEL = dict(n_words=13056, dim_word=512, dim=3584, ctx_dim=1024,
+                  n_frames=28, compute_dtype="bfloat16", scan_unroll=5)
+
+
 def preset(name: str) -> Config:
     """Return a named config preset.
 
@@ -167,26 +183,35 @@ def preset(name: str) -> Config:
       msvd-spatial    (2) full spatial-temporal attention
       msvd-beam       (3) beam=5 + length norm, batched on-device
       msrvtt-fused    (4) MSR-VTT, ResNet appearance + C3D motion streams
-      msvd-dp         (5) data-parallel training over ICI
+      msvd-dp         (5) data-parallel training over ICI (explicit
+                          shard_map psum path, per-device batch scaling)
     """
     base = Config()
+    model = dataclasses.replace(base.model, **_REF_MODEL)
+    decode = dataclasses.replace(base.decode, beam_size=5, maxlen=30,
+                                 length_norm=0.6, decode_batch=256)
+    # data.dataset stays 'synthetic' so presets run anywhere; the MSVD /
+    # MSR-VTT file paths live in recipes/*.json which set dataset + paths
+    base = base.replace(model=model, decode=decode)
     if name in ("msvd-temporal", "1"):
         return base.replace(
-            decode=dataclasses.replace(base.decode, beam_size=1))
+            decode=dataclasses.replace(base.decode, beam_size=1,
+                                       decode_batch=1024))
     if name in ("msvd-spatial", "2"):
         return base.replace(
-            model=dataclasses.replace(base.model, use_spatial=True))
+            model=dataclasses.replace(base.model, use_spatial=True,
+                                      n_regions=49, region_dim=1024))
     if name in ("msvd-beam", "3"):
-        return base.replace(
-            decode=dataclasses.replace(base.decode, beam_size=5,
-                                       length_norm=0.6))
+        return base
     if name in ("msrvtt-fused", "4"):
         return base.replace(
             model=dataclasses.replace(
                 base.model, use_motion=True, motion_dim=2048,
-                ctx_dim=2048, n_words=20000),
+                ctx_dim=2048, n_words=20096),
             data=dataclasses.replace(base.data, dataset="msrvtt"))
     if name in ("msvd-dp", "5"):
         return base.replace(
-            train=dataclasses.replace(base.train, data_parallel=True))
+            train=dataclasses.replace(base.train, data_parallel=True,
+                                      use_shard_map=True,
+                                      per_device_batch=64))
     raise KeyError(f"unknown preset {name!r}")

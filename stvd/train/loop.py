@@ -283,7 +283,7 @@ def fit(
     mesh=None,
     logger: Optional[MetricsLogger] = None,
     max_updates: Optional[int] = None,
-    use_shard_map: bool = False,
+    use_shard_map: Optional[bool] = None,
     test_ds: Optional[Dataset] = None,
 ) -> FitResult:
     """Train until max_epochs / patience exhausted (reference §train).
@@ -296,6 +296,13 @@ def fit(
     every validFreq) — model selection still uses valid only.
     """
     tcfg, mcfg = cfg.train, cfg.model
+    if use_shard_map is None:
+        use_shard_map = tcfg.use_shard_map
+    if mesh is not None and tcfg.per_device_batch > 0:
+        # DP recipes specify a per-device batch so the same config is
+        # valid on any slice size (config 5, SURVEY.md §2 row 9)
+        tcfg = dataclasses.replace(
+            tcfg, batch_size=tcfg.per_device_batch * mesh.devices.size)
     if mesh is not None and tcfg.batch_size % mesh.devices.size != 0:
         raise ValueError(
             f"batch_size {tcfg.batch_size} must be divisible by the mesh "

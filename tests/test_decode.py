@@ -183,6 +183,75 @@ def test_beam_exact_fuzz(seed):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_sample_temperature_zero_is_exact_greedy(cfg):
+    """temperature == 0.0 short-circuits to argmax: bit-identical to
+    greedy_decode (reference gen_sample argmax=True/False switch)."""
+    from stvd.decode.sample import sample_decode
+    params, batch = _setup(cfg)
+    g = greedy_decode(params, cfg, batch, maxlen=8)
+    s = sample_decode(params, cfg, batch, jax.random.PRNGKey(3), maxlen=8,
+                      temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(g.tokens),
+                                  np.asarray(s.tokens[:, 0]))
+    np.testing.assert_allclose(np.asarray(g.scores),
+                               np.asarray(s.scores[:, 0]), rtol=1e-5)
+
+
+def test_sample_low_temperature_converges_to_greedy(cfg):
+    """temperature -> 0 concentrates the multinomial on the argmax.
+    (1e-6 scales the tiny random-init logit gaps far past the Gumbel
+    noise range; an untrained model has near-tie logits.)"""
+    from stvd.decode.sample import sample_decode
+    params, batch = _setup(cfg)
+    g = greedy_decode(params, cfg, batch, maxlen=8)
+    s = sample_decode(params, cfg, batch, jax.random.PRNGKey(5), maxlen=8,
+                      temperature=1e-6)
+    np.testing.assert_array_equal(np.asarray(g.tokens),
+                                  np.asarray(s.tokens[:, 0]))
+
+
+def test_sample_shapes_rng_determinism(cfg):
+    from stvd.decode.sample import sample_decode
+    params, batch = _setup(cfg)
+    a = sample_decode(params, cfg, batch, jax.random.PRNGKey(1), maxlen=8,
+                      temperature=1.0, n_samples=3)
+    assert a.tokens.shape == (4, 3, 8) and a.scores.shape == (4, 3)
+    b = sample_decode(params, cfg, batch, jax.random.PRNGKey(1), maxlen=8,
+                      temperature=1.0, n_samples=3)
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+    # EOS-termination invariant holds for every sample
+    toks = np.asarray(a.tokens).reshape(-1, 8)
+    for row in toks:
+        hit = np.where(row == EOS_ID)[0]
+        if hit.size:
+            assert np.all(row[hit[0]:] == EOS_ID)
+
+
+def test_sample_topk1_equals_greedy(cfg):
+    """top_k=1 truncation leaves only the argmax to sample."""
+    from stvd.decode.sample import sample_decode
+    params, batch = _setup(cfg)
+    g = greedy_decode(params, cfg, batch, maxlen=8)
+    s = sample_decode(params, cfg, batch, jax.random.PRNGKey(9), maxlen=8,
+                      temperature=1.0, top_k=1)
+    np.testing.assert_array_equal(np.asarray(g.tokens),
+                                  np.asarray(s.tokens[:, 0]))
+
+
+def test_sample_score_matches_teacher_forced_rescore(cfg):
+    """Sampled-sequence scores are UN-tempered model log-probs."""
+    from stvd.decode.sample import sample_decode
+    params, batch = _setup(cfg)
+    s = sample_decode(params, cfg, batch, jax.random.PRNGKey(2), maxlen=8,
+                      temperature=0.8)
+    toks = np.asarray(s.tokens[:, 0])
+    for i in range(toks.shape[0]):
+        one = {k: v[i:i + 1] for k, v in batch.items()}
+        r = _score_sequences(params, cfg, one, [toks[i].tolist()], 8)
+        np.testing.assert_allclose(float(s.scores[i, 0]), float(r[0]),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_beam_larger_k_no_worse_raw_score():
     """k=25 is exhaustive for maxlen=3/V=5, so it must be >= k=2's best."""
     cfg = small_cfg(n_words=5, dim_word=8, dim=12, ctx_dim=16, n_frames=4)
