@@ -50,6 +50,11 @@ class ModelConfig:
     scan_unroll: int = 1            # train-scan unroll factor: batches the
     # backward wgrad-accumulator round-trips (measured -15% step time at
     # unroll=5 on v5e, reference scale); costs compile time, so default 1
+    remat: bool = False             # jax.checkpoint the train-scan body:
+    # recompute per-step activations in the backward instead of saving
+    # them (required for config 2 at full scale+batch 64: the spatial
+    # tanh intermediate alone is (B,K,R,s) = 40 GB across 30 saved
+    # steps vs 15.75 GB v5e HBM — measured OOM without this)
 
     @property
     def attn_dim(self) -> int:

@@ -225,6 +225,11 @@ def forward_train(
             out = step_fn(params, cfg, state, sc, emb_t, x_pre_t)
             return StepState(out.h, out.c), (out.h, out.ctx_t, out.alpha)
 
+        if cfg.remat and train:
+            # save only the scan carries/outputs; the per-step attention
+            # intermediates (spatial e is (B,K,R,s) — the framework's
+            # largest activation) are recomputed in the backward
+            body = jax.checkpoint(body)
         _, (hs, ctxs, alphas) = jax.lax.scan(
             body, state0,
             (jnp.swapaxes(emb_in, 0, 1), jnp.swapaxes(x_pre_all, 0, 1)),
@@ -257,6 +262,8 @@ def forward_train(
             pred = jnp.argmax(logit_t, axis=-1).astype(jnp.int32)
             return (StepState(out.h, out.c), pred), (logit_t, out.alpha)
 
+        if cfg.remat and train:
+            body = jax.checkpoint(body)
         init = (state0, jnp.zeros((B,), jnp.int32))
         _, (logits, alphas) = jax.lax.scan(
             body, init,

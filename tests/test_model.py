@@ -51,6 +51,32 @@ def test_gradients_flow_to_all_params(cfg, dataset, params):
         assert float(jnp.abs(arr).max()) > 0, f"zero grad for {name}"
 
 
+def test_remat_matches_no_remat(spatial_cfg, dataset):
+    """remat=True must change memory use only: loss and grads identical
+    (it enables config-2 full-scale training that otherwise OOMs)."""
+    import dataclasses
+    ds = synthetic_dataset(n_videos=4, k=spatial_cfg.n_frames,
+                           d=spatial_cfg.ctx_dim,
+                           n_regions=spatial_cfg.n_regions,
+                           region_dim=spatial_cfg.region_dim, maxlen=10,
+                           seed=2)
+    b = _batch(ds)
+    cfg_r = dataclasses.replace(spatial_cfg, remat=True)
+    params = init_params(jax.random.PRNGKey(1), spatial_cfg)
+    rng = jax.random.PRNGKey(0)
+    for ss in (0.0, 0.5):
+        l0, g0 = jax.value_and_grad(
+            lambda p: loss_fn(p, spatial_cfg, b, rng, train=True,
+                              ss_prob=ss)[0])(params)
+        l1, g1 = jax.value_and_grad(
+            lambda p: loss_fn(p, cfg_r, b, rng, train=True,
+                              ss_prob=ss)[0])(params)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        for k in g0:
+            np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
+                                       rtol=1e-5, atol=1e-6, err_msg=k)
+
+
 def test_spatial_variant_runs_and_differs(spatial_cfg):
     ds = synthetic_dataset(n_videos=4, k=spatial_cfg.n_frames,
                            d=spatial_cfg.ctx_dim,
