@@ -81,7 +81,7 @@ def _cfgs(small: bool):
         # reference scale, MXU-aligned (dim 3518 -> 3584, vocab -> 13056)
         m = ModelConfig(n_words=13056, dim_word=512, dim=3584, ctx_dim=1024,
                         n_frames=28, compute_dtype="bfloat16",
-                        scan_unroll=5)
+                        scan_unroll=1)  # fused seq-VJP: unroll=1 fastest
         t = TrainConfig(batch_size=64, maxlen=30)
         d = DecodeConfig(beam_size=5, maxlen=30, decode_batch=64)
     return m, t, d

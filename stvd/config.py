@@ -50,6 +50,14 @@ class ModelConfig:
     scan_unroll: int = 1            # train-scan unroll factor: batches the
     # backward wgrad-accumulator round-trips (measured -15% step time at
     # unroll=5 on v5e, reference scale); costs compile time, so default 1
+    fused_seq_grad: bool = True     # hand-derived sequence VJP for the
+    # teacher-forced train scan (model/seqgrad.py): weight grads become
+    # two post-scan GEMMs instead of a 220 MB fp32 accumulator carried
+    # through every backward step.  Exact-parity tested vs autodiff;
+    # auto-falls-back for spatial attention / scheduled sampling
+    wgrad_dtype: str = "float32"    # weight-gradient scan-accumulator
+    # dtype: 'float32' (exact) or 'bfloat16' (halves the 220 MB/step
+    # dL/d[gates] accumulator traffic — see step._dot_bf16_wgrad)
     remat: bool = False             # jax.checkpoint the train-scan body:
     # recompute per-step activations in the backward instead of saving
     # them (required for config 2 at full scale+batch 64: the spatial
@@ -177,7 +185,10 @@ def validate(cfg: Config) -> Config:
 # frames, maxlen 30, beam 5 — so `preset(N)` IS the BASELINE config,
 # not a toy.  Tests use explicitly small ModelConfigs instead.
 _REF_MODEL = dict(n_words=13056, dim_word=512, dim=3584, ctx_dim=1024,
-                  n_frames=28, compute_dtype="bfloat16", scan_unroll=5)
+                  n_frames=28, compute_dtype="bfloat16", scan_unroll=1)
+# scan_unroll=1: with the fused sequence VJP (model/seqgrad.py) there is
+# no per-step wgrad accumulator left to batch — unroll>1 only slows the
+# step (measured 35.8 steps/s at u1 vs 34.1 at u5, v5e reference scale)
 
 
 def preset(name: str) -> Config:

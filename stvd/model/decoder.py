@@ -220,6 +220,22 @@ def forward_train(
         cdtype = jnp.dtype(cfg.compute_dtype)
         x_pre_all = step_mod._dot(emb_in, params["W"], cdtype) + params["b"]
 
+        if cfg.fused_seq_grad and not cfg.use_spatial:
+            # hand-derived sequence VJP: wgrads as post-scan GEMMs
+            # instead of autodiff's per-step 220 MB fp32 accumulator
+            # (model/seqgrad.py; parity pinned in tests/test_seqgrad.py)
+            from . import seqgrad
+            hs, ctxs, alphas = seqgrad.run(
+                params, cfg, sc, state0, jnp.swapaxes(x_pre_all, 0, 1))
+            hs = jnp.swapaxes(hs, 0, 1)
+            ctxs = jnp.swapaxes(ctxs, 0, 1)
+            alphas = jnp.swapaxes(alphas, 0, 1)
+            logits = logits_from_states(params, cfg, hs, ctxs, emb_in,
+                                        dropout_rng=rng_drop, train=train)
+            nll = sequence_nll(logits, tokens, batch["token_mask"])
+            return ForwardOut(logits=logits, alphas=alphas,
+                              nll_per_example=nll)
+
         def body(state, xs):
             emb_t, x_pre_t = xs
             out = step_fn(params, cfg, state, sc, emb_t, x_pre_t)

@@ -21,6 +21,7 @@ TPU-first departures from the reference:
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -91,6 +92,53 @@ def _dot(a: jax.Array, b: jax.Array, cdtype) -> jax.Array:
     """
     return jnp.dot(a.astype(cdtype), b.astype(cdtype),
                    preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _dot_bf16_wgrad(a: jax.Array, w: jax.Array, cdtype_name: str
+                    ) -> jax.Array:
+    """``_dot`` whose weight cotangent is emitted in the weight's own
+    (compute) dtype instead of fp32.
+
+    JAX's scan transpose accumulates cotangents of loop-invariant bf16
+    weights in an fp32 carry; for the (dim, 4*dim+attn+1) gates stack
+    that carry is 220 MB read+written EVERY backward scan step — the
+    single largest cost in the measured train step (7.5 ms/step of
+    40 ms, profiled on v5e at reference scale).  Returning the per-step
+    contribution as bf16 halves that accumulator traffic.  Opt-in via
+    ``ModelConfig.wgrad_dtype='bfloat16'`` — bf16 accumulation over the
+    ~30 scan steps costs gradient precision (tested bound ~1e-2
+    relative), which adadelta's per-coordinate normalization tolerates.
+    """
+    cdtype = jnp.dtype(cdtype_name)
+    return jnp.dot(a.astype(cdtype), w.astype(cdtype),
+                   preferred_element_type=jnp.float32)
+
+
+def _dot_bf16_wgrad_fwd(a, w, cdtype_name):
+    return _dot_bf16_wgrad(a, w, cdtype_name), (a, w)
+
+
+def _dot_bf16_wgrad_bwd(cdtype_name, res, g):
+    a, w = res
+    cdtype = jnp.dtype(cdtype_name)
+    gc = g.astype(cdtype)
+    da = jnp.dot(gc, w.astype(cdtype).T,
+                 preferred_element_type=jnp.float32).astype(a.dtype)
+    dw = jnp.dot(a.astype(cdtype).T, gc,
+                 preferred_element_type=jnp.float32).astype(w.dtype)
+    return da, dw
+
+
+_dot_bf16_wgrad.defvjp(_dot_bf16_wgrad_fwd, _dot_bf16_wgrad_bwd)
+
+
+def _w_dot(a: jax.Array, w: jax.Array, cfg: ModelConfig) -> jax.Array:
+    """Weight matmul on the train-scan hot path: picks the wgrad-
+    accumulation flavor from ``cfg.wgrad_dtype``."""
+    if cfg.wgrad_dtype == "bfloat16" and cfg.compute_dtype != "float32":
+        return _dot_bf16_wgrad(a, w, cfg.compute_dtype)
+    return _dot(a, w, jnp.dtype(cfg.compute_dtype))
 
 
 def cast_params(params: Params, cfg: ModelConfig) -> Params:
@@ -278,7 +326,7 @@ def step_with_core(params: Params, cfg: ModelConfig, state: StepState,
     else:
         hw = (sc.h_proj_w if sc.h_proj_w is not None
               else _h_projection_weights(params, cfg))
-        hp = _dot(h, hw, cdtype)                   # (B, 4d+attn+1[+s_attn])
+        hp = _w_dot(h, hw, cfg)                    # (B, 4d+attn+1[+s_attn])
         h_gates = hp[:, : 4 * dim]
         h_att = hp[:, 4 * dim: 4 * dim + attn]
         beta_logit = hp[:, 4 * dim + attn]
@@ -323,7 +371,7 @@ def step_with_core(params: Params, cfg: ModelConfig, state: StepState,
              ctx_t.astype(cdtype)], axis=1)
         preact = _dot(x_cat, gw, cdtype) + params["b"]
     else:
-        preact = x_pre + h_gates + _dot(ctx_t, params["Wc"], cdtype)
+        preact = x_pre + h_gates + _w_dot(ctx_t, params["Wc"], cfg)
     i = jax.nn.sigmoid(preact[:, 0 * dim: 1 * dim])
     f = jax.nn.sigmoid(preact[:, 1 * dim: 2 * dim])
     o = jax.nn.sigmoid(preact[:, 2 * dim: 3 * dim])

@@ -1,0 +1,145 @@
+"""Hand-derived sequence VJP (model/seqgrad.py) vs autodiff parity.
+
+The fused path must be a pure implementation detail: identical forward
+values and identical gradients for EVERY parameter, at float32 exactly
+and at bfloat16 loosely (same rounding class as autodiff's own mixed
+precision).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stvd.data.batching import gather_batch, synthetic_dataset
+from stvd.model.decoder import forward_train, init_params
+from stvd.train.loss import loss_fn
+
+from conftest import small_cfg
+
+
+def _setup(cfg, n=4, seed=0, ragged_mask=False):
+    ds = synthetic_dataset(n_videos=n, k=cfg.n_frames, d=cfg.ctx_dim,
+                           maxlen=10, seed=seed)
+    dev = ds.bank.to_device()
+    batch = gather_batch(dev, ds.captions, np.arange(n, dtype=np.int32))
+    if ragged_mask:
+        fm = np.asarray(batch["frame_mask"]).copy()
+        fm[0, cfg.n_frames // 2:] = 0.0       # half-masked video
+        fm[1, 1:] = 0.0                       # single-frame video
+        batch["frame_mask"] = jnp.asarray(fm)
+    params = init_params(jax.random.PRNGKey(7), cfg)
+    return params, batch
+
+
+def _cfg(**kw):
+    base = dict(compute_dtype="float32", fused_seq_grad=True)
+    base.update(kw)
+    return small_cfg(**base)
+
+
+@pytest.mark.parametrize("selector", [True, False])
+def test_forward_parity_f32(selector):
+    cfg = _cfg(selector=selector)
+    cfg_ref = dataclasses.replace(cfg, fused_seq_grad=False)
+    params, batch = _setup(cfg, ragged_mask=True)
+    a = forward_train(params, cfg, batch, train=False)
+    b = forward_train(params, cfg_ref, batch, train=False)
+    np.testing.assert_allclose(np.asarray(a.logits), np.asarray(b.logits),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.alphas), np.asarray(b.alphas),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.nll_per_example),
+                               np.asarray(b.nll_per_example), rtol=1e-5)
+
+
+@pytest.mark.parametrize("selector", [True, False])
+def test_grad_parity_f32_all_params(selector):
+    """Every parameter's gradient matches autodiff exactly at f32 —
+    including the ones the custom VJP computes by hand (U, Wd_att,
+    W_sel via d[hw]; Wc; U_att; c_att; b_sel; Wc_att/b_att via d[pctx];
+    W/b/Wemb via d[x_pre]; ff_state/ff_memory via d[h0/c0])."""
+    cfg = _cfg(selector=selector)
+    cfg_ref = dataclasses.replace(cfg, fused_seq_grad=False)
+    params, batch = _setup(cfg, ragged_mask=True)
+    g_new = jax.grad(lambda p: loss_fn(p, cfg, batch, train=False)[0]
+                     )(params)
+    g_ref = jax.grad(lambda p: loss_fn(p, cfg_ref, batch, train=False)[0]
+                     )(params)
+    assert set(g_new) == set(g_ref)
+    for k in sorted(g_ref):
+        np.testing.assert_allclose(np.asarray(g_new[k]),
+                                   np.asarray(g_ref[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_grad_parity_alpha_c_regularizer():
+    """alpha_c > 0 feeds a nonzero cotangent into the alphas output."""
+    cfg = _cfg(alpha_c=0.5)
+    cfg_ref = dataclasses.replace(cfg, fused_seq_grad=False)
+    params, batch = _setup(cfg)
+    g_new = jax.grad(lambda p: loss_fn(p, cfg, batch, train=False)[0]
+                     )(params)
+    g_ref = jax.grad(lambda p: loss_fn(p, cfg_ref, batch, train=False)[0]
+                     )(params)
+    for k in ("U_att", "Wd_att", "U", "Wc_att"):
+        np.testing.assert_allclose(np.asarray(g_new[k]),
+                                   np.asarray(g_ref[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_grad_parity_bf16_loose():
+    """bfloat16 compute: same rounding class as autodiff (the wgrad
+    GEMMs accumulate in f32 on the MXU, like XLA's per-step dots)."""
+    cfg = _cfg(compute_dtype="bfloat16")
+    cfg_ref = dataclasses.replace(cfg, fused_seq_grad=False)
+    params, batch = _setup(cfg)
+    g_new = jax.grad(lambda p: loss_fn(p, cfg, batch, train=False)[0]
+                     )(params)
+    g_ref = jax.grad(lambda p: loss_fn(p, cfg_ref, batch, train=False)[0]
+                     )(params)
+    for k in ("U", "Wc", "W", "Wemb", "U_att", "ff_logit_W"):
+        a, b = np.asarray(g_new[k], np.float32), np.asarray(g_ref[k],
+                                                            np.float32)
+        denom = np.maximum(np.abs(b).max(), 1e-6)
+        assert np.abs(a - b).max() / denom < 0.05, k
+
+
+def test_spatial_and_ss_fall_back_to_autodiff():
+    """Spatial attention and scheduled sampling keep the autodiff path
+    (fused_seq_grad must not change their results or crash)."""
+    cfg = small_cfg(compute_dtype="float32", use_spatial=True,
+                    n_regions=3, region_dim=8, fused_seq_grad=True)
+    ds = synthetic_dataset(n_videos=4, k=cfg.n_frames, d=cfg.ctx_dim,
+                           n_regions=3, region_dim=8, maxlen=10, seed=0)
+    dev = ds.bank.to_device()
+    batch = gather_batch(dev, ds.captions, np.arange(4, dtype=np.int32))
+    params = init_params(jax.random.PRNGKey(7), cfg)
+    loss, _ = loss_fn(params, cfg, batch, train=False)
+    assert np.isfinite(float(loss))
+    # scheduled sampling path still works under the flag
+    cfg2 = _cfg()
+    params2, batch2 = _setup(cfg2)
+    loss2, _ = loss_fn(params2, cfg2, batch2, jax.random.PRNGKey(0),
+                       train=True, ss_prob=0.3)
+    assert np.isfinite(float(loss2))
+
+
+def test_fused_seq_grad_trains():
+    """End-to-end: a few optimizer steps reduce the loss (integration
+    with make_train_step + adadelta)."""
+    from stvd.config import TrainConfig
+    from stvd.train.loop import init_train_state, make_train_step
+    cfg = _cfg()
+    params, batch = _setup(cfg, n=8)
+    batch = dict(batch)
+    batch["weight"] = jnp.ones((8,), jnp.float32)
+    tcfg = TrainConfig(batch_size=8, maxlen=10, optimizer="adam", lr=1e-3)
+    state = init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step = make_train_step(cfg, tcfg)
+    state, m0 = step(state, batch)
+    for _ in range(20):
+        state, m = step(state, batch)
+    assert float(m["loss"]) < float(m0["loss"])
