@@ -110,13 +110,17 @@ def _batch(mcfg, tcfg, b, seed=0):
 
 
 def bench_decode(small: bool, use_kernel: bool, iters: int = 8,
-                 batch: int = 0):
+                 batch: int = 0, quant: str = "none"):
+    import dataclasses
+
     import jax
     from stvd.decode.beam import beam_decode
     from stvd.model.decoder import init_params
     from stvd.model.kernel import get_step_fn
 
     mcfg, tcfg, dcfg = _cfgs(small)
+    if quant != "none":
+        mcfg = dataclasses.replace(mcfg, decode_quant=quant)
     params = dict(init_params(jax.random.PRNGKey(0), mcfg))
     # random weights emit EOS immediately and the early-exit while_loop
     # finishes in ~1 step (3.6M "captions"/s of empty strings). Suppress
@@ -147,14 +151,19 @@ def bench_decode(small: bool, use_kernel: bool, iters: int = 8,
     return cps, dt / iters
 
 
-def bench_greedy(use_kernel: bool, iters: int = 4, batch: int = 512):
+def bench_greedy(use_kernel: bool, iters: int = 4, batch: int = 512,
+                 quant: str = "none"):
     """Config-1 (greedy) decode throughput at reference scale."""
+    import dataclasses
+
     import jax
     from stvd.decode.greedy import greedy_decode
     from stvd.model.decoder import init_params
     from stvd.model.kernel import get_step_fn
 
     mcfg, tcfg, dcfg = _cfgs(False)
+    if quant != "none":
+        mcfg = dataclasses.replace(mcfg, decode_quant=quant)
     params = dict(init_params(jax.random.PRNGKey(0), mcfg))
     params["ff_logit_b"] = params["ff_logit_b"].at[0].set(-1e9)
     b = {k: v for k, v in _batch(mcfg, tcfg, batch).items()
@@ -500,6 +509,17 @@ def main():
         g_cps, _ = bench_greedy(args.kernel or True,
                                 max(2, args.iters // 2), batch=512)
         out["greedy_captions_per_sec"] = round(g_cps, 2)
+        # opt-in W8A8 serving path (model.decode_quant='int8'): the
+        # gates matmul — the compute-bound majority of the beam step —
+        # runs on the v5e int8 MXU at ~2x the bf16 rate.  Reported as a
+        # separate field, not the headline: it is a quality tradeoff
+        # (greedy token agreement >=90% pinned in tests/test_decode.py).
+        q_cps, _ = bench_decode(False, True, max(2, args.iters // 2),
+                                batch=384, quant="int8")
+        out["captions_per_sec_int8"] = round(q_cps, 2)
+        gq_cps, _ = bench_greedy(True, max(2, args.iters // 2),
+                                 batch=512, quant="int8")
+        out["greedy_captions_per_sec_int8"] = round(gq_cps, 2)
         out["vs_baseline"] = round(out["value"] / LEGACY_CAPTIONS_PER_SEC, 1)
     print(json.dumps(out))
 

@@ -50,6 +50,11 @@ class ModelConfig:
     scan_unroll: int = 1            # train-scan unroll factor: batches the
     # backward wgrad-accumulator round-trips (measured -15% step time at
     # unroll=5 on v5e, reference scale); costs compile time, so default 1
+    decode_quant: str = "none"      # 'none' | 'int8': W8A8 dynamic
+    # quantization of the decode gates matmul (the compute-bound 50-65%
+    # of the beam-decode step) on the v5e int8 MXU — opt-in
+    # quality/perf tradeoff; weights quantized once per decode program,
+    # activations per step per row.  Training is never quantized.
     fused_seq_grad: bool = True     # hand-derived sequence VJP for the
     # teacher-forced train scan (model/seqgrad.py): weight grads become
     # two post-scan GEMMs instead of a 220 MB fp32 accumulator carried
@@ -172,6 +177,10 @@ def validate(cfg: Config) -> Config:
         raise ValueError(f"unknown optimizer {cfg.train.optimizer!r}")
     if m.encoder not in ("none", "lstm"):
         raise ValueError(f"unknown encoder {m.encoder!r}")
+    if m.decode_quant not in ("none", "int8"):
+        raise ValueError(f"unknown decode_quant {m.decode_quant!r}")
+    if m.wgrad_dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"unknown wgrad_dtype {m.wgrad_dtype!r}")
     if not 0.0 <= cfg.train.ss_prob <= 1.0:
         raise ValueError("ss_prob must be in [0, 1]")
     return cfg

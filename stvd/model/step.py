@@ -73,6 +73,8 @@ class StepContext(NamedTuple):
     h_proj_w: Optional[jax.Array] = None   # (dim, 4d+attn+1[+s]) fused h weights
     h_att_w: Optional[jax.Array] = None    # (dim, attn+1[+s]) h weights sans U
     gates_w: Optional[jax.Array] = None    # (dw+dim+ctx, 4d) = [W; U; Wc]
+    gates_w_q: Optional[jax.Array] = None  # int8 gates stack (decode_quant)
+    gates_scale: Optional[jax.Array] = None  # (4d,) per-column dequant scale
 
 
 class StepOut(NamedTuple):
@@ -179,12 +181,24 @@ def precompute(params: Params, cfg: ModelConfig, ctx: jax.Array,
         # pctx'_t = pctx + spat_t @ (W_spat_fuse @ Wc_att).  Precomputing the
         # composed (Dr, attn_dim) weight saves one per-step matmul.
         w_sf_att = _dot(params["W_spat_fuse"], params["Wc_att"], cdtype)
+    gates_w = _gates_weights(params)
+    gates_w_q = gates_scale = None
+    if cfg.decode_quant == "int8":
+        # per-output-column symmetric weight quantization, done ONCE per
+        # decode program (precompute runs outside the while_loop) — the
+        # v5e int8 MXU runs the gates matmul at ~2x the bf16 rate
+        w32 = gates_w.astype(jnp.float32)
+        gates_scale = jnp.maximum(jnp.max(jnp.abs(w32), axis=0),
+                                  1e-8) / 127.0
+        gates_w_q = jnp.clip(jnp.round(w32 / gates_scale[None, :]),
+                             -127, 127).astype(jnp.int8)
     return StepContext(ctx=ctx, pctx=pctx, ctx_mask=ctx_mask,
                        mean_ctx=mean_ctx, regions=regions, pregion=pregion,
                        w_sf_att=w_sf_att,
                        h_proj_w=_h_projection_weights(params, cfg),
                        h_att_w=_h_att_weights(params, cfg),
-                       gates_w=_gates_weights(params))
+                       gates_w=gates_w, gates_w_q=gates_w_q,
+                       gates_scale=gates_scale)
 
 
 def init_state(params: Params, cfg: ModelConfig, sc: StepContext) -> StepState:
@@ -364,12 +378,26 @@ def step_with_core(params: Params, cfg: ModelConfig, state: StepState,
 
     # --- LSTM gates ---
     if fused_gates:
-        gw = (sc.gates_w if sc.gates_w is not None
-              else _gates_weights(params))
         x_cat = jnp.concatenate(
             [emb_t.astype(cdtype), h.astype(cdtype),
              ctx_t.astype(cdtype)], axis=1)
-        preact = _dot(x_cat, gw, cdtype) + params["b"]
+        if sc.gates_w_q is not None:
+            # W8A8 dynamic: per-row activation scale on the VPU, int8
+            # MXU matmul with int32 accumulation, fp32 dequant
+            x32 = x_cat.astype(jnp.float32)
+            s_r = jnp.maximum(jnp.max(jnp.abs(x32), axis=1,
+                                      keepdims=True), 1e-8) / 127.0
+            x_q = jnp.clip(jnp.round(x32 / s_r), -127, 127
+                           ).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                x_q, sc.gates_w_q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            preact = (acc.astype(jnp.float32)
+                      * (s_r * sc.gates_scale[None, :]) + params["b"])
+        else:
+            gw = (sc.gates_w if sc.gates_w is not None
+                  else _gates_weights(params))
+            preact = _dot(x_cat, gw, cdtype) + params["b"]
     else:
         preact = x_pre + h_gates + _w_dot(ctx_t, params["Wc"], cfg)
     i = jax.nn.sigmoid(preact[:, 0 * dim: 1 * dim])

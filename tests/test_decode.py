@@ -260,3 +260,33 @@ def test_beam_larger_k_no_worse_raw_score():
     b2 = beam_decode(params, cfg, one, beam_size=2, maxlen=3, norm_mode="none")
     b25 = beam_decode(params, cfg, one, beam_size=25, maxlen=3, norm_mode="none")
     assert float(b25.scores[0]) >= float(b2.scores[0]) - 1e-5
+
+
+def test_int8_decode_matches_bf16_on_trained_model():
+    """W8A8 dynamic quantization of the decode gates matmul
+    (model.decode_quant='int8', the opt-in serving speedup): on a model
+    with real decision margins (briefly trained), greedy tokens match
+    the unquantized path."""
+    import dataclasses
+    from stvd.config import TrainConfig
+    from stvd.train.loop import init_train_state, make_train_step
+    cfg = small_cfg(compute_dtype="float32")
+    ds = synthetic_dataset(n_videos=8, k=cfg.n_frames, d=cfg.ctx_dim,
+                           maxlen=10, seed=3)
+    dev = ds.bank.to_device()
+    batch = gather_batch(dev, ds.captions, np.arange(8, dtype=np.int32))
+    batch["weight"] = jnp.ones((8,), jnp.float32)
+    tcfg = TrainConfig(batch_size=8, maxlen=10, optimizer="adam", lr=2e-3)
+    state = init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step = make_train_step(cfg, tcfg)
+    for _ in range(60):
+        state, _ = step(state, batch)
+    dec = {k: v for k, v in batch.items() if k in ("frames", "frame_mask")}
+    ref = greedy_decode(state["params"], cfg, dec, maxlen=10)
+    cfg_q = dataclasses.replace(cfg, decode_quant="int8")
+    q = greedy_decode(state["params"], cfg_q, dec, maxlen=10)
+    agree = (np.asarray(ref.tokens) == np.asarray(q.tokens)).mean()
+    assert agree >= 0.9, f"int8 token agreement {agree}"
+    # beam path also runs under quantization
+    bq = beam_decode(state["params"], cfg_q, dec, beam_size=3, maxlen=10)
+    assert np.isfinite(np.asarray(bq.scores)).all()
