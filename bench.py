@@ -23,51 +23,85 @@ sys.path.insert(0, ".")
 
 LEGACY_CAPTIONS_PER_SEC = 2.5   # documented estimate, see module docstring
 
-# v5e-1 peaks (public spec): 197 TFLOP/s bf16, ~820 GB/s HBM
+# v5e-1 peaks (public spec): 197 TFLOP/s bf16 / 394 TOPS int8, ~820 GB/s
+# HBM.  VPU elementwise rate: 8 sublanes x 128 lanes x ~0.94 GHz ~ 1e12
+# f32 ops/s — calibration-free from the spec, and it reproduces the
+# measured tail-kernel time within ~10% (BASELINE.md round-2 analysis).
 V5E_PEAK_FLOPS = 197e12
+V5E_PEAK_INT8 = 394e12
 V5E_HBM_BW = 820e9
+V5E_VPU_OPS = 1.0e12
 
 
-def decode_cost_model(mcfg, batch: int, beam: int):
-    """Analytic per-while-step FLOPs and HBM bytes for beam decode.
+def decode_cost_model(mcfg, batch: int, beam: int, quant: str = "none"):
+    """Analytic per-while-step resource totals for beam decode.
 
-    CORRECTED round-2 model (the round-1 BASELINE.md roofline assumed
-    the decode is weight-bandwidth-bound; per-fusion profiling on v5e
-    showed the combined gates matmul runs at ~181 TF/s — COMPUTE-bound
-    — so both bounds are reported).  Weight re-reads per step: the
-    [W;U;Wc] gates stack, the h attention projection, the logit-stack
-    weights, and the vocab matrix streamed by the fused tail kernel.
+    Round-2 CORRECTED model.  The round-1 roofline assumed decode is
+    weight-bandwidth-bound; per-island profiling on v5e (.scratch and
+    BASELINE.md 'Decode roofline, corrected') showed three different
+    bounds: the gates matmul is MXU-bound (bf16 1.74 ms measured vs
+    1.43 floor; int8 1.03 vs 0.72), the fused logit tail is VPU-bound
+    on its streaming top-k passes (0.66 ms vs ~0.58 VPU floor), and
+    HBM traffic is minor (~0.15 ms).  Because each step is a serial
+    dependency chain (gates -> attention -> logits -> top-k -> beam
+    gather), MXU and VPU work cannot overlap; the honest floor is the
+    SUM of per-resource times, reported as serial_roofline_ratio next
+    to the max-overlap ratio.
+
+    Returns (mxu_s, vpu_s, hbm_s) floor seconds per decode step.
     """
     bt = batch * beam
     d, dw, dc, a, v = (mcfg.dim, mcfg.dim_word, mcfg.ctx_dim,
                        mcfg.attn_dim, mcfg.n_words)
     k_f = mcfg.n_frames
-    flops = (
+    k_sel = 5
+    gates_flops = 2 * bt * (dw + d + dc) * 4 * d   # [emb|h|ctx] @ [W;U;Wc]
+    other_flops = (
         2 * bt * d * (a + 1)              # h @ [Wd_att | W_sel]
-        + 2 * bt * (dw + d + dc) * 4 * d  # [emb|h|ctx] @ [W;U;Wc]
         + 4 * bt * k_f * a                # attention scores (tanh+reduce)
         + 2 * bt * k_f * dc               # context reduction
         + 2 * bt * d * dw + 2 * bt * dc * dw  # logit activation matmuls
         + 2 * bt * dw * v                 # vocab matmul (tail kernel)
     )
-    wbytes = 2 * ((dw + d + dc) * 4 * d   # gates stack, bf16
-                  + d * (a + 1)           # attention projection
-                  + dw * (d + dc)         # logit stack (transposed reads)
-                  + dw * v                # vocab matrix
-                  + dc * a)               # pctx precompute share ~0 (hoisted)
+    gates_peak = V5E_PEAK_INT8 if quant == "int8" else V5E_PEAK_FLOPS
+    mxu_s = gates_flops / gates_peak + other_flops / V5E_PEAK_FLOPS
+
+    vp = -(-v // 128) * 128
+    vpu_ops = (
+        bt * vp * (3 + 4 * k_sel)         # tail: streaming lse (max, exp,
+        #                                   acc) + k_sel masked-max
+        #                                   selections (~4 passes each)
+        + bt * k_f * a * 3                # attention tanh inputs + reduce
+        + bt * k_f * 6                    # masked softmax over K
+        + 4 * bt * d                      # LSTM gate nonlinearities
+    )
+    if quant == "int8":
+        vpu_ops += bt * (dw + d + dc) * 6  # dynamic activation quant
+    vpu_s = vpu_ops / V5E_VPU_OPS
+
+    wbytes = ((dw + d + dc) * 4 * d * (1 if quant == "int8" else 2)
+              + 2 * (d * (a + 1)           # attention projection
+                     + dw * (d + dc)       # logit stack
+                     + dw * v))            # vocab matrix (read ONCE: the
+    #                                        tail kernel's vocab-outer grid)
     abytes = (4 * 4 * bt * d              # h,c carries r/w fp32
               + 2 * 2 * bt * (dw + d + dc)  # x_cat concat r/w bf16
               + 2 * batch * k_f * (a + dc) * 2)  # pctx/ctx attention reads
-    return flops, wbytes + abytes
+    hbm_s = (wbytes + abytes) / V5E_HBM_BW
+    return mxu_s, vpu_s, hbm_s
 
 
-def roofline(flops: float, hbm_bytes: float, step_s: float):
-    """(mfu, hbm_bw_util, roofline_ratio): utilization vs chip peaks and
-    measured-time / max(compute-bound, bandwidth-bound) floor."""
-    mfu = flops / (V5E_PEAK_FLOPS * step_s)
-    bw = hbm_bytes / (V5E_HBM_BW * step_s)
-    floor = max(flops / V5E_PEAK_FLOPS, hbm_bytes / V5E_HBM_BW)
-    return round(mfu, 4), round(bw, 4), round(step_s / floor, 2)
+def roofline(mxu_s: float, vpu_s: float, hbm_s: float, step_s: float):
+    """Utilizations + two floors: max-overlap (every resource perfectly
+    overlapped) and serial (MXU + VPU sum — the honest floor for a
+    serially-dependent decode step, HBM overlapped with both)."""
+    mfu = mxu_s / step_s                 # fraction of step at MXU peak
+    bw = hbm_s / step_s
+    vpu = vpu_s / step_s
+    floor = max(mxu_s, vpu_s, hbm_s)
+    serial = max(mxu_s + vpu_s, hbm_s)
+    return (round(mfu, 4), round(bw, 4), round(vpu, 4),
+            round(step_s / floor, 2), round(step_s / serial, 2))
 
 
 def _cfgs(small: bool):
@@ -497,14 +531,18 @@ def main():
                 out["batch"] = 384
                 per_batch = pb
                 best_b = 384
-        # corrected cost model (round 2): MFU / HBM utilization /
-        # distance from the compute-vs-bandwidth roofline floor
+        # corrected cost model (round 2): per-resource utilizations and
+        # distance from the max-overlap and serial-chain roofline floors
         step_s = per_batch / dcfg.maxlen
-        flops, hbm = decode_cost_model(mcfg, best_b, dcfg.beam_size)
-        mfu, bwu, ratio = roofline(flops, hbm, step_s)
+        mxu_s, vpu_s, hbm_s = decode_cost_model(mcfg, best_b,
+                                                dcfg.beam_size)
+        mfu, bwu, vpu, ratio, serial = roofline(mxu_s, vpu_s, hbm_s,
+                                                step_s)
         out["mfu"] = mfu
         out["hbm_bw_util"] = bwu
+        out["vpu_util"] = vpu
         out["roofline_ratio"] = ratio
+        out["serial_roofline_ratio"] = serial
         # config-1 greedy headline rides along (fused tail top-1)
         g_cps, _ = bench_greedy(args.kernel or True,
                                 max(2, args.iters // 2), batch=512)
@@ -514,9 +552,15 @@ def main():
         # runs on the v5e int8 MXU at ~2x the bf16 rate.  Reported as a
         # separate field, not the headline: it is a quality tradeoff
         # (greedy token agreement >=90% pinned in tests/test_decode.py).
-        q_cps, _ = bench_decode(False, True, max(2, args.iters // 2),
-                                batch=384, quant="int8")
+        q_cps, q_pb = bench_decode(False, True, max(2, args.iters // 2),
+                                   batch=384, quant="int8")
         out["captions_per_sec_int8"] = round(q_cps, 2)
+        mxu_q, vpu_q, hbm_q = decode_cost_model(mcfg, 384, dcfg.beam_size,
+                                                quant="int8")
+        _, _, _, r_q, s_q = roofline(mxu_q, vpu_q, hbm_q,
+                                     q_pb / dcfg.maxlen)
+        out["roofline_ratio_int8"] = r_q
+        out["serial_roofline_ratio_int8"] = s_q
         gq_cps, _ = bench_greedy(True, max(2, args.iters // 2),
                                  batch=512, quant="int8")
         out["greedy_captions_per_sec_int8"] = round(gq_cps, 2)

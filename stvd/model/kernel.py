@@ -390,31 +390,40 @@ def attention_core_pallas(h_att, beta_logit, pctx, ctx, ctx_mask, u_att,
 _IDX_BIG = 2 ** 30   # plain int: jnp scalars would be captured consts
 
 
-def _make_tail_kernel(k_sel: int, tv: int):
+def _make_tail_kernel(k_sel: int, tv: int, tr: int):
     def kernel(x_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref,
                m_scr, s_scr, bv_scr, bi_scr):
-        j = pl.program_id(1)
-        nv = pl.num_programs(1)
-
-        @pl.when(j == 0)
-        def _():
-            m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
-            s_scr[:] = jnp.zeros_like(s_scr)
-            bv_scr[:] = jnp.full_like(bv_scr, _NEG_INF)
-            bi_scr[:] = jnp.zeros_like(bi_scr)
+        # Grid is (vocab tiles OUTER, row tiles INNER): the (dw, tv)
+        # weight tile stays resident in VMEM across the whole inner row
+        # sweep, so the vocab matrix is streamed from HBM exactly ONCE
+        # per step instead of once per row tile (at rows=1920/tr=128
+        # that was 15x13.4 MB = 200 MB/step -> 13.4 MB/step).  Running
+        # (max, sumexp, top-k) state for ALL row tiles lives in scratch,
+        # sliced per inner iteration.
+        j = pl.program_id(0)
+        i = pl.program_id(1)
+        nv = pl.num_programs(0)
+        sl = pl.ds(i * tr, tr)
 
         logits = jnp.dot(x_ref[:], w_ref[:],
                          preferred_element_type=jnp.float32) + b_ref[:]
-        tr = logits.shape[0]
+
+        zero_v = jnp.full((tr, k_sel), _NEG_INF, jnp.float32)
+        zero_i = jnp.zeros((tr, k_sel), jnp.int32)
+        first = j == 0
+        m_old = jnp.where(first, _NEG_INF, m_scr[sl, :])
+        s_old = jnp.where(first, 0.0, s_scr[sl, :])
+        bv = jnp.where(first, zero_v, bv_scr[sl, :])
+        bi = jnp.where(first, zero_i, bi_scr[sl, :])
 
         # streaming logsumexp (flash-softmax style rescaling)
         tile_max = jnp.max(logits, axis=1, keepdims=True)        # (TR,1)
-        m_old = m_scr[:]
         m_new = jnp.maximum(m_old, tile_max)
-        s_scr[:] = (s_scr[:] * jnp.exp(m_old - m_new)
-                    + jnp.sum(jnp.exp(logits - m_new), axis=1,
-                              keepdims=True))
-        m_scr[:] = m_new
+        s_new = (s_old * jnp.exp(m_old - m_new)
+                 + jnp.sum(jnp.exp(logits - m_new), axis=1,
+                           keepdims=True))
+        m_scr[sl, :] = m_new
+        s_scr[sl, :] = s_new
 
         # streaming top-k: k_sel masked-max passes over the tile, each
         # candidate insertion-merged into the running sorted top-k.
@@ -432,8 +441,6 @@ def _make_tail_kernel(k_sel: int, tv: int):
                          keepdims=True)                          # (TR,1)
             lt = jnp.where(cols == iv, _NEG_INF, lt)
             # insertion merge into the sorted running top-k
-            bv = bv_scr[:]
-            bi = bi_scr[:]
             rank = jnp.sum((bv >= v).astype(jnp.int32), axis=1,
                            keepdims=True)                        # (TR,1)
             new_v, new_i = [], []
@@ -446,14 +453,17 @@ def _make_tail_kernel(k_sel: int, tv: int):
                                        jnp.where(ins, v, pv)))
                 new_i.append(jnp.where(keep, bi[:, p:p + 1],
                                        jnp.where(ins, iv, pi)))
-            bv_scr[:] = jnp.concatenate(new_v, axis=1)
-            bi_scr[:] = jnp.concatenate(new_i, axis=1)
+            bv = jnp.concatenate(new_v, axis=1)
+            bi = jnp.concatenate(new_i, axis=1)
+        bv_scr[sl, :] = bv
+        bi_scr[sl, :] = bi
 
-        @pl.when(j == nv - 1)
-        def _():
-            vals_ref[:] = bv_scr[:]
-            idx_ref[:] = bi_scr[:]
-            lse_ref[:] = m_scr[:] + jnp.log(s_scr[:])
+        # the (tr, k) output blocks are cheap: write the running state
+        # every visit; the j == nv-1 sweep overwrites with the final
+        # values (HBM blocks are committed per visit, last write wins)
+        vals_ref[:] = bv
+        idx_ref[:] = bi
+        lse_ref[:] = m_new + jnp.log(jnp.maximum(s_new, 1e-38))
 
     return kernel
 
@@ -494,40 +504,44 @@ def _tail_pallas_call(x, w, b, k_sel: int, tv: int, tr_cap: int,
     tr = _pick_row_tile(rp, tr_cap)
     if rp != rows:
         x = jnp.pad(x, ((0, rp - rows), (0, 0)))
-    grid = (rp // tr, vp // tv)
+    nv = vp // tv
+    # vocab OUTER, rows INNER: weight tile resident across the row
+    # sweep -> vocab matrix read from HBM once per call, x re-read nv
+    # times (nv ~ 3-6, x is ~100x smaller than w)
+    grid = (nv, rp // tr)
     f32 = jnp.float32
     vals, idx, lse = pl.pallas_call(
-        _make_tail_kernel(k_sel, tv),
+        _make_tail_kernel(k_sel, tv, tr),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tr, dw), lambda i, j: (i, 0),
+            pl.BlockSpec((tr, dw), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),               # x
-            pl.BlockSpec((dw, tv), lambda i, j: (0, j),
+            pl.BlockSpec((dw, tv), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),               # w
-            pl.BlockSpec((1, tv), lambda i, j: (0, j),
+            pl.BlockSpec((1, tv), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),               # bias
         ],
         out_specs=(
-            pl.BlockSpec((tr, k_sel), lambda i, j: (i, 0),
+            pl.BlockSpec((tr, k_sel), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, k_sel), lambda i, j: (i, 0),
+            pl.BlockSpec((tr, k_sel), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((tr, 1), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(jax.ShapeDtypeStruct((rp, k_sel), f32),
                    jax.ShapeDtypeStruct((rp, k_sel), jnp.int32),
                    jax.ShapeDtypeStruct((rp, 1), f32)),
         scratch_shapes=[
-            pltpu.VMEM((tr, 1), f32),          # running max
-            pltpu.VMEM((tr, 1), f32),          # running sumexp
-            pltpu.VMEM((tr, k_sel), f32),      # running top-k values
-            pltpu.VMEM((tr, k_sel), jnp.int32),  # running top-k indices
+            pltpu.VMEM((rp, 1), f32),          # running max (all rows)
+            pltpu.VMEM((rp, 1), f32),          # running sumexp
+            pltpu.VMEM((rp, k_sel), f32),      # running top-k values
+            pltpu.VMEM((rp, k_sel), jnp.int32),  # running top-k indices
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * rp * dw * vp,
-            bytes_accessed=(rp * dw * x.dtype.itemsize
-                            + (rp // tr) * dw * vp * w.dtype.itemsize
+            bytes_accessed=(nv * rp * dw * x.dtype.itemsize
+                            + dw * vp * w.dtype.itemsize
                             + rp * (2 * k_sel + 1) * 4),
             transcendentals=rp * vp,
         ),
