@@ -16,8 +16,11 @@
 //
 // C ABI only — loaded via ctypes (no pybind11 in this image).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <functional>
+#include <unordered_map>
 #include <vector>
 
 extern "C" {
@@ -54,25 +57,49 @@ void stvd_lcs_batch(const int32_t* hyp_tok, const int32_t* hyp_off,
   }
 }
 
-// METEOR staged alignment.
+// METEOR alignment — the jar's resolution algorithm (Denkowski &
+// Lavie 2011): beam search (width 40) over hypothesis positions
+// selecting the non-conflicting match subset that 1. maximizes word
+// coverage, 2. minimizes chunk count, 3. minimizes total
+// |hyp_pos - ref_pos|.  Mirrors stvd/metrics/meteor.py:_resolve_beam
+// EXACTLY, including tie-breaks: states expand in beam order, skip
+// before matches, candidates in ascending ref position; an
+// equal-valued state never replaces an earlier arrival; the per-level
+// prune is a stable sort by (coverage desc, chunks asc, dist asc).
 //
 // hyp / ref: surface-form ids.  hyp_stem / ref_stem: Porter-stem ids.
 // hyp_syn / ref_syn: synonym-class ids (-1 = no class; stage skipped
-// for such tokens).  Greedy left-to-right per stage, each hypothesis
-// token matched to the unused reference token minimizing positional
-// distance — the chunk-minimizing heuristic mirrored from the Python
-// oracle (stvd/metrics/meteor.py:_align); results must agree exactly.
+// for such tokens).  A candidate (i, j) carries the highest-precedence
+// stage matching it (exact < stem < synonym).
+//
+// Inputs longer than 62 tokens (ref) fall back to the round-1 greedy
+// heuristic (the used-set must fit a 64-bit mask); the Python wrapper
+// routes such pairs to the pure-Python resolver instead.
 //
 // Outputs: *m = matches, *chunks = contiguous-run count.
-void stvd_meteor_align(const int32_t* hyp, const int32_t* hyp_stem,
-                       const int32_t* hyp_syn, int32_t nh,
-                       const int32_t* ref, const int32_t* ref_stem,
-                       const int32_t* ref_syn, int32_t nr,
-                       int32_t* m_out, int32_t* chunks_out) {
-  std::vector<int8_t> hyp_used(nh, 0), ref_used(nr, 0);
-  // match[i] = ref position matched to hyp i, or -1
-  std::vector<int32_t> match(nh, -1);
 
+static const int32_t kMeteorBeam = 40;
+
+struct BeamState {
+  uint64_t used;           // ref positions consumed
+  int32_t pi, pj;          // last matched (hyp, ref) position, -2 = none
+  int32_t m, ch, dist;     // coverage, chunks, total |i-j|
+};
+
+// strictly better by (coverage desc, chunks asc, distance asc)
+static inline bool beam_better(const BeamState& a, const BeamState& b) {
+  if (a.m != b.m) return a.m > b.m;
+  if (a.ch != b.ch) return a.ch < b.ch;
+  return a.dist < b.dist;
+}
+
+static void greedy_align(const int32_t* hyp, const int32_t* hyp_stem,
+                         const int32_t* hyp_syn, int32_t nh,
+                         const int32_t* ref, const int32_t* ref_stem,
+                         const int32_t* ref_syn, int32_t nr,
+                         int32_t* m_out, int32_t* chunks_out) {
+  std::vector<int8_t> hyp_used(nh, 0), ref_used(nr, 0);
+  std::vector<int32_t> match(nh, -1);
   auto run_stage = [&](const int32_t* hk, const int32_t* rk, bool skip_neg) {
     for (int32_t i = 0; i < nh; ++i) {
       if (hyp_used[i]) continue;
@@ -94,13 +121,10 @@ void stvd_meteor_align(const int32_t* hyp, const int32_t* hyp_stem,
       }
     }
   };
-
-  run_stage(hyp, ref, false);           // exact
-  run_stage(hyp_stem, ref_stem, false); // stem
-  if (hyp_syn && ref_syn) run_stage(hyp_syn, ref_syn, true);  // synonym
-
-  int32_t m = 0, chunks = 0;
-  int32_t prev_i = -2, prev_j = -2;
+  run_stage(hyp, ref, false);
+  run_stage(hyp_stem, ref_stem, false);
+  if (hyp_syn && ref_syn) run_stage(hyp_syn, ref_syn, true);
+  int32_t m = 0, chunks = 0, prev_i = -2, prev_j = -2;
   for (int32_t i = 0; i < nh; ++i) {
     if (match[i] < 0) continue;
     ++m;
@@ -110,6 +134,82 @@ void stvd_meteor_align(const int32_t* hyp, const int32_t* hyp_stem,
   }
   *m_out = m;
   *chunks_out = chunks;
+}
+
+void stvd_meteor_align(const int32_t* hyp, const int32_t* hyp_stem,
+                       const int32_t* hyp_syn, int32_t nh,
+                       const int32_t* ref, const int32_t* ref_stem,
+                       const int32_t* ref_syn, int32_t nr,
+                       int32_t* m_out, int32_t* chunks_out) {
+  if (nr > 62) {
+    greedy_align(hyp, hyp_stem, hyp_syn, nh, ref, ref_stem, ref_syn, nr,
+                 m_out, chunks_out);
+    return;
+  }
+  // candidates per hyp position: (ref position, stage), j ascending
+  std::vector<std::vector<int32_t>> cand(nh);  // packed j (stage unused
+  // for (m, chunks) outputs — coverage counts every stage equally)
+  for (int32_t i = 0; i < nh; ++i) {
+    for (int32_t j = 0; j < nr; ++j) {
+      const bool hit =
+          hyp[i] == ref[j] || hyp_stem[i] == ref_stem[j] ||
+          (hyp_syn && ref_syn && hyp_syn[i] >= 0 && hyp_syn[i] == ref_syn[j]);
+      if (hit) cand[i].push_back(j);
+    }
+  }
+
+  std::vector<BeamState> cur;
+  cur.push_back(BeamState{0, -2, -2, 0, 0, 0});
+  std::vector<BeamState> next;
+  // dedup map: (used, pi+2, pj+2) -> index into `next`
+  struct Key {
+    uint64_t used;
+    uint32_t pp;
+    bool operator==(const Key& o) const {
+      return used == o.used && pp == o.pp;
+    }
+  };
+  struct KeyHash {
+    size_t operator()(const Key& k) const {
+      return std::hash<uint64_t>()(
+          (k.used ^ (uint64_t(k.pp) << 48)) * 0x9e3779b97f4a7c15ull);
+    }
+  };
+  std::unordered_map<Key, size_t, KeyHash> seen;
+
+  for (int32_t i = 0; i < nh; ++i) {
+    next.clear();
+    seen.clear();
+    auto consider = [&](const BeamState& s) {
+      const Key k{s.used, uint32_t(s.pi + 2) << 8 | uint32_t(s.pj + 2)};
+      auto it = seen.find(k);
+      if (it == seen.end()) {
+        seen.emplace(k, next.size());
+        next.push_back(s);
+      } else if (beam_better(s, next[it->second])) {
+        next[it->second] = s;
+      }
+    };
+    for (const BeamState& s : cur) {
+      consider(s);  // skip hyp position i
+      for (int32_t j : cand[i]) {
+        if (s.used >> j & 1) continue;
+        BeamState t = s;
+        t.used |= uint64_t(1) << j;
+        t.ch += (s.pi == i - 1 && s.pj == j - 1) ? 0 : 1;
+        t.pi = i;
+        t.pj = j;
+        t.m += 1;
+        t.dist += i > j ? i - j : j - i;
+        consider(t);
+      }
+    }
+    std::stable_sort(next.begin(), next.end(), beam_better);
+    if (int32_t(next.size()) > kMeteorBeam) next.resize(kMeteorBeam);
+    cur.swap(next);
+  }
+  *m_out = cur[0].m;
+  *chunks_out = cur[0].ch;
 }
 
 // Clipped n-gram match counting for corpus BLEU (one hypothesis vs its

@@ -113,9 +113,13 @@ def lcs_len(a_ids: np.ndarray, b_ids: np.ndarray) -> Optional[int]:
 
 def meteor_align(hyp, hyp_stem, hyp_syn, ref, ref_stem, ref_syn
                  ) -> Optional[Tuple[int, int]]:
-    """Returns (matches, chunks) or None if native lib unavailable."""
+    """Returns (matches, chunks) or None if native lib unavailable.
+
+    References longer than 62 tokens return None (the native beam
+    resolver tracks used ref positions in a 64-bit mask); the caller's
+    pure-Python resolver has no such limit."""
     lib = get_lib()
-    if lib is None:
+    if lib is None or len(ref) > 62:
         return None
     h, hs = _as_i32(hyp), _as_i32(hyp_stem)
     r, rs = _as_i32(ref), _as_i32(ref_stem)

@@ -19,10 +19,12 @@ Lavie 2014): alpha=0.85, beta=0.2, gamma=0.6, content/function-word
 weighting delta=0.75, stage weights exact=1.0, stem=0.6, synonym=0.8.
 NOT certified jar-identical: the jar's function-word list (corpus
 relative frequency > 1e-3) is approximated here by a fixed English
-function-word set, and the jar's exhaustive beam search over
-alignments is approximated by a positional-distance heuristic.
-Treat METEOR-1.5 numbers as non-comparable to jar scores until
-validated (see PARITY.md).
+function-word set.  The ALIGNMENT is the jar's algorithm: beam search
+(width 40) over hypothesis positions selecting the match subset that
+maximizes coverage, then minimizes chunks, then minimizes positional
+distance (Denkowski & Lavie 2011) — implemented in ``_resolve_beam``
+and mirrored in native C++.  Treat METEOR-1.5 numbers as
+non-comparable to jar scores until validated (see PARITY.md).
 
 Common machinery for both profiles:
 
@@ -152,44 +154,80 @@ def _synonyms(w: str) -> set:
     return syns
 
 
-def _align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int]]:
-    """Staged unigram alignment; returns (hyp_pos, ref_pos) pairs.
+BEAM_WIDTH = 40   # the METEOR jar's default alignment beam
 
-    Within each stage, candidates matching are resolved to minimize
-    positional distance (a chunk-minimizing heuristic standing in for
-    the jar's exhaustive beam search over alignments).
-    """
+
+def _align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int]]:
+    """Staged unigram alignment; returns (hyp_pos, ref_pos) pairs."""
     return [(h, r) for h, r, _ in _align_staged(hyp, ref)]
+
+
+def _resolve_beam(cands: List[List[Tuple[int, int]]], nr: int,
+                  beam: int = BEAM_WIDTH) -> List[Tuple[int, int, int]]:
+    """The METEOR jar's alignment resolution (Denkowski & Lavie 2011):
+    beam search over hypothesis positions selecting the non-conflicting
+    match subset that 1. maximizes word coverage, 2. minimizes chunk
+    count, 3. minimizes total |hyp_pos - ref_pos|.  ``cands[i]`` lists
+    (ref_pos, stage) candidates for hyp position i, ref_pos ascending.
+
+    Deterministic tie-break (mirrored EXACTLY by the native aligner,
+    native/metrics_core.cpp:stvd_meteor_align): states are expanded in
+    beam order, skip before matches, candidates in ascending ref_pos;
+    an equal-valued state reached later never replaces an earlier one;
+    the per-level prune is a stable sort by (coverage desc, chunks asc,
+    distance asc).
+    """
+    # state key: (ref_used_mask, prev_i, prev_j); value: (m, chunks,
+    # dist, pairs)
+    states: Dict[Tuple[int, int, int], Tuple[int, int, int, tuple]] = {
+        (0, -2, -2): (0, 0, 0, ())}
+    for i, ci in enumerate(cands):
+        new: Dict[Tuple[int, int, int], Tuple[int, int, int, tuple]] = {}
+
+        def consider(key, val):
+            old = new.get(key)
+            # strictly better = more matches, then fewer chunks, then
+            # smaller distance; equal keeps the first arrival
+            if old is None or (-val[0], val[1], val[2]) < (
+                    -old[0], old[1], old[2]):
+                new[key] = val
+
+        for (used, pi, pj), (m, ch, dist, pairs) in states.items():
+            consider((used, pi, pj), (m, ch, dist, pairs))       # skip i
+            for j, stage in ci:
+                if used >> j & 1:
+                    continue
+                nch = ch + (0 if (pi == i - 1 and pj == j - 1) else 1)
+                consider((used | (1 << j), i, j),
+                         (m + 1, nch, dist + abs(i - j),
+                          pairs + ((i, j, stage),)))
+        ranked = sorted(new.items(),
+                        key=lambda kv: (-kv[1][0], kv[1][1], kv[1][2]))
+        states = dict(ranked[:beam])
+    best = min(states.values(), key=lambda v: (-v[0], v[1], v[2]))
+    return list(best[3])
 
 
 def _align_staged(hyp: List[str], ref: List[str]
                   ) -> List[Tuple[int, int, int]]:
-    """(hyp_pos, ref_pos, stage) triples; stage 0=exact 1=stem 2=syn."""
-    matches: List[Tuple[int, int, int]] = []
-    hyp_used = [False] * len(hyp)
-    ref_used = [False] * len(ref)
-
-    def run_stage(eq, stage: int) -> None:
-        for i, hw in enumerate(hyp):
-            if hyp_used[i]:
-                continue
-            best_j = -1
-            for j, rw in enumerate(ref):
-                if ref_used[j]:
-                    continue
-                if eq(hw, rw):
-                    if best_j < 0 or abs(j - i) < abs(best_j - i):
-                        best_j = j
-            if best_j >= 0:
-                hyp_used[i] = True
-                ref_used[best_j] = True
-                matches.append((i, best_j, stage))
-
-    run_stage(lambda a, b: a == b, 0)
-    run_stage(lambda a, b: _stem(a) == _stem(b), 1)
-    if _get_wordnet() is not None:
-        run_stage(lambda a, b: a in _synonyms(b) or b in _synonyms(a), 2)
-    return sorted(matches)
+    """(hyp_pos, ref_pos, stage) triples; stage 0=exact 1=stem 2=syn.
+    Each (i, j) candidate carries the highest-precedence stage that
+    matches it; the beam resolution picks the final subset."""
+    wn = _get_wordnet()
+    syns = [_synonyms(w) for w in hyp] if wn is not None else None
+    cands: List[List[Tuple[int, int]]] = []
+    for i, hw in enumerate(hyp):
+        hs = _stem(hw)
+        ci: List[Tuple[int, int]] = []
+        for j, rw in enumerate(ref):
+            if hw == rw:
+                ci.append((j, 0))
+            elif hs == _stem(rw):
+                ci.append((j, 1))
+            elif wn is not None and (hw in _synonyms(rw) or rw in syns[i]):
+                ci.append((j, 2))
+        cands.append(ci)
+    return sorted(_resolve_beam(cands, len(ref)))
 
 
 def _count_chunks(matches: List[Tuple[int, int]]) -> int:
@@ -205,11 +243,12 @@ def _count_chunks(matches: List[Tuple[int, int]]) -> int:
 def _align_stats(hyp: List[str], ref: List[str]) -> Tuple[int, int]:
     """(matches, chunks) for one hypothesis/reference pair.
 
-    Uses the native C++ aligner (native/metrics_core.cpp:
-    stvd_meteor_align) when built and the WordNet synonym stage is
+    Uses the native C++ beam aligner (native/metrics_core.cpp:
+    stvd_meteor_align) when built, the WordNet synonym stage is
     inactive (the native core takes equivalence-class ids, which can't
-    express WordNet's asymmetric synonymy); identical results to the
-    Python path are pinned by tests/test_native.py.
+    express WordNet's asymmetric synonymy), and the reference fits the
+    native 63-token bitmask; identical results to the Python path are
+    pinned by tests/test_native.py.
     """
     from . import _native
     if _get_wordnet() is None and _native.get_lib() is not None:
@@ -245,12 +284,10 @@ def _segment_stats(hyp: List[str], refs: Sequence[List[str]],
     best = None
     best_score = -1.0
     for r in refs:
-        if use_native:
-            nm, nchunks = _native.meteor_align(
-                h_ids, h_stems, None, intern(r),
-                intern([_stem(w) for w in r]), None)
-        else:
-            nm, nchunks = _align_stats(hyp, r)
+        out = _native.meteor_align(
+            h_ids, h_stems, None, intern(r),
+            intern([_stem(w) for w in r]), None) if use_native else None
+        nm, nchunks = out if out is not None else _align_stats(hyp, r)
         stats = (nm, len(hyp), len(r), nchunks)
         s = _score_from_stats(*stats, alpha=alpha, beta=beta, gamma=gamma)
         if s > best_score or (s == best_score and best is not None
@@ -370,9 +407,11 @@ def meteor_score(gts: Dict[str, List[List[str]]],
             return score, {"METEOR": score}
         alpha, beta, gamma = prof.alpha, prof.beta, prof.gamma
     from . import _native
-    if _get_wordnet() is None and _native.get_lib() is not None:
+    if (_get_wordnet() is None and _native.get_lib() is not None
+            and all(len(r) <= 62 for i in ids for r in gts[i])):
         # one native call for the whole corpus (per-pair ctypes overhead
-        # dominates otherwise)
+        # dominates otherwise); >62-token refs exceed the native beam
+        # resolver's bitmask and take the pure-Python path
         intern = _native.Interner()
         hyp_ids = [intern(res[i][0]) for i in ids]
         hyp_stems = [intern([_stem(w) for w in res[i][0]]) for i in ids]

@@ -218,3 +218,25 @@ def test_score_all_interface():
 def test_score_all_missing_hypothesis_raises():
     with pytest.raises(ValueError):
         score_all({"a": ["x"], "b": ["y"]}, {"a": ["x"]})
+
+
+def test_meteor_beam_alignment_minimizes_chunks():
+    """The jar's alignment resolution (beam over coverage -> chunks ->
+    distance, meteor._resolve_beam): with duplicate words the resolver
+    must pick the assignment forming one long contiguous run (2 chunks)
+    where the round-1 positional-greedy heuristic produced 3.
+    Hand-computed: hyp the/cat/sat/the vs ref the/the/cat/sat -> the
+    optimal alignment is (0,1),(1,2),(2,3) [one chunk] + (3,0)."""
+    from stvd.metrics.meteor import _align, _align_stats
+    hyp = ["the", "cat", "sat", "the"]
+    ref = ["the", "the", "cat", "sat"]
+    assert _align_stats(hyp, ref) == (4, 2)
+    assert _align(hyp, ref) == [(0, 1), (1, 2), (2, 3), (3, 0)]
+
+
+def test_meteor_beam_distance_tiebreak():
+    """Equal coverage and chunks resolve by minimal total positional
+    distance: aligning 'a' at hyp pos 0 to ref pos 0 (dist 0) beats
+    ref pos 2 (dist 2)."""
+    from stvd.metrics.meteor import _align
+    assert _align(["a"], ["a", "b", "a"]) == [(0, 0)]
