@@ -218,6 +218,25 @@ def bench_greedy(use_kernel: bool, iters: int = 4, batch: int = 512,
     return batch * iters / dt, dt / iters
 
 
+def train_cost_model(mcfg, batch: int, maxlen: int) -> float:
+    """Forward-pass matmul FLOPs of one train step; backward ~2x
+    forward (the standard 3x total used for train MFU)."""
+    b, t = batch, maxlen
+    d, dw, dc, a, v = (mcfg.dim, mcfg.dim_word, mcfg.ctx_dim,
+                       mcfg.attn_dim, mcfg.n_words)
+    k_f = mcfg.n_frames
+    fwd = (
+        2 * b * t * (dw + d + dc) * 4 * d   # gates over the scan
+        + 2 * b * t * d * (a + 1)           # h attention projection
+        + 4 * b * t * k_f * a               # attention scores
+        + 2 * b * t * k_f * dc              # context reduction
+        + 2 * b * t * dw * (d + dc)         # logit activation matmuls
+        + 2 * b * t * dw * v                # vocab matmul (post-scan)
+        + 2 * b * k_f * dc * a              # pctx precompute
+    )
+    return 3.0 * fwd
+
+
 def bench_train(small: bool, use_kernel: bool, iters: int = 10,
                 batch: int = 0):
     import dataclasses
@@ -483,6 +502,9 @@ def main():
         extras["train_steps_per_sec"] = round(sps, 3)
         extras["train_step_ms"] = round(spt * 1e3, 2)
         extras["train_examples_per_sec"] = round(sps * tcfg.batch_size, 1)
+        extras["train_mfu"] = round(
+            train_cost_model(mcfg, tcfg.batch_size, tcfg.maxlen)
+            / (V5E_PEAK_FLOPS * spt), 4)
         if not args.small:
             # train is weight-bandwidth-bound per step: larger batches
             # raise examples/s nearly linearly until compute-bound
