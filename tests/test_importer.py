@@ -1,0 +1,118 @@
+"""Reference-checkpoint importer (stvd/model/importer.py): Theano
+model_best_so_far.npz -> stvd params (reference model_attention.py:
+§train saves numpy.savez(unzip(tparams)) — SURVEY.md §5)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from stvd.config import ModelConfig
+from stvd.model.decoder import init_params
+from stvd.model.importer import (infer_model_config, load_reference_npz,
+                                 save_reference_npz)
+
+
+def small_cfg(**kw):
+    base = dict(n_words=50, dim_word=16, dim=24, ctx_dim=20, n_frames=6,
+                compute_dtype="float32")
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def test_roundtrip_all_params(tmp_path):
+    """export under reference names -> import -> identical pytree."""
+    cfg = small_cfg(use_spatial=True, region_dim=12, encoder="lstm")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    path = os.path.join(tmp_path, "model_best_so_far.npz")
+    save_reference_npz(path, params)
+    got, report = load_reference_npz(path, cfg, strict=True)
+    assert not report.missing and not report.unused
+    for k, v in params.items():
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(v),
+                                      err_msg=k)
+
+
+def test_infer_config_from_shapes(tmp_path):
+    cfg = small_cfg(use_spatial=True, region_dim=12)
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    path = os.path.join(tmp_path, "m.npz")
+    save_reference_npz(path, params)
+    inf = infer_model_config(path)
+    assert (inf.n_words, inf.dim_word, inf.dim, inf.ctx_dim) == \
+        (50, 16, 24, 20)
+    assert inf.use_spatial and inf.region_dim == 12
+    assert inf.encoder == "none"
+
+
+def test_reference_shapes_and_bias_fold(tmp_path):
+    """A hand-built npz with the reference's own conventions: decoder_
+    prefix, (d,1) column vectors, (1,) scalars, a separate
+    ff_logit_ctx_b that must fold into the single pre-tanh bias."""
+    cfg = small_cfg()
+    rng = np.random.RandomState(0)
+    d, dw, dc, da, v = cfg.dim, cfg.dim_word, cfg.ctx_dim, cfg.attn_dim, \
+        cfg.n_words
+    ref = {
+        "Wemb": rng.randn(v, dw), "ff_state_W": rng.randn(dc, d),
+        "ff_state_b": rng.randn(d), "ff_memory_W": rng.randn(dc, d),
+        "ff_memory_b": rng.randn(d),
+        "decoder_W": rng.randn(dw, 4 * d), "decoder_U": rng.randn(d, 4 * d),
+        "decoder_b": rng.randn(4 * d), "decoder_Wc": rng.randn(dc, 4 * d),
+        "decoder_Wc_att": rng.randn(dc, da), "decoder_b_att": rng.randn(da),
+        "decoder_Wd_att": rng.randn(d, da),
+        "decoder_U_att": rng.randn(da, 1),           # column vector
+        "decoder_c_tt": rng.randn(1),                # (1,) scalar
+        "decoder_W_sel": rng.randn(d, 1), "decoder_b_sel": rng.randn(1),
+        "ff_logit_lstm_W": rng.randn(d, dw), "ff_logit_lstm_b": rng.randn(dw),
+        "ff_logit_ctx_W": rng.randn(dc, dw), "ff_logit_ctx_b": rng.randn(dw),
+        "ff_logit_W": rng.randn(dw, v), "ff_logit_b": rng.randn(v),
+    }
+    path = os.path.join(tmp_path, "ref.npz")
+    np.savez(path, **{k: a.astype(np.float32) for k, a in ref.items()})
+    got, report = load_reference_npz(path, cfg, strict=True)
+    assert "ff_logit_ctx_b" in report.folded and not report.unused
+    assert got["U_att"].shape == (da,)
+    assert got["c_att"].shape == ()
+    np.testing.assert_allclose(
+        np.asarray(got["ff_logit_lstm_b"]),
+        ref["ff_logit_lstm_b"].astype(np.float32)
+        + ref["ff_logit_ctx_b"].astype(np.float32), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got["W_sel"]),
+                                  ref["decoder_W_sel"][:, 0].astype(np.float32))
+
+
+def test_shape_mismatch_raises(tmp_path):
+    cfg = small_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    path = os.path.join(tmp_path, "m.npz")
+    save_reference_npz(path, params)
+    with pytest.raises(ValueError, match="shape"):
+        load_reference_npz(path, small_cfg(dim=32))
+
+
+def test_convert_cli_builds_runnable_run_dir(tmp_path):
+    """--ref-model produces a run dir Captioner.from_run_dir loads and
+    decodes from (the end-to-end migration path)."""
+    import pickle
+
+    from stvd.api import Captioner
+    from stvd.cli.convert import main as convert_main
+
+    cfg = small_cfg()
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    npz = os.path.join(tmp_path, "model_best_so_far.npz")
+    save_reference_npz(npz, params)
+    # legacy worddict: word -> id, ids 0/1 reserved (EOS/UNK)
+    wd = {f"w{i}": i for i in range(2, 40)}
+    wpath = os.path.join(tmp_path, "worddict.pkl")
+    with open(wpath, "wb") as f:
+        pickle.dump(wd, f, protocol=2)
+    run_dir = os.path.join(tmp_path, "imported")
+    assert convert_main(["--ref-model", npz, "--worddict", wpath,
+                         "--run-dir", run_dir]) == 0
+    cap = Captioner.from_run_dir(run_dir)
+    feats = np.random.RandomState(0).randn(2, cfg.n_frames, cfg.ctx_dim)
+    texts = cap.caption(feats.astype(np.float32))
+    assert len(texts) == 2 and all(isinstance(t, str) for t in texts)
