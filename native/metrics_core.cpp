@@ -17,6 +17,7 @@
 // C ABI only — loaded via ctypes (no pybind11 in this image).
 
 #include <algorithm>
+#include <array>
 #include <cstdint>
 #include <cstring>
 #include <functional>
@@ -136,31 +137,39 @@ static void greedy_align(const int32_t* hyp, const int32_t* hyp_stem,
   *chunks_out = chunks;
 }
 
-void stvd_meteor_align(const int32_t* hyp, const int32_t* hyp_stem,
+// per appended state: which pruned state of the previous level it came
+// from, and the match taken at this level (j = -1 for skip)
+struct BeamRec {
+  int32_t parent;
+  int32_t j;
+  int8_t stage;
+};
+
+static void beam_align(const int32_t* hyp, const int32_t* hyp_stem,
                        const int32_t* hyp_syn, int32_t nh,
                        const int32_t* ref, const int32_t* ref_stem,
                        const int32_t* ref_syn, int32_t nr,
-                       int32_t* m_out, int32_t* chunks_out) {
-  if (nr > 62) {
-    greedy_align(hyp, hyp_stem, hyp_syn, nh, ref, ref_stem, ref_syn, nr,
-                 m_out, chunks_out);
-    return;
-  }
-  // candidates per hyp position: (ref position, stage), j ascending
-  std::vector<std::vector<int32_t>> cand(nh);  // packed j (stage unused
-  // for (m, chunks) outputs — coverage counts every stage equally)
+                       int32_t* m_out, int32_t* chunks_out,
+                       int32_t* pairs_out, int32_t* npairs_out) {
+  // candidates per hyp position: (ref position, stage), j ascending;
+  // stage = the highest-precedence module matching (exact<stem<syn)
+  std::vector<std::vector<std::pair<int32_t, int8_t>>> cand(nh);
   for (int32_t i = 0; i < nh; ++i) {
     for (int32_t j = 0; j < nr; ++j) {
-      const bool hit =
-          hyp[i] == ref[j] || hyp_stem[i] == ref_stem[j] ||
-          (hyp_syn && ref_syn && hyp_syn[i] >= 0 && hyp_syn[i] == ref_syn[j]);
-      if (hit) cand[i].push_back(j);
+      int8_t stage = -1;
+      if (hyp[i] == ref[j]) stage = 0;
+      else if (hyp_stem[i] == ref_stem[j]) stage = 1;
+      else if (hyp_syn && ref_syn && hyp_syn[i] >= 0 &&
+               hyp_syn[i] == ref_syn[j]) stage = 2;
+      if (stage >= 0) cand[i].emplace_back(j, stage);
     }
   }
 
   std::vector<BeamState> cur;
   cur.push_back(BeamState{0, -2, -2, 0, 0, 0});
   std::vector<BeamState> next;
+  std::vector<BeamRec> nrec;                     // parallel to `next`
+  std::vector<std::vector<BeamRec>> recs(nh);    // per level, pruned order
   // dedup map: (used, pi+2, pj+2) -> index into `next`
   struct Key {
     uint64_t used;
@@ -179,20 +188,24 @@ void stvd_meteor_align(const int32_t* hyp, const int32_t* hyp_stem,
 
   for (int32_t i = 0; i < nh; ++i) {
     next.clear();
+    nrec.clear();
     seen.clear();
-    auto consider = [&](const BeamState& s) {
+    auto consider = [&](const BeamState& s, const BeamRec& r) {
       const Key k{s.used, uint32_t(s.pi + 2) << 8 | uint32_t(s.pj + 2)};
       auto it = seen.find(k);
       if (it == seen.end()) {
         seen.emplace(k, next.size());
         next.push_back(s);
+        nrec.push_back(r);
       } else if (beam_better(s, next[it->second])) {
         next[it->second] = s;
+        nrec[it->second] = r;
       }
     };
-    for (const BeamState& s : cur) {
-      consider(s);  // skip hyp position i
-      for (int32_t j : cand[i]) {
+    for (size_t si = 0; si < cur.size(); ++si) {
+      const BeamState s = cur[si];
+      consider(s, BeamRec{int32_t(si), -1, -1});   // skip hyp position i
+      for (auto [j, stage] : cand[i]) {
         if (s.used >> j & 1) continue;
         BeamState t = s;
         t.used |= uint64_t(1) << j;
@@ -201,15 +214,77 @@ void stvd_meteor_align(const int32_t* hyp, const int32_t* hyp_stem,
         t.pj = j;
         t.m += 1;
         t.dist += i > j ? i - j : j - i;
-        consider(t);
+        consider(t, BeamRec{int32_t(si), j, stage});
       }
     }
-    std::stable_sort(next.begin(), next.end(), beam_better);
-    if (int32_t(next.size()) > kMeteorBeam) next.resize(kMeteorBeam);
-    cur.swap(next);
+    // stable prune: sort indices so the parallel records reorder too
+    std::vector<int32_t> order(next.size());
+    for (size_t k = 0; k < order.size(); ++k) order[k] = int32_t(k);
+    std::stable_sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
+      return beam_better(next[a], next[b]);
+    });
+    const size_t keep = std::min(order.size(), size_t(kMeteorBeam));
+    std::vector<BeamState> pruned(keep);
+    recs[i].resize(keep);
+    for (size_t k = 0; k < keep; ++k) {
+      pruned[k] = next[order[k]];
+      recs[i][k] = nrec[order[k]];
+    }
+    cur.swap(pruned);
   }
   *m_out = cur[0].m;
   *chunks_out = cur[0].ch;
+  if (pairs_out && npairs_out) {
+    // walk parents back from the winning state, emit (i, j, stage)
+    int32_t n = 0;
+    int32_t idx = 0;
+    std::vector<std::array<int32_t, 3>> rev;
+    for (int32_t i = nh - 1; i >= 0; --i) {
+      const BeamRec& r = recs[i][idx];
+      if (r.j >= 0) rev.push_back({i, r.j, int32_t(r.stage)});
+      idx = r.parent;
+    }
+    for (auto it = rev.rbegin(); it != rev.rend(); ++it, ++n) {
+      pairs_out[n * 3 + 0] = (*it)[0];
+      pairs_out[n * 3 + 1] = (*it)[1];
+      pairs_out[n * 3 + 2] = (*it)[2];
+    }
+    *npairs_out = n;
+  }
+}
+
+void stvd_meteor_align(const int32_t* hyp, const int32_t* hyp_stem,
+                       const int32_t* hyp_syn, int32_t nh,
+                       const int32_t* ref, const int32_t* ref_stem,
+                       const int32_t* ref_syn, int32_t nr,
+                       int32_t* m_out, int32_t* chunks_out) {
+  if (nr > 62) {
+    greedy_align(hyp, hyp_stem, hyp_syn, nh, ref, ref_stem, ref_syn, nr,
+                 m_out, chunks_out);
+    return;
+  }
+  beam_align(hyp, hyp_stem, hyp_syn, nh, ref, ref_stem, ref_syn, nr,
+             m_out, chunks_out, nullptr, nullptr);
+}
+
+// Pairs-returning variant for the weighted (METEOR-1.5) scorer:
+// pairs_out must hold nh*3 int32 (i, j, stage triples, hyp order).
+// *npairs_out = -1 signals an unsupported shape (ref > 62 tokens);
+// the Python caller resolves those pairs in pure Python.
+void stvd_meteor_align_pairs(const int32_t* hyp, const int32_t* hyp_stem,
+                             const int32_t* hyp_syn, int32_t nh,
+                             const int32_t* ref, const int32_t* ref_stem,
+                             const int32_t* ref_syn, int32_t nr,
+                             int32_t* pairs_out, int32_t* npairs_out,
+                             int32_t* m_out, int32_t* chunks_out) {
+  if (nr > 62) {
+    *npairs_out = -1;
+    *m_out = 0;
+    *chunks_out = 0;
+    return;
+  }
+  beam_align(hyp, hyp_stem, hyp_syn, nh, ref, ref_stem, ref_syn, nr,
+             m_out, chunks_out, pairs_out, npairs_out);
 }
 
 // Clipped n-gram match counting for corpus BLEU (one hypothesis vs its

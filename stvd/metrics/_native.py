@@ -57,6 +57,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                       i32p, i32p, i32p, ctypes.c_int32,
                                       i32p, i32p]
     lib.stvd_meteor_align.restype = None
+    lib.stvd_meteor_align_pairs.argtypes = [
+        i32p, i32p, i32p, ctypes.c_int32,
+        i32p, i32p, i32p, ctypes.c_int32,
+        i32p, i32p, i32p, i32p]
+    lib.stvd_meteor_align_pairs.restype = None
     lib.stvd_bleu_stats.argtypes = [i32p, ctypes.c_int32, i32p, i32p,
                                     ctypes.c_int32, i64p, i64p, i32p]
     lib.stvd_bleu_stats.restype = None
@@ -136,6 +141,36 @@ def meteor_align(hyp, hyp_stem, hyp_syn, ref, ref_stem, ref_syn
                           _ptr(r), _ptr(rs), rp, len(r),
                           ctypes.byref(m), ctypes.byref(c))
     return int(m.value), int(c.value)
+
+
+def meteor_align_pairs(hyp, hyp_stem, hyp_syn, ref, ref_stem, ref_syn
+                       ) -> Optional[List[Tuple[int, int, int]]]:
+    """Chosen alignment as (hyp_pos, ref_pos, stage) triples in hyp
+    order, or None if the native lib is absent / ref exceeds the
+    native 62-token mask."""
+    lib = get_lib()
+    if lib is None or len(ref) > 62:
+        return None
+    h, hs = _as_i32(hyp), _as_i32(hyp_stem)
+    r, rs = _as_i32(ref), _as_i32(ref_stem)
+    if hyp_syn is None or ref_syn is None:
+        null = ctypes.cast(None, ctypes.POINTER(ctypes.c_int32))
+        hp = rp = null
+    else:
+        hy, ry = _as_i32(hyp_syn), _as_i32(ref_syn)
+        hp, rp = _ptr(hy), _ptr(ry)
+    pairs = np.zeros(max(1, len(h)) * 3, np.int32)
+    n = ctypes.c_int32(0)
+    m = ctypes.c_int32(0)
+    c = ctypes.c_int32(0)
+    lib.stvd_meteor_align_pairs(_ptr(h), _ptr(hs), hp, len(h),
+                                _ptr(r), _ptr(rs), rp, len(r),
+                                _ptr(pairs), ctypes.byref(n),
+                                ctypes.byref(m), ctypes.byref(c))
+    if n.value < 0:
+        return None
+    out = pairs[:n.value * 3].reshape(-1, 3)
+    return [(int(a), int(b), int(s)) for a, b, s in out]
 
 
 def bleu_stats(hyp_ids: np.ndarray, refs_ids: List[np.ndarray]

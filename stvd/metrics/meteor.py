@@ -212,7 +212,13 @@ def _align_staged(hyp: List[str], ref: List[str]
                   ) -> List[Tuple[int, int, int]]:
     """(hyp_pos, ref_pos, stage) triples; stage 0=exact 1=stem 2=syn.
     Each (i, j) candidate carries the highest-precedence stage that
-    matches it; the beam resolution picks the final subset."""
+    matches it; the beam resolution picks the final subset.
+
+    Stays pure Python deliberately: routing through the native
+    pairs-returning aligner (_native.meteor_align_pairs) measured 2x
+    SLOWER at caption scale — per-pair ctypes + interning overhead
+    exceeds the beam cost on <=30-token segments.  The native win is
+    the batched one-call corpus path (stvd_meteor_corpus)."""
     wn = _get_wordnet()
     syns = [_synonyms(w) for w in hyp] if wn is not None else None
     cands: List[List[Tuple[int, int]]] = []

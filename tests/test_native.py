@@ -186,3 +186,26 @@ def test_score_all_native_vs_python_subprocess():
     without = json.loads(out.stdout.strip().splitlines()[-1])
     for k, v in with_native.items():
         assert abs(v - without[k]) < 1e-9, (k, v, without[k])
+
+
+def test_meteor_align_pairs_fuzz_native_vs_python(monkeypatch):
+    """The pairs-returning native beam aligner must emit EXACTLY the
+    pure-Python resolver's (i, j, stage) triples (same beam, same
+    tie-breaks)."""
+    import random
+
+    import stvd.metrics._native as nat
+    from stvd.metrics import meteor as mmod
+
+    if nat.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = random.Random(7)
+    vocab = [f"w{k}" for k in range(12)]
+    for _ in range(150):
+        hyp = [rng.choice(vocab) for _ in range(rng.randint(0, 14))]
+        ref = [rng.choice(vocab) for _ in range(rng.randint(1, 14))]
+        native = mmod._align_staged(hyp, ref)
+        with monkeypatch.context() as m:
+            m.setattr(nat, "get_lib", lambda: None)
+            pure = mmod._align_staged(hyp, ref)
+        assert native == pure, (hyp, ref)
