@@ -185,7 +185,7 @@ def bench_decode(small: bool, use_kernel: bool, iters: int = 8,
     return cps, dt / iters
 
 
-def bench_greedy(use_kernel: bool, iters: int = 4, batch: int = 512,
+def bench_greedy(use_kernel: bool, iters: int = 16, batch: int = 512,
                  quant: str = "none"):
     """Config-1 (greedy) decode throughput at reference scale."""
     import dataclasses
@@ -533,8 +533,8 @@ def main():
         # larger batch amortizes weight reads until VMEM spill; v5e
         # sweet spot measured at 384 (round 2), 256 kept for history
         for b in (256, 384):
-            cps_b, pb = bench_decode(False, args.kernel,
-                                     max(2, args.iters // 2), batch=b)
+            cps_b, pb = bench_decode(False, args.kernel, args.iters,
+                                     batch=b)
             out[f"captions_per_sec_batch{b}"] = round(cps_b, 2)
             if cps_b > out["value"]:
                 out["value"] = round(cps_b, 2)
@@ -544,8 +544,7 @@ def main():
         if not args.kernel:
             # the fused Pallas kernels (attention core + logit tail)
             # are the production step — report the better as headline
-            cps_k, pb = bench_decode(False, True, max(2, args.iters // 2),
-                                     batch=384)
+            cps_k, pb = bench_decode(False, True, args.iters, batch=384)
             out["captions_per_sec_kernel"] = round(cps_k, 2)
             if cps_k > out["value"]:
                 out["value"] = round(cps_k, 2)
@@ -553,6 +552,9 @@ def main():
                 out["batch"] = 384
                 per_batch = pb
                 best_b = 384
+        # refresh the per-batch display for the configuration the
+        # headline value actually came from (it was set pre-sweep)
+        out["batch_decode_ms"] = round(per_batch * 1e3, 1)
         # corrected cost model (round 2): per-resource utilizations and
         # distance from the max-overlap and serial-chain roofline floors
         step_s = per_batch / dcfg.maxlen
@@ -566,15 +568,14 @@ def main():
         out["roofline_ratio"] = ratio
         out["serial_roofline_ratio"] = serial
         # config-1 greedy headline rides along (fused tail top-1)
-        g_cps, _ = bench_greedy(args.kernel or True,
-                                max(2, args.iters // 2), batch=512)
+        g_cps, _ = bench_greedy(args.kernel or True, iters=16, batch=512)
         out["greedy_captions_per_sec"] = round(g_cps, 2)
         # opt-in W8A8 serving path (model.decode_quant='int8'): the
         # gates matmul — the compute-bound majority of the beam step —
         # runs on the v5e int8 MXU at ~2x the bf16 rate.  Reported as a
         # separate field, not the headline: it is a quality tradeoff
         # (greedy token agreement >=90% pinned in tests/test_decode.py).
-        q_cps, q_pb = bench_decode(False, True, max(2, args.iters // 2),
+        q_cps, q_pb = bench_decode(False, True, args.iters,
                                    batch=384, quant="int8")
         out["captions_per_sec_int8"] = round(q_cps, 2)
         mxu_q, vpu_q, hbm_q = decode_cost_model(mcfg, 384, dcfg.beam_size,
@@ -583,8 +584,7 @@ def main():
                                      q_pb / dcfg.maxlen)
         out["roofline_ratio_int8"] = r_q
         out["serial_roofline_ratio_int8"] = s_q
-        gq_cps, _ = bench_greedy(True, max(2, args.iters // 2),
-                                 batch=512, quant="int8")
+        gq_cps, _ = bench_greedy(True, iters=16, batch=512, quant="int8")
         out["greedy_captions_per_sec_int8"] = round(gq_cps, 2)
         out["vs_baseline"] = round(out["value"] / LEGACY_CAPTIONS_PER_SEC, 1)
     print(json.dumps(out))
