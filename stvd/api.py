@@ -51,13 +51,21 @@ class Captioner:
     @staticmethod
     def from_run_dir(run_dir: str, best: bool = True,
                      vocab: Optional[Vocab] = None,
-                     step_fn: Optional[StepFn] = None) -> "Captioner":
+                     step_fn: Optional[StepFn] = None,
+                     quant: Optional[str] = None) -> "Captioner":
         """Load config + checkpoint (+ vocab.pkl if present) from a
-        training run directory."""
+        training run directory.  ``quant`` overrides
+        ``model.decode_quant`` ('int8' enables the W8A8 serving path
+        regardless of how the model was trained/saved)."""
+        import dataclasses
+
         import jax
         from .train.loop import init_train_state, restore_checkpoint
         with open(os.path.join(run_dir, "config.json")) as f:
             cfg = Config.from_json(f.read())
+        if quant is not None:
+            cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+                cfg.model, decode_quant=quant))
         template = init_train_state(jax.random.PRNGKey(0), cfg.model,
                                     cfg.train)
         name = "ckpt_best" if best else "ckpt"

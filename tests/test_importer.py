@@ -116,3 +116,24 @@ def test_convert_cli_builds_runnable_run_dir(tmp_path):
     feats = np.random.RandomState(0).randn(2, cfg.n_frames, cfg.ctx_dim)
     texts = cap.caption(feats.astype(np.float32))
     assert len(texts) == 2 and all(isinstance(t, str) for t in texts)
+
+
+def test_captioner_quant_override(tmp_path):
+    """Captioner.from_run_dir(quant='int8') decodes through the W8A8
+    path regardless of the saved config."""
+    from stvd.api import Captioner
+    from stvd.cli.convert import main as convert_main
+
+    cfg = small_cfg()
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    npz = os.path.join(tmp_path, "m.npz")
+    save_reference_npz(npz, params)
+    run_dir = os.path.join(tmp_path, "r")
+    assert convert_main(["--ref-model", npz, "--run-dir", run_dir]) == 0
+    import pickle
+    with open(os.path.join(run_dir, "vocab.pkl"), "wb") as f:
+        pickle.dump({f"w{i}": i for i in range(2, 40)}, f, protocol=2)
+    cap = Captioner.from_run_dir(run_dir, quant="int8")
+    assert cap.cfg.model.decode_quant == "int8"
+    feats = np.zeros((1, cfg.n_frames, cfg.ctx_dim), np.float32)
+    assert len(cap.caption(feats)) == 1
