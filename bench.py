@@ -567,8 +567,9 @@ def main():
         out["vpu_util"] = vpu
         out["roofline_ratio"] = ratio
         out["serial_roofline_ratio"] = serial
-        # config-1 greedy headline rides along (fused tail top-1)
-        g_cps, _ = bench_greedy(args.kernel or True, iters=16, batch=512)
+        # config-1 greedy headline rides along — always the production
+        # path (fused Pallas tail top-1), independent of --kernel
+        g_cps, _ = bench_greedy(True, iters=16, batch=512)
         out["greedy_captions_per_sec"] = round(g_cps, 2)
         # opt-in W8A8 serving path (model.decode_quant='int8'): the
         # gates matmul — the compute-bound majority of the beam step —

@@ -64,8 +64,10 @@ class Captioner:
         with open(os.path.join(run_dir, "config.json")) as f:
             cfg = Config.from_json(f.read())
         if quant is not None:
-            cfg = dataclasses.replace(cfg, model=dataclasses.replace(
-                cfg.model, decode_quant=quant))
+            from .config import validate
+            cfg = validate(dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model,
+                                               decode_quant=quant)))
         template = init_train_state(jax.random.PRNGKey(0), cfg.model,
                                     cfg.train)
         name = "ckpt_best" if best else "ckpt"

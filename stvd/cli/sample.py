@@ -86,18 +86,34 @@ def main(argv=None) -> int:
             json.dump(rows, f, indent=1)
         print(f"n-best lists -> {path}")
     if args.stochastic > 0:
+        import jax.numpy as jnp
         import numpy as np
         from ..decode.sample import sample_decode
         dev = ds.bank.to_device()
         n_vid = ds.bank.n_videos
-        out = sample_decode(state["params"], cfg.model, dict(dev),
-                            jax.random.PRNGKey(args.seed),
-                            maxlen=cfg.decode.maxlen,
-                            temperature=args.temperature,
-                            top_k=args.top_k, n_samples=args.stochastic,
-                            step_fn=step_fn)
-        toks = np.asarray(out.tokens)
-        scrs = np.asarray(out.scores)
+        # decode in fixed decode_batch chunks (one compiled executable,
+        # bounded device memory at large splits) like the scored path
+        bsz = cfg.decode.decode_batch
+        run = jax.jit(lambda p, b, r: sample_decode(
+            p, cfg.model, b, r, maxlen=cfg.decode.maxlen,
+            temperature=args.temperature, top_k=args.top_k,
+            n_samples=args.stochastic, step_fn=step_fn))
+        tok_parts, scr_parts = [], []
+        for s in range(0, n_vid, bsz):
+            e = min(s + bsz, n_vid)
+            chunk = {k: v[s:e] for k, v in dev.items()}
+            pad = bsz - (e - s)
+            if pad:
+                chunk = {k: jnp.concatenate(
+                    [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)])
+                    for k, v in chunk.items()}
+                chunk["frame_mask"] = chunk["frame_mask"].at[e - s:, 0].set(1.0)
+            out = run(state["params"], chunk,
+                      jax.random.fold_in(jax.random.PRNGKey(args.seed), s))
+            tok_parts.append(np.asarray(out.tokens)[: e - s])
+            scr_parts.append(np.asarray(out.scores)[: e - s])
+        toks = np.concatenate(tok_parts)
+        scrs = np.concatenate(scr_parts)
         rows = []
         for i in range(n_vid):
             samples = [{"caption": " ".join(ds.vocab.decode(toks[i, j])),

@@ -179,6 +179,11 @@ def validate(cfg: Config) -> Config:
         raise ValueError(f"unknown encoder {m.encoder!r}")
     if m.decode_quant not in ("none", "int8"):
         raise ValueError(f"unknown decode_quant {m.decode_quant!r}")
+    from .metrics.meteor import PROFILES
+    if cfg.train.meteor_profile not in PROFILES:
+        raise ValueError(f"unknown meteor_profile "
+                         f"{cfg.train.meteor_profile!r}; "
+                         f"available: {sorted(PROFILES)}")
     if m.wgrad_dtype not in ("float32", "bfloat16"):
         raise ValueError(f"unknown wgrad_dtype {m.wgrad_dtype!r}")
     if not 0.0 <= cfg.train.ss_prob <= 1.0:

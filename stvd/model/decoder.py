@@ -195,6 +195,14 @@ def forward_train(
     token_mask (B,T), optionally regions (B,K,R,Dr), motion (B,K,Dm).
     """
     step_fn = step_fn or step_mod.step
+    if cfg.decode_quant != "none":
+        # decode_quant is a SERVING knob only: the quantization round/
+        # clip ops have zero gradient a.e., so letting it reach the
+        # scheduled-sampling scan (which runs the fused-gates step)
+        # would silently kill dL/d{W,U,Wc}.  Training always runs the
+        # full-precision gates.
+        import dataclasses
+        cfg = dataclasses.replace(cfg, decode_quant="none")
     params = step_mod.cast_params(params, cfg)  # one weight cast, not T
     tokens = batch["tokens"]
     B, T = tokens.shape

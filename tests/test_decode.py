@@ -290,3 +290,32 @@ def test_int8_decode_matches_bf16_on_trained_model():
     # beam path also runs under quantization
     bq = beam_decode(state["params"], cfg_q, dec, beam_size=3, maxlen=10)
     assert np.isfinite(np.asarray(bq.scores)).all()
+
+
+def test_int8_config_never_quantizes_training():
+    """decode_quant='int8' is a serving knob: the scheduled-sampling
+    training forward (which runs the fused-gates step) must NOT route
+    through the zero-gradient quantization ops — gates grads stay
+    nonzero (code-review regression: quant round/clip have zero grad
+    a.e. and silently stalled training)."""
+    import dataclasses
+    import jax
+    from stvd.model.decoder import forward_train
+    cfg = dataclasses.replace(small_cfg(compute_dtype="float32"),
+                              decode_quant="int8")
+    ds = synthetic_dataset(n_videos=4, k=cfg.n_frames, d=cfg.ctx_dim,
+                           maxlen=8, seed=0)
+    dev = ds.bank.to_device()
+    batch = gather_batch(dev, ds.captions, np.arange(4, dtype=np.int32))
+
+    def loss(params):
+        out = forward_train(params, cfg, batch,
+                            rng=jax.random.PRNGKey(0), train=True,
+                            ss_prob=0.5)
+        return out.nll_per_example.sum()
+
+    from stvd.model.decoder import init_params
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    g = jax.grad(loss)(params)
+    for name in ("U", "W", "Wc"):
+        assert float(jnp.abs(g[name]).max()) > 0.0, name

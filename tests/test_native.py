@@ -188,10 +188,11 @@ def test_score_all_native_vs_python_subprocess():
         assert abs(v - without[k]) < 1e-9, (k, v, without[k])
 
 
-def test_meteor_align_pairs_fuzz_native_vs_python(monkeypatch):
-    """The pairs-returning native beam aligner must emit EXACTLY the
-    pure-Python resolver's (i, j, stage) triples (same beam, same
-    tie-breaks)."""
+def test_meteor_align_pairs_fuzz_native_vs_python():
+    """stvd_meteor_align_pairs (the C++ parent-walk reconstruction)
+    must emit EXACTLY the pure-Python resolver's (i, j, stage) triples
+    — _align_staged is deliberately pure Python (see its docstring),
+    so the native entry point is driven directly here."""
     import random
 
     import stvd.metrics._native as nat
@@ -204,8 +205,16 @@ def test_meteor_align_pairs_fuzz_native_vs_python(monkeypatch):
     for _ in range(150):
         hyp = [rng.choice(vocab) for _ in range(rng.randint(0, 14))]
         ref = [rng.choice(vocab) for _ in range(rng.randint(1, 14))]
-        native = mmod._align_staged(hyp, ref)
-        with monkeypatch.context() as m:
-            m.setattr(nat, "get_lib", lambda: None)
-            pure = mmod._align_staged(hyp, ref)
-        assert native == pure, (hyp, ref)
+        intern = nat.Interner()
+        native = nat.meteor_align_pairs(
+            intern(hyp), intern([mmod._stem(w) for w in hyp]), None,
+            intern(ref), intern([mmod._stem(w) for w in ref]), None)
+        assert native is not None
+        pure = mmod._align_staged(hyp, ref)
+        assert sorted(native) == pure, (hyp, ref)
+        # stats parity against the stats-only native entry too
+        m, c = nat.meteor_align(
+            intern(hyp), intern([mmod._stem(w) for w in hyp]), None,
+            intern(ref), intern([mmod._stem(w) for w in ref]), None)
+        assert m == len(pure)
+        assert c == mmod._count_chunks([(i, j) for i, j, _ in pure])
