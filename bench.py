@@ -356,6 +356,19 @@ def probe_device(timeout_s: int = 150) -> bool:
         return False
 
 
+def _probe_with_retries(attempts: int = 3, backoff_s: int = 45) -> bool:
+    """The axon tunnel wedges transiently (minutes-scale) on this
+    machine; retry the health probe before falling back to the CPU
+    lower bound so a flaky window doesn't cost the round its real
+    TPU measurement."""
+    for attempt in range(attempts):
+        if probe_device():
+            return True
+        if attempt < attempts - 1:
+            time.sleep(backoff_s)
+    return False
+
+
 def bench_quality(use_kernel: bool, hard: bool = False):
     """Train the structured-synthetic quality recipe to convergence and
     score held-out videos (BLEU-4/METEOR/CIDEr) — the offline stand-in
@@ -459,7 +472,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         if args.what == "dp" or args.preset in ("5", "msvd-dp"):
             jax.config.update("jax_num_cpu_devices", 8)  # simulate a slice
-    elif not args.no_probe and not probe_device():
+    elif not args.no_probe and not _probe_with_retries():
         # TPU tunnel wedged (known failure mode on this machine when a
         # TPU client is SIGKILLed): measure on CPU rather than hang,
         # and say so — the number is a severe LOWER bound for the chip.
