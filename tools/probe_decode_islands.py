@@ -3,6 +3,12 @@
 b=384 videos x beam 5 = 1920 rows, dim 3584, ctx 1024, vocab 13056.
 Times each fusion island in a scan with a serial carry (so XLA can't
 hoist), value-transfer sync. One JAX process only.
+
+N=300 steps per invocation: this machine's relay costs ~6.5 ms per
+timed invocation (per-sync RTT + ~0.5 ms dispatch), so 30-step loops
+over-report by ~0.22 ms/step (calibrated with a trivial body:
+0.229 -> 0.022 -> 0.003 ms/step at N=30/300/3000). See BASELINE.md
+"Decode roofline, corrected".
 """
 import sys, time, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -13,7 +19,7 @@ from stvd.model.decoder import encode_context, init_params
 from stvd.model.kernel import make_logit_tail, attention_core_pallas
 from stvd.model.step import StepState, init_state, precompute
 
-N = 30
+N = 300
 
 
 def timeit(f, *a, n=4):
