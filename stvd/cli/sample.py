@@ -46,6 +46,9 @@ def main(argv=None) -> int:
     ap.add_argument("--top-k", type=int, default=0,
                     help="truncated top-k sampling (0 = full vocab)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--nll", action="store_true",
+                    help="also report teacher-forced NLL + perplexity "
+                         "for the split (reference pred_probs)")
     args = ap.parse_args(argv)
 
     with open(os.path.join(args.run_dir, "config.json")) as f:
@@ -62,6 +65,25 @@ def main(argv=None) -> int:
     ds = splits[args.split]
     scores = evaluate_split(state["params"], cfg, ds, split=args.split,
                             save_dir=args.run_dir, step_fn=step_fn)
+    if args.nll:
+        import jax.numpy as jnp
+
+        from ..data.batching import BatchIterator, gather_batch
+        from ..train.loop import make_eval_nll, perplexity
+        ev = make_eval_nll(cfg.model, step_fn)
+        dev = ds.bank.to_device(dtype=jnp.dtype(cfg.model.compute_dtype))
+        it = BatchIterator(ds.captions.n,
+                           min(cfg.train.valid_batch_size, ds.captions.n),
+                           shuffle=False)
+        num = ex = tok = 0.0
+        for idx, w in it.epoch():
+            batch = gather_batch(dev, ds.captions, idx)
+            batch["weight"] = jnp.asarray(w)
+            n, d, t = ev(state["params"], batch)
+            num, ex, tok = num + float(n), ex + float(d), tok + float(t)
+        scores["nll"] = num / max(ex, 1.0)          # reference pred_probs
+        scores["nll_per_token"] = num / max(tok, 1.0)
+        scores["perplexity"] = perplexity(num / max(tok, 1.0))
     if args.nbest > 0:
         import numpy as np
         from ..decode.beam import beam_decode

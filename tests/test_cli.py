@@ -1,0 +1,76 @@
+"""End-to-end CLI surfaces (reference workflow: train.py then
+metrics/sampling — SURVEY.md §2 rows 1/6).  One tiny synthetic
+training run feeds every sample-CLI flag."""
+
+import json
+import os
+
+import pytest
+
+from stvd.cli.sample import main as sample_main
+from stvd.cli.train import main as train_main
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("clirun"))
+    rc = train_main([
+        "--preset", "msvd-beam",
+        "--set", "model.dim=48", "--set", "model.ctx_dim=32",
+        "--set", "model.n_frames=5", "--set", "model.n_words=48",
+        "--set", "model.dim_word=24",
+        "--set", "data.synthetic_videos=6",
+        "--set", "train.batch_size=6", "--set", "train.valid_freq=4",
+        "--set", "train.disp_freq=2", "--set", f"train.save_dir={d}",
+        "--max-updates", "6",
+    ])
+    assert rc == 0
+    return d
+
+
+def test_train_cli_artifacts(run_dir):
+    for name in ("config.json", "metrics.jsonl", "vocab.pkl", "ckpt",
+                 "valid_samples.txt"):
+        assert os.path.exists(os.path.join(run_dir, name)), name
+
+
+def test_sample_cli_scores(run_dir, capsys):
+    assert sample_main(["--run-dir", run_dir, "--split", "valid",
+                        "--beam", "2"]) == 0
+    out = capsys.readouterr().out
+    scores = json.loads(out[out.index("{"):])
+    assert "Bleu_4" in scores and "METEOR" in scores
+
+
+def test_sample_cli_nll(run_dir, capsys):
+    """--nll reports pred_probs-style NLL + perplexity (SURVEY §3.4)."""
+    assert sample_main(["--run-dir", run_dir, "--split", "valid",
+                        "--beam", "1", "--nll"]) == 0
+    out = capsys.readouterr().out
+    scores = json.loads(out[out.index("{"):])
+    assert scores["nll"] > 0 and scores["perplexity"] > 1
+    assert scores["nll_per_token"] <= scores["nll"]
+
+
+def test_sample_cli_stochastic_chunked(run_dir, capsys):
+    """--stochastic runs the decode_batch-chunked path (chunk smaller
+    than the split so at least two chunks + padding execute)."""
+    import dataclasses
+    import json as _json
+
+    from stvd.config import Config
+    cfg_path = os.path.join(run_dir, "config.json")
+    with open(cfg_path) as f:
+        cfg = Config.from_json(f.read())
+    cfg = dataclasses.replace(
+        cfg, decode=dataclasses.replace(cfg.decode, decode_batch=3))
+    with open(cfg_path, "w") as f:
+        f.write(cfg.to_json())
+    assert sample_main(["--run-dir", run_dir, "--split", "valid",
+                        "--beam", "1", "--stochastic", "2",
+                        "--temperature", "0.7"]) == 0
+    with open(os.path.join(run_dir, "valid_sampled.json")) as f:
+        rows = _json.load(f)
+    # valid split = max(4, videos//4) = 4 -> two chunks at
+    # decode_batch=3 (3 + 1 padded)
+    assert len(rows) == 4 and len(rows[0]["samples"]) == 2
