@@ -315,3 +315,22 @@ def test_beam_decode_tail_kernel_parity():
     np.testing.assert_allclose(np.asarray(gref.scores),
                                np.asarray(gker.scores), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_logit_tail_k1_and_k8():
+    """k_sel=1 is the greedy serving path (fused tail top-1); k_sel=8
+    is the widest supported selection — both must match lax.top_k."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(40, 128), jnp.float32)
+    w = jnp.asarray(rng.randn(128, 1408) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(1408), jnp.float32)
+    logits = x @ w + b
+    for k in (1, 8):
+        tail = kmod.make_logit_tail(w, b, k)
+        assert tail is not None
+        vals, idx, lse = jax.jit(tail)(x)
+        rv, ri = jax.lax.top_k(logits, k)
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(rv),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ri))
+    assert kmod.make_logit_tail(w, b, 9) is None   # k cap documented
