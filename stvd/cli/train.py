@@ -79,7 +79,8 @@ def main(argv=None) -> int:
         os.path.join(cfg.train.save_dir, "vocab.pkl"))
     step_fn = get_step_fn(args.use_kernel)
     mesh = parallel.make_mesh() if args.data_parallel else None
-    logger = MetricsLogger(cfg.train.save_dir)
+    logger = MetricsLogger(cfg.train.save_dir,
+                       tensorboard=cfg.train.tensorboard)
     result = fit(cfg, splits["train"], splits.get("valid"), step_fn=step_fn,
                  mesh=mesh, logger=logger, max_updates=args.max_updates,
                  use_shard_map=args.shard_map)

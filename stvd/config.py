@@ -100,6 +100,8 @@ class TrainConfig:
     seed: int = 1234
     reload_: bool = False           # resume from save_dir checkpoint
     save_dir: str = "runs/default"
+    tensorboard: bool = False       # also write TB scalar curves to
+    # save_dir/tb (flax SummaryWriter); JSONL stays the primary record
     # --- parallelism (no reference equivalent; SURVEY.md §2 rows 9-10) ---
     data_parallel: bool = True      # shard batch over the 'data' mesh axis
     use_shard_map: bool = False     # explicit lax.psum collectives under

@@ -311,7 +311,8 @@ def fit(
         from ..utils.debug import enable_nan_debug
         enable_nan_debug(True)
     own_logger = logger is None
-    log = logger or MetricsLogger(tcfg.save_dir)
+    log = logger or MetricsLogger(tcfg.save_dir,
+                              tensorboard=tcfg.tensorboard)
     rng = jax.random.PRNGKey(tcfg.seed)
     state = init_train_state(rng, mcfg, tcfg)
     if mesh is not None:

@@ -57,3 +57,17 @@ def test_metrics_logger_jsonl(tmp_path):
         rec = json.loads(f.readline())
     assert rec["kind"] == "train" and rec["loss"] == 1.5
     assert "elapsed_s" in rec
+
+
+def test_metrics_logger_tensorboard(tmp_path):
+    """tensorboard=True writes tfevents scalar curves next to the JSONL
+    (SURVEY §5 observability: 'optional TensorBoard')."""
+    import os
+
+    from stvd.utils.logging import MetricsLogger
+    log = MetricsLogger(str(tmp_path), echo=False, tensorboard=True)
+    log.log("train", update=1, loss=2.5, grad_norm=0.1)
+    log.log("valid", update=1, METEOR=0.3)
+    log.close()
+    tb = os.path.join(tmp_path, "tb")
+    assert any(f.startswith("events.out") for f in os.listdir(tb))
