@@ -70,6 +70,10 @@ def test_validate_rejects_bad_configs():
         validate(Config(train=TrainConfig(ss_prob=1.5)))
     with pytest.raises(ValueError):
         validate(Config(model=ModelConfig(encoder="transformer")))
+    with pytest.raises(ValueError):
+        validate(Config(model=ModelConfig(decode_quant="int4")))
+    with pytest.raises(ValueError, match="meteor_profile"):
+        validate(Config(train=TrainConfig(meteor_profile="meteor15")))
 
 
 def test_recipes_on_disk_validate():
