@@ -30,9 +30,13 @@ class Captioner:
     def __init__(self, params, cfg: Config, vocab: Vocab,
                  step_fn: Optional[StepFn] = None):
         import jax
+
+        from .model.kernel import get_step_fn
         self.params = params
         self.cfg = cfg
         self.vocab = vocab
+        # None = auto: fused Pallas kernels on TPU, XLA path elsewhere
+        step_fn = step_fn or get_step_fn(None)
         self.step_fn = step_fn
         d = cfg.decode
 

@@ -31,7 +31,11 @@ def main(argv=None) -> int:
     ap.add_argument("--beam", type=int, default=None)
     ap.add_argument("--best", action="store_true",
                     help="load ckpt_best instead of the latest ckpt")
-    ap.add_argument("--use-kernel", action="store_true")
+    ap.add_argument("--use-kernel", action="store_true", default=None,
+                    help="force the Pallas fused kernels (default: auto "
+                         "— kernels on TPU, XLA path elsewhere)")
+    ap.add_argument("--no-kernel", dest="use_kernel",
+                    action="store_false", help="force the XLA path")
     ap.add_argument("--dump-attention", type=int, default=0, metavar="N",
                     help="greedy-decode the first N videos recording the "
                          "temporal attention maps -> {split}_attention.npz")

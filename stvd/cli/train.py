@@ -59,8 +59,11 @@ def main(argv=None) -> int:
     ap.add_argument("--set", action="append",
                     help="override: section.key=value")
     ap.add_argument("--max-updates", type=int, default=None)
-    ap.add_argument("--use-kernel", action="store_true",
-                    help="use the Pallas fused attention kernel")
+    ap.add_argument("--use-kernel", action="store_true", default=None,
+                    help="force the Pallas fused kernels (default: auto "
+                         "— kernels on TPU, XLA path elsewhere)")
+    ap.add_argument("--no-kernel", dest="use_kernel",
+                    action="store_false", help="force the XLA path")
     ap.add_argument("--data-parallel", action="store_true",
                     help="shard the batch over all local devices")
     ap.add_argument("--shard-map", action="store_true",
