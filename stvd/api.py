@@ -97,7 +97,10 @@ class Captioner:
         import jax.numpy as jnp
         n = int(batch["frames"].shape[0])
         bsz = self.cfg.decode.decode_batch
-        out: List[str] = []
+        # dispatch every chunk before syncing any: device transfers are
+        # the only real completion sync on a relayed TPU, so a per-chunk
+        # sync would serialize one relay round-trip per chunk
+        pending = []
         for s in range(0, n, bsz):
             e = min(s + bsz, n)
             chunk = {k: v[s:e] for k, v in batch.items()}
@@ -109,9 +112,12 @@ class Captioner:
                 # padded rows need >=1 valid frame for a sane softmax
                 chunk["frame_mask"] = chunk["frame_mask"].at[e - s:, 0].set(1.0)
             toks, _ = self._run(self.params, chunk)
+            pending.append((e - s, toks))
+        out: List[str] = []
+        for count, toks in pending:
             toks = np.asarray(toks)
             out.extend(" ".join(self.vocab.decode(toks[i]))
-                       for i in range(e - s))
+                       for i in range(count))
         return out
 
     def caption_nbest(self, batch: Dict, n: Optional[int] = None
