@@ -490,7 +490,7 @@ def main():
 
     if args.preset:
         print(json.dumps(bench_preset(args.preset, args.kernel,
-                                      max(2, args.iters // 2))))
+                                      args.iters)))
         return
     if args.what == "dp":
         sps, n_dev, b = bench_dp(args.small, args.kernel, args.iters)
