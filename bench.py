@@ -447,8 +447,11 @@ def main():
     ap.add_argument("--what", default="decode",
                     choices=["decode", "train", "all", "quality", "dp"])
     ap.add_argument("--small", action="store_true")
-    ap.add_argument("--kernel", action="store_true",
-                    help="use the Pallas fused attention kernel")
+    ap.add_argument("--kernel", action="store_true", default=None,
+                    help="force the Pallas fused kernels (default: auto "
+                         "— the production selection: kernels on TPU)")
+    ap.add_argument("--no-kernel", dest="kernel", action="store_false",
+                    help="force the XLA step path")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--cpu", action="store_true", help="force CPU")
     ap.add_argument("--no-probe", action="store_true")
@@ -554,7 +557,10 @@ def main():
                 out["batch"] = b
                 per_batch = pb
                 best_b = b
-        if not args.kernel:
+        import jax as _j
+        auto_kernel = (args.kernel if args.kernel is not None
+                       else _j.default_backend() == "tpu")
+        if not auto_kernel:
             # the fused Pallas kernels (attention core + logit tail)
             # are the production step — report the better as headline
             cps_k, pb = bench_decode(False, True, args.iters, batch=384)

@@ -97,10 +97,21 @@ class Captioner:
         import jax.numpy as jnp
         n = int(batch["frames"].shape[0])
         bsz = self.cfg.decode.decode_batch
-        # dispatch every chunk before syncing any: device transfers are
-        # the only real completion sync on a relayed TPU, so a per-chunk
-        # sync would serialize one relay round-trip per chunk
-        pending = []
+        # keep a small window of chunks in flight: per-chunk host syncs
+        # would pay one relay round-trip per chunk, while dispatching
+        # EVERYTHING would hold a padded duplicate of the whole request
+        # on device (an OOM risk at large N) — a bounded window gets the
+        # RTT amortization with bounded memory
+        window = 4
+        pending: List = []
+        out: List[str] = []
+
+        def drain_one():
+            count, toks = pending.pop(0)
+            toks = np.asarray(toks)
+            out.extend(" ".join(self.vocab.decode(toks[i]))
+                       for i in range(count))
+
         for s in range(0, n, bsz):
             e = min(s + bsz, n)
             chunk = {k: v[s:e] for k, v in batch.items()}
@@ -113,11 +124,10 @@ class Captioner:
                 chunk["frame_mask"] = chunk["frame_mask"].at[e - s:, 0].set(1.0)
             toks, _ = self._run(self.params, chunk)
             pending.append((e - s, toks))
-        out: List[str] = []
-        for count, toks in pending:
-            toks = np.asarray(toks)
-            out.extend(" ".join(self.vocab.decode(toks[i]))
-                       for i in range(count))
+            if len(pending) >= window:
+                drain_one()
+        while pending:
+            drain_one()
         return out
 
     def caption_nbest(self, batch: Dict, n: Optional[int] = None

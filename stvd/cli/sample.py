@@ -70,21 +70,10 @@ def main(argv=None) -> int:
     scores = evaluate_split(state["params"], cfg, ds, split=args.split,
                             save_dir=args.run_dir, step_fn=step_fn)
     if args.nll:
-        import jax.numpy as jnp
-
-        from ..data.batching import BatchIterator, gather_batch
-        from ..train.loop import make_eval_nll, perplexity
-        ev = make_eval_nll(cfg.model, step_fn)
-        dev = ds.bank.to_device(dtype=jnp.dtype(cfg.model.compute_dtype))
-        it = BatchIterator(ds.captions.n,
-                           min(cfg.train.valid_batch_size, ds.captions.n),
-                           shuffle=False)
-        num = ex = tok = 0.0
-        for idx, w in it.epoch():
-            batch = gather_batch(dev, ds.captions, idx)
-            batch["weight"] = jnp.asarray(w)
-            n, d, t = ev(state["params"], batch)
-            num, ex, tok = num + float(n), ex + float(d), tok + float(t)
+        from ..train.loop import evaluate_nll_stats, perplexity
+        num, ex, tok = evaluate_nll_stats(
+            state["params"], cfg.model, ds, cfg.train.valid_batch_size,
+            step_fn=step_fn)
         scores["nll"] = num / max(ex, 1.0)          # reference pred_probs
         scores["nll_per_token"] = num / max(tok, 1.0)
         scores["perplexity"] = perplexity(num / max(tok, 1.0))

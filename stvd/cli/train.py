@@ -83,12 +83,16 @@ def main(argv=None) -> int:
     step_fn = get_step_fn(args.use_kernel)
     mesh = parallel.make_mesh() if args.data_parallel else None
     logger = MetricsLogger(cfg.train.save_dir,
-                       tensorboard=cfg.train.tensorboard)
-    result = fit(cfg, splits["train"], splits.get("valid"), step_fn=step_fn,
-                 mesh=mesh, logger=logger, max_updates=args.max_updates,
-                 use_shard_map=args.shard_map)
-    logger.log("done", best_metric=result.best_metric,
-               best_step=result.best_step)
+                           tensorboard=cfg.train.tensorboard)
+    try:
+        result = fit(cfg, splits["train"], splits.get("valid"),
+                     step_fn=step_fn, mesh=mesh, logger=logger,
+                     max_updates=args.max_updates,
+                     use_shard_map=args.shard_map)
+        logger.log("done", best_metric=result.best_metric,
+                   best_step=result.best_step)
+    finally:
+        logger.close()
     return 0
 
 

@@ -184,24 +184,31 @@ def make_eval_nll(mcfg: ModelConfig, step_fn: Optional[StepFn] = None):
     return fn
 
 
-def evaluate_nll(params, mcfg: ModelConfig, ds: Dataset, batch_size: int,
-                 step_fn: Optional[StepFn] = None) -> float:
-    """Mean per-example NLL over a split (the early-stop signal the
-    reference computes with pred_probs).  Fixed-shape batches: the
-    wrapped tail carries zero weights instead of a ragged shape (one
-    compiled executable)."""
+def evaluate_nll_stats(params, mcfg: ModelConfig, ds: Dataset,
+                       batch_size: int, step_fn: Optional[StepFn] = None
+                       ) -> Tuple[float, float, float]:
+    """(nll numerator, example count, token count) over a split.
+    Fixed-shape batches: the wrapped tail carries zero weights instead
+    of a ragged shape (one compiled executable)."""
     ev = make_eval_nll(mcfg, step_fn)
     dev = ds.bank.to_device(dtype=jnp.dtype(mcfg.compute_dtype))
     it = BatchIterator(ds.captions.n, min(batch_size, ds.captions.n),
                        shuffle=False)
-    num = den = 0.0
+    num = ex = tok = 0.0
     for idx, w in it.epoch():
         batch = gather_batch(dev, ds.captions, idx)
         batch["weight"] = jnp.asarray(w)
-        n, d, _ = ev(params, batch)
-        num += float(n)
-        den += float(d)
-    return num / max(den, 1.0)
+        n, d, t = ev(params, batch)
+        num, ex, tok = num + float(n), ex + float(d), tok + float(t)
+    return num, ex, tok
+
+
+def evaluate_nll(params, mcfg: ModelConfig, ds: Dataset, batch_size: int,
+                 step_fn: Optional[StepFn] = None) -> float:
+    """Mean per-example NLL over a split (the early-stop signal the
+    reference computes with pred_probs)."""
+    num, ex, _ = evaluate_nll_stats(params, mcfg, ds, batch_size, step_fn)
+    return num / max(ex, 1.0)
 
 
 # ---------------------------------------------------------------------------

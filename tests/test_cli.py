@@ -61,14 +61,21 @@ def test_sample_cli_stochastic_chunked(run_dir, capsys):
     from stvd.config import Config
     cfg_path = os.path.join(run_dir, "config.json")
     with open(cfg_path) as f:
-        cfg = Config.from_json(f.read())
+        original = f.read()
     cfg = dataclasses.replace(
-        cfg, decode=dataclasses.replace(cfg.decode, decode_batch=3))
-    with open(cfg_path, "w") as f:
-        f.write(cfg.to_json())
-    assert sample_main(["--run-dir", run_dir, "--split", "valid",
-                        "--beam", "1", "--stochastic", "2",
-                        "--temperature", "0.7"]) == 0
+        Config.from_json(original),
+        decode=dataclasses.replace(
+            Config.from_json(original).decode, decode_batch=3))
+    try:
+        with open(cfg_path, "w") as f:
+            f.write(cfg.to_json())
+        assert sample_main(["--run-dir", run_dir, "--split", "valid",
+                            "--beam", "1", "--stochastic", "2",
+                            "--temperature", "0.7"]) == 0
+    finally:
+        # module-scoped fixture: later tests must see the original
+        with open(cfg_path, "w") as f:
+            f.write(original)
     with open(os.path.join(run_dir, "valid_sampled.json")) as f:
         rows = _json.load(f)
     # valid split = max(4, videos//4) = 4 -> two chunks at
