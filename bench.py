@@ -185,7 +185,7 @@ def bench_decode(small: bool, use_kernel: bool, iters: int = 8,
     return cps, dt / iters
 
 
-def bench_greedy(use_kernel: bool, iters: int = 16, batch: int = 512,
+def bench_greedy(use_kernel: bool, iters: int = 16, batch: int = 1024,
                  quant: str = "none"):
     """Config-1 (greedy) decode throughput at reference scale."""
     import dataclasses
@@ -588,7 +588,7 @@ def main():
         out["serial_roofline_ratio"] = serial
         # config-1 greedy headline rides along — always the production
         # path (fused Pallas tail top-1), independent of --kernel
-        g_cps, _ = bench_greedy(True, iters=16, batch=512)
+        g_cps, _ = bench_greedy(True, iters=16, batch=1024)
         out["greedy_captions_per_sec"] = round(g_cps, 2)
         # opt-in W8A8 serving path (model.decode_quant='int8'): the
         # gates matmul — the compute-bound majority of the beam step —
@@ -604,7 +604,8 @@ def main():
                                      q_pb / dcfg.maxlen)
         out["roofline_ratio_int8"] = r_q
         out["serial_roofline_ratio_int8"] = s_q
-        gq_cps, _ = bench_greedy(True, iters=16, batch=512, quant="int8")
+        gq_cps, _ = bench_greedy(True, iters=16, batch=1024,
+                                 quant="int8")
         out["greedy_captions_per_sec_int8"] = round(gq_cps, 2)
         out["vs_baseline"] = round(out["value"] / LEGACY_CAPTIONS_PER_SEC, 1)
     print(json.dumps(out))
