@@ -494,6 +494,28 @@ def _pick_vocab_tile(v: int, cap: int = 4608) -> int:
     return best if best else min(cap, 2048)
 
 
+def _shrink_tail_tv(tv: int, vp: int, rp: int, tr: int, dw: int,
+                    w_bytes: int, x_bytes: int, k_sel: int) -> int:
+    """VMEM-fit the vocab tile: double-buffered w tile + x tile + ~2
+    live f32 logits copies in the selection passes, plus a per-ROW term
+    (running scratch and the small outputs XLA keeps in VMEM,
+    lane-padded to 128).  Coefficients calibrated against Mosaic's
+    actual scoped allocation (measured: tv=4352 rp=1920 -> ~15.6 MB
+    compiles; rp=2560 -> 16.54 MB fails the 16 MB limit — the b=512
+    beam-5 regression).  Halve the vocab tile until the estimate fits:
+    with the vocab-outer grid tv no longer affects HBM traffic, only
+    VMEM."""
+    def est(tv_):
+        tiles = 2 * dw * tv_ * w_bytes + 2 * tr * dw * x_bytes \
+            + 2 * tr * tv_ * 4
+        # 3 lane-padded VMEM outputs (128 lanes x 4B) + scratch per row
+        return tiles + rp * (3 * 128 * 4 + 8 * k_sel)
+    while tv >= 256 and est(tv) > int(16.3 * 2 ** 20) and tv % 2 == 0 \
+            and vp % (tv // 2) == 0:
+        tv //= 2
+    return tv
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k_sel", "tv", "tr_cap", "interpret"))
 def _tail_pallas_call(x, w, b, k_sel: int, tv: int, tr_cap: int,
@@ -504,21 +526,8 @@ def _tail_pallas_call(x, w, b, k_sel: int, tv: int, tr_cap: int,
     tr = _pick_row_tile(rp, tr_cap)
     if rp != rows:
         x = jnp.pad(x, ((0, rp - rows), (0, 0)))
-    # VMEM budget: double-buffered w tile + x tile + ~2 live f32 logits
-    # copies in the selection passes, plus a per-ROW term (the running
-    # scratch and the small outputs XLA keeps in VMEM, lane-padded to
-    # 128).  Coefficients calibrated against Mosaic's actual scoped
-    # allocation (measured: tv=4352 rp=1920 -> ~15.6 MB compiles;
-    # rp=2560 -> 16.54 MB fails the 16 MB limit).  Shrink the vocab
-    # tile until it fits — with the vocab-outer grid tv no longer
-    # affects HBM traffic, only VMEM.
-    def est(tv_):
-        tiles = (2 * dw * tv_ * w.dtype.itemsize
-                 + 2 * tr * dw * x.dtype.itemsize + 2 * tr * tv_ * 4)
-        return tiles + rp * (1088 + 8 * k_sel)
-    while tv >= 256 and est(tv) > int(15.9 * 2 ** 20) and tv % 2 == 0 \
-            and vp % (tv // 2) == 0:
-        tv //= 2
+    tv = _shrink_tail_tv(tv, vp, rp, tr, dw, w.dtype.itemsize,
+                         x.dtype.itemsize, k_sel)
     nv = vp // tv
     # vocab OUTER, rows INNER: weight tile resident across the row
     # sweep -> vocab matrix read from HBM once per call, x re-read nv

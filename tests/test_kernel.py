@@ -334,3 +334,17 @@ def test_logit_tail_k1_and_k8():
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(ri))
     assert kmod.make_logit_tail(w, b, 9) is None   # k cap documented
+
+
+def test_tail_tv_shrinks_for_large_row_counts():
+    """Regression pin for the b=512 beam-5 VMEM overflow: at the
+    reference tail shape (dw=512 bf16 weights, vocab 13056, tr=128,
+    k=5) the vocab tile must stay 4352 at rp=1920 (the measured-good
+    headline shape) and shrink at rp=2560 (the measured 16.54 MB
+    compile failure)."""
+    args = dict(vp=13056, tr=128, dw=512, w_bytes=2, x_bytes=2, k_sel=5)
+    assert kmod._shrink_tail_tv(4352, rp=1920, **args) == 4352
+    assert kmod._shrink_tail_tv(4352, rp=2560, **args) == 2176
+    # tiny shapes never shrink
+    assert kmod._shrink_tail_tv(1000, vp=1000, rp=64, tr=8, dw=128,
+                                w_bytes=4, x_bytes=4, k_sel=5) == 1000
