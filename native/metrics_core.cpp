@@ -73,9 +73,10 @@ void stvd_lcs_batch(const int32_t* hyp_tok, const int32_t* hyp_off,
 // for such tokens).  A candidate (i, j) carries the highest-precedence
 // stage matching it (exact < stem < synonym).
 //
-// Inputs longer than 62 tokens (ref) fall back to the round-1 greedy
-// heuristic (the used-set must fit a 64-bit mask); the Python wrapper
-// routes such pairs to the pure-Python resolver instead.
+// Inputs longer than 62 tokens (ref) are unsupported (the used-set
+// must fit a 64-bit mask): *m_out = -1 signals the caller, mirroring
+// stvd_meteor_align_pairs' npairs = -1.  The Python wrapper routes
+// such pairs to the pure-Python resolver before calling in.
 //
 // Outputs: *m = matches, *chunks = contiguous-run count.
 
@@ -92,49 +93,6 @@ static inline bool beam_better(const BeamState& a, const BeamState& b) {
   if (a.m != b.m) return a.m > b.m;
   if (a.ch != b.ch) return a.ch < b.ch;
   return a.dist < b.dist;
-}
-
-static void greedy_align(const int32_t* hyp, const int32_t* hyp_stem,
-                         const int32_t* hyp_syn, int32_t nh,
-                         const int32_t* ref, const int32_t* ref_stem,
-                         const int32_t* ref_syn, int32_t nr,
-                         int32_t* m_out, int32_t* chunks_out) {
-  std::vector<int8_t> hyp_used(nh, 0), ref_used(nr, 0);
-  std::vector<int32_t> match(nh, -1);
-  auto run_stage = [&](const int32_t* hk, const int32_t* rk, bool skip_neg) {
-    for (int32_t i = 0; i < nh; ++i) {
-      if (hyp_used[i]) continue;
-      if (skip_neg && hk[i] < 0) continue;
-      int32_t best_j = -1;
-      int32_t best_d = INT32_MAX;
-      for (int32_t j = 0; j < nr; ++j) {
-        if (ref_used[j]) continue;
-        if (skip_neg && rk[j] < 0) continue;
-        if (hk[i] == rk[j]) {
-          const int32_t d = i > j ? i - j : j - i;
-          if (d < best_d) { best_d = d; best_j = j; }
-        }
-      }
-      if (best_j >= 0) {
-        hyp_used[i] = 1;
-        ref_used[best_j] = 1;
-        match[i] = best_j;
-      }
-    }
-  };
-  run_stage(hyp, ref, false);
-  run_stage(hyp_stem, ref_stem, false);
-  if (hyp_syn && ref_syn) run_stage(hyp_syn, ref_syn, true);
-  int32_t m = 0, chunks = 0, prev_i = -2, prev_j = -2;
-  for (int32_t i = 0; i < nh; ++i) {
-    if (match[i] < 0) continue;
-    ++m;
-    if (!(i == prev_i + 1 && match[i] == prev_j + 1)) ++chunks;
-    prev_i = i;
-    prev_j = match[i];
-  }
-  *m_out = m;
-  *chunks_out = chunks;
 }
 
 // per appended state: which pruned state of the previous level it came
@@ -259,8 +217,11 @@ void stvd_meteor_align(const int32_t* hyp, const int32_t* hyp_stem,
                        const int32_t* ref_syn, int32_t nr,
                        int32_t* m_out, int32_t* chunks_out) {
   if (nr > 62) {
-    greedy_align(hyp, hyp_stem, hyp_syn, nh, ref, ref_stem, ref_syn, nr,
-                 m_out, chunks_out);
+    // Unsupported shape (used-set must fit a 64-bit mask): signal the
+    // caller instead of silently degrading to a different resolver.
+    // Python wrappers pre-filter len(ref) > 62 to the pure-Python beam.
+    *m_out = -1;
+    *chunks_out = 0;
     return;
   }
   beam_align(hyp, hyp_stem, hyp_syn, nh, ref, ref_stem, ref_syn, nr,
@@ -531,6 +492,8 @@ extern "C" void stvd_meteor_corpus(
       stvd_meteor_align(h, hs, nullptr, nh,
                         ref_tok + ref_off[r], ref_stem + ref_off[r],
                         nullptr, nr, &m, &chunks);
+      if (m < 0) continue;  // >62-token ref: unsupported, skip (the
+                            // Python wrapper pre-filters these)
       const double s = meteor_pair_score(m, nh, nr, chunks, alpha, beta,
                                          gamma);
       if (s > best_score ||

@@ -130,11 +130,18 @@ class Captioner:
             drain_one()
         return out
 
-    def caption_nbest(self, batch: Dict, n: Optional[int] = None
-                      ) -> List[List[tuple]]:
+    def caption_nbest(self, batch: Dict, n: Optional[int] = None,
+                      norm: bool = True) -> List[List[tuple]]:
         """All beam hypotheses per video: [(text, logprob), ...] sorted
         best-first (the reference's gen_sample returns every finished
-        hypothesis + score; beam_decode keeps them in all_tokens)."""
+        hypothesis + score; beam_decode keeps them in all_tokens).
+
+        ``norm=True`` (default) ranks by the length-normalized score —
+        the same quantity best-beam selection uses, so entry 0 is
+        always the caption ``caption()`` would return.  ``norm=False``
+        ranks by raw log-prob (can disagree with the best-beam choice
+        when length_norm > 0).  The returned logprob matches the
+        chosen ranking."""
         import jax
         cfg = self.cfg
         if cfg.decode.beam_size <= 1:
@@ -146,7 +153,8 @@ class Captioner:
                               maxlen=cfg.decode.maxlen,
                               length_norm=cfg.decode.length_norm,
                               step_fn=self.step_fn)
-            return out.all_tokens, out.all_scores
+            return out.all_tokens, (out.all_norm_scores if norm
+                                    else out.all_scores)
 
         toks, scores = jax.jit(run)(self.params, batch)
         toks, scores = np.asarray(toks), np.asarray(scores)

@@ -64,11 +64,20 @@ def main(argv=None) -> int:
                          "— kernels on TPU, XLA path elsewhere)")
     ap.add_argument("--no-kernel", dest="use_kernel",
                     action="store_false", help="force the XLA path")
-    ap.add_argument("--data-parallel", action="store_true",
-                    help="shard the batch over all local devices")
-    ap.add_argument("--shard-map", action="store_true",
-                    help="with --data-parallel: explicit lax.psum "
-                         "collectives instead of pjit sharding propagation")
+    # Three-state parallelism flags: absent -> honor the config (so the
+    # msvd-dp preset / recipe keys work without extra flags), present ->
+    # override it either way.
+    ap.add_argument("--data-parallel", action="store_true", default=None,
+                    help="shard the batch over all local devices "
+                         "(default: cfg.train.data_parallel)")
+    ap.add_argument("--no-data-parallel", dest="data_parallel",
+                    action="store_false", help="force single-device")
+    ap.add_argument("--shard-map", action="store_true", default=None,
+                    help="with data parallelism: explicit lax.psum "
+                         "collectives instead of pjit sharding propagation "
+                         "(default: cfg.train.use_shard_map)")
+    ap.add_argument("--no-shard-map", dest="shard_map",
+                    action="store_false", help="force the pjit path")
     args = ap.parse_args(argv)
 
     cfg = build_config(args)
@@ -81,14 +90,17 @@ def main(argv=None) -> int:
     splits["train"].vocab.save_pickle(
         os.path.join(cfg.train.save_dir, "vocab.pkl"))
     step_fn = get_step_fn(args.use_kernel)
-    mesh = parallel.make_mesh() if args.data_parallel else None
+    dp = (cfg.train.data_parallel if args.data_parallel is None
+          else args.data_parallel)
+    mesh = parallel.make_mesh() if dp else None
     logger = MetricsLogger(cfg.train.save_dir,
                            tensorboard=cfg.train.tensorboard)
     try:
         result = fit(cfg, splits["train"], splits.get("valid"),
                      step_fn=step_fn, mesh=mesh, logger=logger,
                      max_updates=args.max_updates,
-                     use_shard_map=args.shard_map)
+                     use_shard_map=args.shard_map,
+                     test_ds=splits.get("test"))
         logger.log("done", best_metric=result.best_metric,
                    best_step=result.best_step)
     finally:

@@ -103,7 +103,10 @@ class TrainConfig:
     tensorboard: bool = False       # also write TB scalar curves to
     # save_dir/tb (flax SummaryWriter); JSONL stays the primary record
     # --- parallelism (no reference equivalent; SURVEY.md §2 rows 9-10) ---
-    data_parallel: bool = True      # shard batch over the 'data' mesh axis
+    data_parallel: bool = False     # shard batch over the 'data' mesh
+    # axis.  Off by default (single-device runs stay mesh-free); the
+    # msvd-dp preset and the MSVD/MSR-VTT recipes turn it on, and
+    # cli/train honors it unless --[no-]data-parallel overrides.
     use_shard_map: bool = False     # explicit lax.psum collectives under
     # shard_map instead of XLA sharding propagation (both paths produce
     # bit-identical updates; see train/loop.py:_make_shard_map_train_step)

@@ -52,12 +52,18 @@ def load_captions(path: str) -> Dict[str, List[List[str]]]:
 
 
 def split_ids(ids: Sequence[str], data_dir: str,
-              seed: int = 0) -> Dict[str, List[str]]:
+              seed: int = 0, dataset: str = "") -> Dict[str, List[str]]:
     """Train/valid/test video-id splits.
 
     If ``{split}_ids.txt`` files exist in data_dir they are used
-    (reference ships explicit split lists); otherwise a deterministic
-    80/10/10 split.
+    (reference ships explicit split lists).  Otherwise, for
+    ``dataset='youtube2text'`` with canonically numbered ids
+    (``vid1``..``vid1970``) the standard MSVD 1200/100/670 split is
+    derived from the numbering (the reference hardcodes it —
+    ``data_engine.py:§Movie2Caption``, SURVEY.md §2 row 5), so a
+    real-data run without explicit lists never silently scores a
+    non-standard split.  Anything else falls back to a deterministic
+    80/10/10 (synthetic corpora).
     """
     out = {}
     for split in ("train", "valid", "test"):
@@ -67,6 +73,10 @@ def split_ids(ids: Sequence[str], data_dir: str,
                 out[split] = [l.strip() for l in f if l.strip()]
     if len(out) == 3:
         return out
+    if dataset == "youtube2text":
+        canon = _youtube2text_split(ids)
+        if canon is not None:
+            return canon
     rng = np.random.RandomState(seed)
     order = list(ids)
     rng.shuffle(order)
@@ -75,6 +85,31 @@ def split_ids(ids: Sequence[str], data_dir: str,
     return {"train": sorted(order[:n_tr]),
             "valid": sorted(order[n_tr: n_tr + n_va]),
             "test": sorted(order[n_tr + n_va:])}
+
+
+def _youtube2text_split(ids: Sequence[str]) -> Optional[Dict[str, List[str]]]:
+    """Canonical MSVD split by vid numbering: train vid1-1200,
+    valid vid1201-1300, test vid1301-1970.  Returns None when the ids
+    are not canonically numbered (then the caller falls back)."""
+    import re
+    nums = {}
+    for v in ids:
+        m = re.fullmatch(r"(?:vid|video)?(\d+)", str(v))
+        if m is None:
+            return None
+        nums[v] = int(m.group(1))
+    out: Dict[str, List[str]] = {"train": [], "valid": [], "test": []}
+    for v in sorted(ids, key=lambda x: nums[x]):
+        n = nums[v]
+        if n <= 1200:
+            out["train"].append(v)
+        elif n <= 1300:
+            out["valid"].append(v)
+        else:
+            out["test"].append(v)
+    if not (out["train"] and out["valid"] and out["test"]):
+        return None   # numbering present but not spanning the canon split
+    return out
 
 
 def load_splits(cfg: Config) -> Dict[str, Dataset]:
@@ -127,7 +162,7 @@ def load_splits(cfg: Config) -> Dict[str, Dataset]:
                   if d.motion_feature_file else None)
         bank_all = pack_bank(feats, m.n_frames, regions=regions,
                              motion=motion)
-    splits = split_ids(bank_all.ids, d.data_dir)
+    splits = split_ids(bank_all.ids, d.data_dir, dataset=d.dataset)
     row = bank_all.index()
     out = {}
     for split, vids in splits.items():

@@ -32,7 +32,10 @@ class BeamOut(NamedTuple):
     norm_scores: jax.Array  # (B,) length-normalized score used for selection
     lengths: jax.Array      # (B,) tokens incl. EOS of best beam
     all_tokens: jax.Array   # (B, k, maxlen)
-    all_scores: jax.Array   # (B, k)
+    all_scores: jax.Array   # (B, k) RAW log-probs (not length-normalized)
+    all_norm_scores: jax.Array  # (B, k) length-normalized — ranking by
+    # THIS column agrees with the best-beam choice; ranking all_scores
+    # can disagree with `tokens` whenever length_norm > 0
 
 
 def _topk_rows(x: jax.Array, ki: int, chunks: int = 1
@@ -202,4 +205,5 @@ def beam_decode(
         lengths=take(lengths)[:, 0],
         all_tokens=buf,
         all_scores=scores,
+        all_norm_scores=norm,
     )

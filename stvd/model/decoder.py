@@ -193,6 +193,15 @@ def forward_train(
 
     ``batch`` keys: frames (B,K,D), frame_mask (B,K), tokens (B,T),
     token_mask (B,T), optionally regions (B,K,R,Dr), motion (B,K,Dm).
+
+    Precedence note: with ``cfg.fused_seq_grad`` (the default) and pure
+    teacher forcing, the scan runs the hand-derived sequence VJP
+    (model/seqgrad.py), which has its own inlined step body — a caller-
+    supplied ``step_fn`` (e.g. the Pallas kernel) is intentionally NOT
+    consulted on that path; it is parity-pinned against the oracle and
+    faster than either step through the kernel (35.8 vs ~27 steps/s at
+    reference scale, v5e).  ``step_fn`` governs scheduled sampling,
+    spatial-without-fused-VJP, eval, and all decode paths.
     """
     step_fn = step_fn or step_mod.step
     if cfg.decode_quant != "none":

@@ -633,9 +633,14 @@ step_pallas_spatial.make_logit_tail = make_logit_tail
 
 def get_step_fn(use_pallas=None):
     """Step-function selector.  ``None`` (the CLI default) = auto:
-    fused Pallas kernels on TPU (measured +12% train / +27% beam decode
-    at reference scale), the XLA-fused jnp oracle elsewhere (the
-    kernels only run in slow interpret mode off-TPU)."""
+    fused Pallas kernels on TPU (measured +27% beam decode at reference
+    scale), the XLA-fused jnp oracle elsewhere (the kernels only run in
+    slow interpret mode off-TPU).
+
+    Teacher-forced TRAINING with ``cfg.fused_seq_grad`` (the default)
+    does not route through the returned step_fn at all — the
+    hand-derived sequence VJP (model/seqgrad.py) supersedes it there;
+    see decoder.forward_train's precedence note."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     return step_pallas if use_pallas else step_mod.step

@@ -34,6 +34,38 @@ def test_train_cli_artifacts(run_dir):
         assert os.path.exists(os.path.join(run_dir, name)), name
 
 
+def test_train_cli_tracks_test_split(run_dir):
+    """The CLI passes the test split into fit(): every valid round also
+    scores test, like the reference's train() (SURVEY.md §3.1)."""
+    kinds = []
+    with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+        for line in f:
+            kinds.append(json.loads(line)["kind"])
+    assert "valid" in kinds and "test" in kinds
+
+
+def test_train_cli_honors_config_data_parallel(tmp_path):
+    """train.data_parallel=true in the config creates the mesh without
+    any CLI flag (msvd-dp preset / recipes work as written); shard_map
+    likewise falls back to cfg.train.use_shard_map."""
+    d = str(tmp_path / "dprun")
+    rc = train_main([
+        "--preset", "msvd-beam",
+        "--set", "model.dim=32", "--set", "model.ctx_dim=16",
+        "--set", "model.n_frames=4", "--set", "model.n_words=32",
+        "--set", "model.dim_word=16",
+        "--set", "data.synthetic_videos=8",
+        "--set", "train.data_parallel=true",
+        "--set", "train.use_shard_map=true",
+        "--set", "train.per_device_batch=1",
+        "--set", "train.valid_freq=0", "--set", "train.sample_freq=0",
+        "--set", f"train.save_dir={d}",
+        "--max-updates", "2",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(d, "metrics.jsonl"))
+
+
 def test_sample_cli_scores(run_dir, capsys):
     assert sample_main(["--run-dir", run_dir, "--split", "valid",
                         "--beam", "2"]) == 0

@@ -54,6 +54,29 @@ def test_split_ids_files_and_fallback(tmp_path):
     assert s2["test"] == ids[15:]
 
 
+def test_split_ids_youtube2text_canonical(tmp_path):
+    """MSVD canonical split derived from vid numbering: 1200/100/670
+    (the reference hardcodes it — SURVEY.md §2 row 5).  No id files
+    present, dataset=youtube2text."""
+    ids = [f"vid{i}" for i in range(1, 1971)]
+    s = split_ids(ids, str(tmp_path), dataset="youtube2text")
+    assert len(s["train"]) == 1200
+    assert len(s["valid"]) == 100
+    assert len(s["test"]) == 670
+    assert s["train"][0] == "vid1" and s["train"][-1] == "vid1200"
+    assert s["valid"][0] == "vid1201" and s["valid"][-1] == "vid1300"
+    assert s["test"][0] == "vid1301" and s["test"][-1] == "vid1970"
+    # a partial bank still splits canonically by number
+    part = [f"vid{i}" for i in (3, 1250, 1400, 1969)]
+    sp = split_ids(part, str(tmp_path), dataset="youtube2text")
+    assert sp == {"train": ["vid3"], "valid": ["vid1250"],
+                  "test": ["vid1400", "vid1969"]}
+    # non-canonical ids fall back to 80/10/10
+    odd = [f"clip_{i}" for i in range(20)]
+    so = split_ids(odd, str(tmp_path), dataset="youtube2text")
+    assert len(so["train"]) == 16
+
+
 def test_load_splits_from_legacy_files(tmp_path):
     """Full reference-style data dir: feature pkl + CAP.pkl + worddict
     -> three Datasets ready for training."""
