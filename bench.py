@@ -48,6 +48,14 @@ def decode_cost_model(mcfg, batch: int, beam: int, quant: str = "none"):
     SUM of per-resource times, reported as serial_roofline_ratio next
     to the max-overlap ratio.
 
+    Round-3 extension: spatial (preset 2) terms — the per-step region
+    stage is dominated by the (bt, K, R, s) tanh on the VPU and the
+    spat @ [W_spat_fuse | w_sf_att] fusion matmuls on the MXU (77+ GFLOP
+    per beam step at reference scale: the analytic explanation of why
+    preset 2 decodes ~4x slower than preset 3).  Motion (preset 4)
+    costs nothing per step — the stream fusion runs once in precompute;
+    its dims enter through ctx_dim/n_words.
+
     Returns (mxu_s, vpu_s, hbm_s) floor seconds per decode step.
     """
     bt = batch * beam
@@ -77,8 +85,6 @@ def decode_cost_model(mcfg, batch: int, beam: int, quant: str = "none"):
     )
     if quant == "int8":
         vpu_ops += bt * (dw + d + dc) * 6  # dynamic activation quant
-    vpu_s = vpu_ops / V5E_VPU_OPS
-
     wbytes = ((dw + d + dc) * 4 * d * (1 if quant == "int8" else 2)
               + 2 * (d * (a + 1)           # attention projection
                      + dw * (d + dc)       # logit stack
@@ -87,6 +93,22 @@ def decode_cost_model(mcfg, batch: int, beam: int, quant: str = "none"):
     abytes = (4 * 4 * bt * d              # h,c carries r/w fp32
               + 2 * 2 * bt * (dw + d + dc)  # x_cat concat r/w bf16
               + 2 * batch * k_f * (a + dc) * 2)  # pctx/ctx attention reads
+    if mcfg.use_spatial:
+        r, s = mcfg.n_regions, mcfg.region_dim
+        mxu_s += (
+            2 * bt * k_f * r * s            # spatial score reduce (. u_s)
+            + 2 * bt * k_f * r * s          # spat = sum_r alpha_s*regions
+            #                                 (region_dim == s here)
+            + 2 * bt * k_f * s * (dc + a)   # spat @ [W_spat_fuse|w_sf_att]
+        ) / V5E_PEAK_FLOPS
+        vpu_ops += (bt * k_f * r * s * 3    # pregion+h add, tanh, scale
+                    + bt * k_f * r * 6)     # softmax over R
+        abytes += (batch * k_f * r * s * 4  # pregion read (beam-shared,
+                   #                          stored f32 by precompute)
+                   + batch * k_f * r * s * 2  # regions read (bf16)
+                   + 2 * 2 * bt * k_f * (dc + a) * 4)  # per-step ctx_k/
+        #                                    pctx_k materialization (f32)
+    vpu_s = vpu_ops / V5E_VPU_OPS
     hbm_s = (wbytes + abytes) / V5E_HBM_BW
     return mxu_s, vpu_s, hbm_s
 
@@ -220,7 +242,13 @@ def bench_greedy(use_kernel: bool, iters: int = 16, batch: int = 1024,
 
 def train_cost_model(mcfg, batch: int, maxlen: int) -> float:
     """Forward-pass matmul FLOPs of one train step; backward ~2x
-    forward (the standard 3x total used for train MFU)."""
+    forward (the standard 3x total used for train MFU).
+
+    Spatial (preset 2): adds the per-step region stage (score reduce,
+    spat weighted sum, the two fusion matmuls) plus the once-per-step
+    pregion precompute (regions @ Ws_att — 184 GFLOP at reference
+    scale) and its backward dWs_att GEMM.  Motion (preset 4): the
+    once-per-step stream fusion matmuls."""
     b, t = batch, maxlen
     d, dw, dc, a, v = (mcfg.dim, mcfg.dim_word, mcfg.ctx_dim,
                        mcfg.attn_dim, mcfg.n_words)
@@ -234,6 +262,19 @@ def train_cost_model(mcfg, batch: int, maxlen: int) -> float:
         + 2 * b * t * dw * v                # vocab matmul (post-scan)
         + 2 * b * k_f * dc * a              # pctx precompute
     )
+    if mcfg.use_spatial:
+        r, s = mcfg.n_regions, mcfg.region_dim
+        fwd += (
+            2 * b * t * d * s               # h @ Wsd_att (spatial h proj)
+            + 2 * b * t * k_f * r * s       # spatial score reduce
+            + 2 * b * t * k_f * r * s       # spat weighted sum (Dr == s)
+            + 2 * b * t * k_f * s * (dc + a)  # spat @ [W_spat_fuse|w_sfa]
+            + 2 * b * k_f * r * s * s       # pregion = regions @ Ws_att
+            #                                 (once per step, not per t)
+        )
+    if mcfg.use_motion:
+        dm = mcfg.motion_dim
+        fwd += 2 * b * k_f * (dc * dc + dm * dc)  # stream fusion (once)
     return 3.0 * fwd
 
 
@@ -331,11 +372,67 @@ def bench_preset(name: str, use_kernel: bool, iters: int = 4):
     float(s)
     dt = time.perf_counter() - t0
     cps = b * iters / dt
-    return {"metric": f"preset{name}_decode_captions_per_sec",
-            "value": round(cps, 2), "unit": "captions/s",
-            "vs_baseline": round(cps / LEGACY_CAPTIONS_PER_SEC, 1),
-            "beam": dcfg.beam_size, "batch": b,
-            "spatial": mcfg.use_spatial, "motion": mcfg.use_motion}
+    out = {"metric": f"preset{name}_decode_captions_per_sec",
+           "value": round(cps, 2), "unit": "captions/s",
+           "vs_baseline": round(cps / LEGACY_CAPTIONS_PER_SEC, 1),
+           "beam": dcfg.beam_size, "batch": b,
+           "spatial": mcfg.use_spatial, "motion": mcfg.use_motion}
+    # roofline fields per preset (round-3: presets 2/4 get the same
+    # cost-model rigor as the headline — spatial/motion terms included)
+    step_s = (dt / iters) / dcfg.maxlen
+    mxu_s, vpu_s, hbm_s = decode_cost_model(mcfg, b, dcfg.beam_size,
+                                            quant=mcfg.decode_quant)
+    mfu, bwu, vpu, ratio, serial = roofline(mxu_s, vpu_s, hbm_s, step_s)
+    out.update(mfu=mfu, hbm_bw_util=bwu, vpu_util=vpu,
+               roofline_ratio=ratio, serial_roofline_ratio=serial)
+    return out
+
+
+def bench_preset_train(name: str, use_kernel: bool, iters: int = 10,
+                       fused: bool = True):
+    """Teacher-forced train-step throughput at a preset's reference
+    scale (presets 1-4; preset 5 is the DP path in bench_preset).
+
+    ``fused=False`` measures the autodiff(+remat for spatial) fallback
+    — the before/after evidence for the hand-derived sequence VJPs.
+    """
+    import dataclasses
+
+    import jax
+    from stvd.config import preset
+    from stvd.model.kernel import get_step_fn
+    from stvd.train.loop import init_train_state, make_train_step
+
+    cfg = preset(name)
+    mcfg, tcfg = cfg.model, cfg.train
+    if not fused:
+        # the autodiff path needs remat at full spatial scale (the
+        # saved (B,K,R,s) tanh activations exceed HBM otherwise)
+        mcfg = dataclasses.replace(mcfg, fused_seq_grad=False,
+                                   remat=mcfg.use_spatial)
+    state = init_train_state(jax.random.PRNGKey(0), mcfg, tcfg)
+    step = make_train_step(mcfg, tcfg, step_fn=get_step_fn(use_kernel))
+    batch = _batch(mcfg, tcfg, tcfg.batch_size)
+    batch["weight"] = batch["token_mask"][:, 0]
+    state, m = step(state, batch)
+    float(m["loss"])                          # compile + warmup + sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch)
+    float(m["loss"])                          # full completion sync
+    dt = time.perf_counter() - t0
+    sps = iters / dt
+    mfu = train_cost_model(mcfg, tcfg.batch_size, tcfg.maxlen) \
+        / (V5E_PEAK_FLOPS * dt / iters)
+    return {"metric": f"preset{name}_train_steps_per_sec",
+            "value": round(sps, 3), "unit": "steps/s",
+            "vs_baseline": None, "batch": tcfg.batch_size,
+            "step_ms": round(dt / iters * 1e3, 2),
+            "examples_per_sec": round(sps * tcfg.batch_size, 1),
+            "train_mfu": round(mfu, 4),
+            "spatial": mcfg.use_spatial, "motion": mcfg.use_motion,
+            "path": ("fused_seq_vjp" if fused else
+                     "autodiff" + ("+remat" if mcfg.remat else ""))}
 
 
 def probe_device(timeout_s: int = 150) -> bool:
@@ -459,7 +556,13 @@ def main():
                     help="quality: harder non-saturating synthetic recipe")
     ap.add_argument("--preset", default=None,
                     help="benchmark a BASELINE preset (1-5 or its name) "
-                         "at reference scale instead of --what")
+                         "at reference scale; decode by default, "
+                         "combine with --what train for the train step")
+    ap.add_argument("--no-fused", dest="fused", action="store_false",
+                    default=True,
+                    help="with --what train --preset: measure the "
+                         "autodiff(+remat) fallback instead of the "
+                         "fused sequence VJP")
     args = ap.parse_args()
 
     import os
@@ -492,8 +595,13 @@ def main():
         return
 
     if args.preset:
-        print(json.dumps(bench_preset(args.preset, args.kernel,
-                                      args.iters)))
+        if args.what == "train" and args.preset not in ("5", "msvd-dp"):
+            print(json.dumps(bench_preset_train(args.preset, args.kernel,
+                                                args.iters,
+                                                fused=args.fused)))
+        else:
+            print(json.dumps(bench_preset(args.preset, args.kernel,
+                                          args.iters)))
         return
     if args.what == "dp":
         sps, n_dev, b = bench_dp(args.small, args.kernel, args.iters)

@@ -237,12 +237,15 @@ def forward_train(
         cdtype = jnp.dtype(cfg.compute_dtype)
         x_pre_all = step_mod._dot(emb_in, params["W"], cdtype) + params["b"]
 
-        if cfg.fused_seq_grad and not cfg.use_spatial:
+        if cfg.fused_seq_grad:
             # hand-derived sequence VJP: wgrads as post-scan GEMMs
-            # instead of autodiff's per-step 220 MB fp32 accumulator
-            # (model/seqgrad.py; parity pinned in tests/test_seqgrad.py)
+            # instead of autodiff's per-step 220-360 MB fp32 accumulators
+            # (model/seqgrad.py; parity pinned in tests/test_seqgrad.py).
+            # The spatial path (config 2) has its own derivation that
+            # kills autodiff's pregion/regions cotangent carries.
             from . import seqgrad
-            hs, ctxs, alphas = seqgrad.run(
+            run = seqgrad.run_spatial if cfg.use_spatial else seqgrad.run
+            hs, ctxs, alphas = run(
                 params, cfg, sc, state0, jnp.swapaxes(x_pre_all, 0, 1))
             hs = jnp.swapaxes(hs, 0, 1)
             ctxs = jnp.swapaxes(ctxs, 0, 1)

@@ -25,10 +25,26 @@ h-projection, temporal masked-softmax attention over the precomputed
 ``pctx``, selector gate, LSTM gates.  Parity with autodiff is pinned by
 tests at compute_dtype=float32 (exact math, 1e-5) and bfloat16 (loose).
 
-Scope: teacher forcing (ss_prob=0), no spatial attention (config 2 uses
-autodiff + remat), any selector/encoder/motion setting (those live
-outside the scan).  Reference: the theano ``lstm_cond_layer`` scan this
-replaces (``model_attention.py:§build_model`` — SURVEY.md §3.2).
+Scope: teacher forcing (ss_prob=0), any selector/encoder/motion setting
+(those live outside the scan).  ``fused_sequence`` covers the temporal
+model; ``fused_sequence_spatial`` (below) covers config 2's spatial
+path.  Reference: the theano ``lstm_cond_layer`` scan this replaces
+(``model_attention.py:§build_model`` — SURVEY.md §3.2).
+
+SPATIAL PATH (config 2) — why it gets its own hand VJP: at reference
+scale (B=64, K=28, R=49, s=Dr=1024) autodiff's scan transpose carries
+fp32 cotangent accumulators for the loop-invariant ``pregion`` AND
+``regions`` — 360 MB EACH, read+written every backward step (~43 GB of
+HBM traffic per train step just for those two), plus the 235 MB
+``hw``-class accumulator, plus remat's full forward recompute.  That is
+the measured 6.0 steps/s of runs/msvd_r2_long.  The hand VJP keeps ONE
+big accumulator (``Σ_t dpe_s``, the pregion cotangent — irreducible:
+every step touches all of it, and flushing it per-step as a GEMM would
+cost 184 GFLOP/step), carries it in ``wgrad_dtype``, rebuilds the
+``regions`` cotangent post-scan from stacked small tensors (a dead-code
+path XLA eliminates when — as always in training — nothing consumes
+d(regions)), and recovers all weight gradients as post-scan GEMMs over
+stacked per-step cotangents.
 """
 
 from __future__ import annotations
@@ -205,6 +221,267 @@ def _bwd(static, res, g):
 fused_sequence.defvjp(_fwd, _bwd)
 
 
+# ---------------------------------------------------------------------------
+# Spatial path (config 2): region attention inside the scan
+# ---------------------------------------------------------------------------
+
+# (dim, attn, s_attn, selector, unroll, compute_dtype, acc_dtype)
+SpatialStatic = Tuple[int, int, int, bool, int, str, str]
+
+
+def _spatial_step_fwd(h_satt, h_att, pregion_c, regions_c, ctx,
+                      pctx, ctx_mask, u_s, c_s, w_sf, w_sfa, u32, c_att,
+                      cdtype):
+    """Shared forward core for one spatial step (used by both scans).
+
+    Mirrors ``step._spatial_core_jnp`` + the spatial branch of
+    ``step.step_with_core`` at nb=1, with one deviation: ``pregion`` is
+    pre-cast to compute dtype ONCE outside the scan (``pregion_c``), so
+    at bfloat16 the 360 MB/step read halves; exact at float32.
+    Returns (alpha_s, spat, ctx_k, pctx_k, e, alpha, ctx_t_raw).
+    """
+    e_s = jnp.tanh(pregion_c + h_satt.astype(cdtype)[:, None, None, :])
+    ss = jnp.einsum("bkrd,d->bkr", e_s, u_s.astype(cdtype)) + c_s
+    alpha_s = masked_softmax(ss.astype(jnp.float32), None, axis=-1)
+    spat = jnp.einsum("bkr,bkrd->bkd", alpha_s.astype(cdtype), regions_c)
+    ctx_k = ctx + _dot(spat, w_sf, cdtype)            # (B, K, Dc) f32
+    pctx_k = pctx + _dot(spat, w_sfa, cdtype)         # (B, K, A)  f32
+    e = jnp.tanh(pctx_k + h_att[:, None, :])
+    scores = jnp.einsum("bkd,d->bk", e, u32) + c_att
+    alpha = masked_softmax(scores.astype(jnp.float32), ctx_mask, axis=-1)
+    ctx_t = jnp.einsum("bk,bkd->bd", alpha.astype(ctx_k.dtype), ctx_k)
+    return alpha_s, spat, ctx_k, pctx_k, e, alpha, ctx_t.astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_sequence_spatial(static: SpatialStatic, hw, wc, u_att, c_att,
+                           b_sel, u_s, c_s, w_sf, w_sfa, ctx, pctx,
+                           pregion, regions, ctx_mask, h0, c0, x_pre_all):
+    """Teacher-forced decoder scan WITH spatial region attention.
+
+    Array args mirror ``fused_sequence`` plus the spatial leaves:
+    ``u_s``/``c_s`` (region-score vector + bias), ``w_sf``
+    (W_spat_fuse), ``w_sfa`` (the precomputed W_spat_fuse @ Wc_att
+    composition), ``pregion`` (regions @ Ws_att + bs_att, hoisted by
+    ``step.precompute``), ``regions``.  The custom VJP emits a
+    cotangent for each; the outer autodiff routes d[pregion] to
+    Ws_att/bs_att, d[w_sfa] through the composition to W_spat_fuse and
+    Wc_att, etc.  Returns (hs, ctxs, alphas) time-major.
+    """
+    out, _ = _fwd_spatial(static, hw, wc, u_att, c_att, b_sel, u_s, c_s,
+                          w_sf, w_sfa, ctx, pctx, pregion, regions,
+                          ctx_mask, h0, c0, x_pre_all)
+    return out
+
+
+def _fwd_spatial(static, hw, wc, u_att, c_att, b_sel, u_s, c_s, w_sf,
+                 w_sfa, ctx, pctx, pregion, regions, ctx_mask, h0, c0,
+                 x_pre_all):
+    dim, attn, s_attn, selector, unroll, cd, _ = static
+    cdtype = jnp.dtype(cd)
+    u32 = u_att.astype(pctx.dtype)
+    pregion_c = pregion.astype(cdtype)
+    regions_c = regions.astype(cdtype)
+
+    def body(carry, x_pre_t):
+        h, c = carry
+        hp = _dot(h, hw, cdtype)            # (B, 4d+attn+1+s)
+        h_gates = hp[:, : 4 * dim]
+        h_att = hp[:, 4 * dim: 4 * dim + attn]
+        blogit = hp[:, 4 * dim + attn]
+        h_satt = hp[:, 4 * dim + attn + 1:]
+        alpha_s, _, _, _, _, alpha, ctx_t = _spatial_step_fwd(
+            h_satt, h_att, pregion_c, regions_c, ctx, pctx,
+            ctx_mask, u_s, c_s, w_sf, w_sfa, u32, c_att, cdtype)
+        if selector:
+            beta = jax.nn.sigmoid(blogit.astype(jnp.float32) + b_sel)
+            ctx_t = ctx_t * beta[:, None]
+        preact = x_pre_t + h_gates + _dot(ctx_t, wc, cdtype)
+        i, f, o, g = _gates(preact, dim)
+        c_t = f * c + i * g
+        h_t = o * jnp.tanh(c_t)
+        return ((h_t, c_t),
+                (h_t, c_t, ctx_t, alpha, preact, h_att, blogit, h_satt,
+                 alpha_s))
+
+    (_, _), ys = jax.lax.scan(body, (h0, c0), x_pre_all, unroll=unroll)
+    hs, cs, ctxs, alphas, preacts, h_atts, blogits, h_satts, alpha_ss = ys
+    res = (hw, wc, u_att, c_att, b_sel, u_s, c_s, w_sf, w_sfa, ctx, pctx,
+           pregion, regions, ctx_mask, h0, c0,
+           hs, cs, ctxs, alphas, preacts, h_atts, blogits, h_satts,
+           alpha_ss)
+    return (hs, ctxs, alphas), res
+
+
+def _bwd_spatial(static, res, g):
+    dim, attn, s_attn, selector, unroll, cd, acc_dt = static
+    cdtype = jnp.dtype(cd)
+    adtype = jnp.dtype(acc_dt)
+    (hw, wc, u_att, c_att, b_sel, u_s, c_s, w_sf, w_sfa, ctx, pctx,
+     pregion, regions, ctx_mask, h0, c0,
+     hs, cs, ctxs, alphas, preacts, h_atts, blogits, h_satts,
+     alpha_ss) = res
+    dhs, dctxs, dalphas = g
+    T, B = hs.shape[0], hs.shape[1]
+    K, R = regions.shape[1], regions.shape[2]
+
+    h_prev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
+    c_prev = jnp.concatenate([c0[None], cs[:-1]], axis=0)
+    wc_t = wc.T
+    hw_t = hw.T
+    w_sf_t = w_sf.T
+    w_sfa_t = w_sfa.T
+    u32 = u_att.astype(pctx.dtype)
+    u_s_c = u_s.astype(cdtype)
+    mask_f = (ctx_mask > 0).astype(jnp.float32)
+    pregion_c = pregion.astype(cdtype)
+    regions_c = regions.astype(cdtype)
+
+    def body(carry, xs):
+        (dh, dc, du_att, dc_att, db_sel, du_s, dc_s, dpctx, dctx, dpe_s_acc,
+         dw_sf, dw_sfa) = carry
+        (hp_t, cp_t, c_t, ctx_t, alpha, preact, h_att, blogit, h_satt,
+         alpha_s, dh_out, dctx_out, dalpha_out) = xs
+
+        # ---- recompute the step's big intermediates (cheaper than
+        # saving them: e_s alone is (B,K,R,s) = 360 MB/step) ----
+        e_s = jnp.tanh(pregion_c + h_satt.astype(cdtype)[:, None, None, :])
+        spat = jnp.einsum("bkr,bkrd->bkd", alpha_s.astype(cdtype),
+                          regions_c)
+        ctx_k = ctx + _dot(spat, w_sf, cdtype)
+        pctx_k = pctx + _dot(spat, w_sfa, cdtype)
+        e = jnp.tanh(pctx_k + h_att[:, None, :])
+
+        # ---- LSTM cell backward ----
+        dh_tot = dh + dh_out
+        i, f, o, gg = _gates(preact, dim)
+        tc = jnp.tanh(c_t)
+        dct = dc + dh_tot * o * (1.0 - tc * tc)
+        do = dh_tot * tc
+        dpre = jnp.concatenate(
+            [dct * gg * i * (1.0 - i),
+             dct * cp_t * f * (1.0 - f),
+             do * o * (1.0 - o),
+             dct * i * (1.0 - gg * gg)], axis=1)
+        dc_prev = dct * f
+
+        # ---- context / selector backward ----
+        dctx_t = dctx_out + jnp.dot(dpre.astype(cdtype), wc_t,
+                                    preferred_element_type=jnp.float32)
+        ctxw = jnp.einsum("bk,bkd->bd", alpha.astype(ctx_k.dtype),
+                          ctx_k).astype(jnp.float32)
+        if selector:
+            beta = jax.nn.sigmoid(blogit.astype(jnp.float32) + b_sel)
+            dbeta = jnp.sum(dctx_t * ctxw, axis=1)
+            dcw = dctx_t * beta[:, None]
+            dblogit = dbeta * beta * (1.0 - beta)
+            db_sel = db_sel + jnp.sum(dblogit)
+        else:
+            dcw = dctx_t
+            dblogit = jnp.zeros((B,), jnp.float32)
+
+        # ---- temporal attention backward (over the per-step ctx_k) ----
+        dalpha = (jnp.einsum("bd,bkd->bk", dcw, ctx_k.astype(jnp.float32))
+                  + dalpha_out)
+        dck = (alpha[:, :, None] * dcw[:, None, :])          # (B,K,Dc)
+        ds = alpha * (dalpha - jnp.sum(alpha * dalpha, axis=1,
+                                       keepdims=True))
+        ds = ds * mask_f
+        dc_att = dc_att + jnp.sum(ds)
+        du_att = du_att + jnp.einsum("bk,bka->a", ds,
+                                     e.astype(jnp.float32))
+        dpe = (ds[:, :, None] * u32).astype(e.dtype) * (1.0 - e * e)
+        dpk = dpe                                            # (B,K,A)
+        dh_att = jnp.sum(dpe, axis=1)
+
+        # ---- ctx_k / pctx_k fan-in: invariant accumulators + spat ----
+        dctx = dctx + dck
+        dpctx = dpctx + dpk
+        dck_f = dck.reshape(B * K, -1).astype(cdtype)
+        dpk_f = dpk.reshape(B * K, -1).astype(cdtype)
+        sp_f = spat.reshape(B * K, -1).astype(cdtype)
+        dw_sf = dw_sf + jnp.dot(sp_f.T, dck_f,
+                                preferred_element_type=jnp.float32)
+        dw_sfa = dw_sfa + jnp.dot(sp_f.T, dpk_f,
+                                  preferred_element_type=jnp.float32)
+        dspat = (jnp.dot(dck_f, w_sf_t.astype(cdtype),
+                         preferred_element_type=jnp.float32)
+                 + jnp.dot(dpk_f, w_sfa_t.astype(cdtype),
+                           preferred_element_type=jnp.float32)
+                 ).reshape(B, K, -1)                         # (B,K,Dr) f32
+
+        # ---- spatial attention backward ----
+        dalpha_s = jnp.einsum("bkd,bkrd->bkr", dspat.astype(cdtype),
+                              regions_c,
+                              preferred_element_type=jnp.float32)
+        dss = alpha_s * (dalpha_s - jnp.sum(alpha_s * dalpha_s, axis=-1,
+                                            keepdims=True))   # (B,K,R)
+        dc_s = dc_s + jnp.sum(dss)
+        du_s = du_s + jnp.einsum("bkr,bkrd->d", dss.astype(cdtype), e_s,
+                                 preferred_element_type=jnp.float32)
+        dpe_s = ((dss[:, :, :, None].astype(cdtype) * u_s_c)
+                 * (1.0 - e_s * e_s))                        # (B,K,R,s) cd
+        dpe_s_acc = dpe_s_acc + dpe_s.astype(adtype)
+        dh_satt = jnp.sum(dpe_s, axis=(1, 2)).astype(jnp.float32)
+
+        # ---- h-projection backward ----
+        dhp = jnp.concatenate(
+            [dpre, dh_att.astype(jnp.float32), dblogit[:, None], dh_satt],
+            axis=1)
+        dh_prev = jnp.dot(dhp.astype(cdtype), hw_t,
+                          preferred_element_type=jnp.float32)
+        return ((dh_prev, dc_prev, du_att, dc_att, db_sel, du_s, dc_s,
+                 dpctx, dctx, dpe_s_acc, dw_sf, dw_sfa),
+                (dhp, dspat.astype(cdtype)))
+
+    carry0 = (jnp.zeros_like(h0), jnp.zeros_like(c0),
+              jnp.zeros((attn,), jnp.float32), jnp.zeros((), jnp.float32),
+              jnp.zeros((), jnp.float32),
+              jnp.zeros((s_attn,), jnp.float32), jnp.zeros((), jnp.float32),
+              jnp.zeros(pctx.shape, jnp.float32),
+              jnp.zeros(ctx.shape, jnp.float32),
+              jnp.zeros(pregion.shape, adtype),
+              jnp.zeros(w_sf.shape, jnp.float32),
+              jnp.zeros(w_sfa.shape, jnp.float32))
+    xs = (h_prev, c_prev, cs, ctxs, alphas, preacts, h_atts, blogits,
+          h_satts, alpha_ss, dhs, dctxs, dalphas)
+    ((dh0, dc0, du_att, dc_att, db_sel, du_s, dc_s, dpctx, dctx,
+      dpe_s_acc, dw_sf, dw_sfa), (dhp_stack, dspat_stack)) = \
+        jax.lax.scan(body, carry0, xs, reverse=True, unroll=unroll)
+
+    # ---- weight gradients as single GEMMs over all T*B rows ----
+    P = dhp_stack.shape[-1]
+    dhp_flat = dhp_stack.reshape(T * B, P)
+    dhw = jnp.dot(h_prev.reshape(T * B, -1).astype(cdtype).T,
+                  dhp_flat.astype(cdtype),
+                  preferred_element_type=jnp.float32).astype(hw.dtype)
+    dpre_flat = dhp_flat[:, : 4 * dim]
+    dwc = jnp.dot(ctxs.reshape(T * B, -1).astype(cdtype).T,
+                  dpre_flat.astype(cdtype),
+                  preferred_element_type=jnp.float32).astype(wc.dtype)
+    dx_pre = dhp_stack[:, :, : 4 * dim]
+    # d(regions) via the spat route, rebuilt from the stacked per-step
+    # pieces.  In training nothing consumes d(regions) (features are
+    # data), so XLA dead-code-eliminates this einsum AND the
+    # dspat_stack emission; correctness is preserved for any caller
+    # that does differentiate w.r.t. regions.
+    dregions = jnp.einsum("tbkr,tbkd->bkrd", alpha_ss.astype(cdtype),
+                          dspat_stack,
+                          preferred_element_type=jnp.float32)
+
+    return (dhw, dwc, du_att.astype(u_att.dtype),
+            dc_att.astype(jnp.result_type(c_att)),
+            db_sel.astype(jnp.result_type(b_sel)),
+            du_s.astype(u_s.dtype), dc_s.astype(jnp.result_type(c_s)),
+            dw_sf.astype(w_sf.dtype), dw_sfa.astype(w_sfa.dtype),
+            dctx.astype(ctx.dtype), dpctx.astype(pctx.dtype),
+            dpe_s_acc.astype(pregion.dtype), dregions.astype(regions.dtype),
+            jnp.zeros_like(ctx_mask), dh0, dc0, dx_pre)
+
+
+fused_sequence_spatial.defvjp(_fwd_spatial, _bwd_spatial)
+
+
 def run(params, cfg, sc, state0, x_pre_all_tm):
     """Adapter: call fused_sequence from decoder.forward_train's fast
     path.  ``x_pre_all_tm`` is time-major (T, B, 4*dim)."""
@@ -217,3 +494,22 @@ def run(params, cfg, sc, state0, x_pre_all_tm):
                           params["c_att"], params["b_sel"], sc.ctx,
                           sc.pctx, sc.ctx_mask, state0.h, state0.c,
                           x_pre_all_tm)
+
+
+def run_spatial(params, cfg, sc, state0, x_pre_all_tm):
+    """Adapter: call fused_sequence_spatial from decoder.forward_train's
+    fast path (config 2).  ``x_pre_all_tm`` is time-major (T, B, 4d)."""
+    from .step import _h_projection_weights
+    hw = sc.h_proj_w if sc.h_proj_w is not None \
+        else _h_projection_weights(params, cfg)
+    acc_dt = ("bfloat16" if (cfg.wgrad_dtype == "bfloat16"
+                             and cfg.compute_dtype != "float32")
+              else "float32")
+    static = (cfg.dim, cfg.attn_dim, int(cfg.region_dim),
+              bool(cfg.selector), int(cfg.scan_unroll), cfg.compute_dtype,
+              acc_dt)
+    return fused_sequence_spatial(
+        static, hw, params["Wc"], params["U_att"], params["c_att"],
+        params["b_sel"], params["Us_att"], params["cs_att"],
+        params["W_spat_fuse"], sc.w_sf_att, sc.ctx, sc.pctx, sc.pregion,
+        sc.regions, sc.ctx_mask, state0.h, state0.c, x_pre_all_tm)

@@ -107,24 +107,122 @@ def test_grad_parity_bf16_loose():
         assert np.abs(a - b).max() / denom < 0.05, k
 
 
-def test_spatial_and_ss_fall_back_to_autodiff():
-    """Spatial attention and scheduled sampling keep the autodiff path
-    (fused_seq_grad must not change their results or crash)."""
-    cfg = small_cfg(compute_dtype="float32", use_spatial=True,
-                    n_regions=3, region_dim=8, fused_seq_grad=True)
-    ds = synthetic_dataset(n_videos=4, k=cfg.n_frames, d=cfg.ctx_dim,
-                           n_regions=3, region_dim=8, maxlen=10, seed=0)
-    dev = ds.bank.to_device()
-    batch = gather_batch(dev, ds.captions, np.arange(4, dtype=np.int32))
-    params = init_params(jax.random.PRNGKey(7), cfg)
-    loss, _ = loss_fn(params, cfg, batch, train=False)
-    assert np.isfinite(float(loss))
-    # scheduled sampling path still works under the flag
+def test_ss_falls_back_to_autodiff():
+    """Scheduled sampling keeps the autodiff path (fused_seq_grad must
+    not change its results or crash)."""
     cfg2 = _cfg()
     params2, batch2 = _setup(cfg2)
     loss2, _ = loss_fn(params2, cfg2, batch2, jax.random.PRNGKey(0),
                        train=True, ss_prob=0.3)
     assert np.isfinite(float(loss2))
+
+
+# ---------------------------------------------------------------------------
+# Spatial path (config 2): fused_sequence_spatial vs autodiff
+# ---------------------------------------------------------------------------
+
+def _setup_spatial(cfg, n=4, seed=0, ragged_mask=False):
+    ds = synthetic_dataset(n_videos=n, k=cfg.n_frames, d=cfg.ctx_dim,
+                           n_regions=cfg.n_regions,
+                           region_dim=cfg.region_dim, maxlen=10, seed=seed)
+    dev = ds.bank.to_device()
+    batch = gather_batch(dev, ds.captions, np.arange(n, dtype=np.int32))
+    if ragged_mask:
+        fm = np.asarray(batch["frame_mask"]).copy()
+        fm[0, cfg.n_frames // 2:] = 0.0
+        fm[1, 1:] = 0.0
+        batch["frame_mask"] = jnp.asarray(fm)
+    params = init_params(jax.random.PRNGKey(7), cfg)
+    return params, batch
+
+
+def _scfg(**kw):
+    base = dict(compute_dtype="float32", fused_seq_grad=True,
+                use_spatial=True, n_regions=3, region_dim=8)
+    base.update(kw)
+    return small_cfg(**base)
+
+
+@pytest.mark.parametrize("selector", [True, False])
+def test_spatial_forward_parity_f32(selector):
+    cfg = _scfg(selector=selector)
+    cfg_ref = dataclasses.replace(cfg, fused_seq_grad=False)
+    params, batch = _setup_spatial(cfg, ragged_mask=True)
+    a = forward_train(params, cfg, batch, train=False)
+    b = forward_train(params, cfg_ref, batch, train=False)
+    np.testing.assert_allclose(np.asarray(a.logits), np.asarray(b.logits),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.alphas), np.asarray(b.alphas),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("selector", [True, False])
+def test_spatial_grad_parity_f32_all_params(selector):
+    """Every parameter's gradient matches autodiff at f32 — including
+    the spatial leaves the custom VJP computes by hand (Us_att/cs_att;
+    W_spat_fuse via BOTH its direct arg and the w_sf_att composition;
+    Ws_att/bs_att via d[pregion]; Wsd_att via d[hw])."""
+    cfg = _scfg(selector=selector)
+    cfg_ref = dataclasses.replace(cfg, fused_seq_grad=False)
+    params, batch = _setup_spatial(cfg, ragged_mask=True)
+    g_new = jax.grad(lambda p: loss_fn(p, cfg, batch, train=False)[0]
+                     )(params)
+    g_ref = jax.grad(lambda p: loss_fn(p, cfg_ref, batch, train=False)[0]
+                     )(params)
+    assert set(g_new) == set(g_ref)
+    for k in sorted(g_ref):
+        np.testing.assert_allclose(np.asarray(g_new[k]),
+                                   np.asarray(g_ref[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_spatial_grad_parity_alpha_c():
+    cfg = _scfg(alpha_c=0.5)
+    cfg_ref = dataclasses.replace(cfg, fused_seq_grad=False)
+    params, batch = _setup_spatial(cfg)
+    g_new = jax.grad(lambda p: loss_fn(p, cfg, batch, train=False)[0]
+                     )(params)
+    g_ref = jax.grad(lambda p: loss_fn(p, cfg_ref, batch, train=False)[0]
+                     )(params)
+    for k in ("Us_att", "Wsd_att", "Ws_att", "W_spat_fuse", "U_att", "U"):
+        np.testing.assert_allclose(np.asarray(g_new[k]),
+                                   np.asarray(g_ref[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_spatial_grad_parity_bf16_loose():
+    """bfloat16 compute: the fused spatial VJP reads pregion in bf16
+    inside the scan (the oracle keeps it f32), so tolerance is the
+    mixed-precision rounding class, not exactness."""
+    cfg = _scfg(compute_dtype="bfloat16")
+    cfg_ref = dataclasses.replace(cfg, fused_seq_grad=False)
+    params, batch = _setup_spatial(cfg)
+    g_new = jax.grad(lambda p: loss_fn(p, cfg, batch, train=False)[0]
+                     )(params)
+    g_ref = jax.grad(lambda p: loss_fn(p, cfg_ref, batch, train=False)[0]
+                     )(params)
+    for k in ("U", "Wc", "Us_att", "Ws_att", "W_spat_fuse", "Wsd_att"):
+        a, b = np.asarray(g_new[k], np.float32), np.asarray(g_ref[k],
+                                                            np.float32)
+        denom = np.maximum(np.abs(b).max(), 1e-6)
+        assert np.abs(a - b).max() / denom < 0.05, k
+
+
+def test_spatial_fused_trains():
+    """End-to-end: optimizer steps reduce the loss on the spatial path."""
+    from stvd.config import TrainConfig
+    from stvd.train.loop import init_train_state, make_train_step
+    cfg = _scfg()
+    params, batch = _setup_spatial(cfg, n=8)
+    batch = dict(batch)
+    batch["weight"] = jnp.ones((8,), jnp.float32)
+    tcfg = TrainConfig(batch_size=8, maxlen=10, optimizer="adam", lr=1e-3)
+    state = init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step = make_train_step(cfg, tcfg)
+    state, m0 = step(state, batch)
+    for _ in range(20):
+        state, m = step(state, batch)
+    assert float(m["loss"]) < float(m0["loss"])
 
 
 def test_fused_seq_grad_trains():
