@@ -94,6 +94,14 @@ class TrainConfig:
     save_freq: int = 2000           # checkpoint every N updates
     metric: str = "meteor"          # early-stop metric: meteor|bleu4|cider|
     # rouge|nll ('blue' accepted as the reference's spelling of bleu4)
+    length_buckets: str = ""        # e.g. "10,20,30": length-bucketed
+    # train batches with a few STATIC (B, T_bucket) shapes — the compute
+    # equivalent of the reference's HomogeneousData (SURVEY.md §2 row
+    # 5).  Real captions average ~7 tokens vs maxlen 30; bucketing
+    # recovers the pad-step FLOPs the scan otherwise wastes.  Empty =
+    # off (every batch at maxlen).  maxlen is appended automatically if
+    # no bucket covers it.  Stored as a comma string (not a tuple) so
+    # the frozen config stays hashable AND JSON-round-trippable.
     meteor_profile: str = "meteor2005"  # METEOR parameter profile used in
     # validation scoring: meteor2005 | meteor15-en (metrics/meteor.py)
     ss_prob: float = 0.0            # scheduled-sampling probability
@@ -193,7 +201,21 @@ def validate(cfg: Config) -> Config:
         raise ValueError(f"unknown wgrad_dtype {m.wgrad_dtype!r}")
     if not 0.0 <= cfg.train.ss_prob <= 1.0:
         raise ValueError("ss_prob must be in [0, 1]")
+    if cfg.train.length_buckets:
+        try:
+            bs = parse_buckets(cfg.train.length_buckets)
+        except ValueError:
+            raise ValueError(
+                f"length_buckets must be comma-separated ints, got "
+                f"{cfg.train.length_buckets!r}")
+        if any(b < 1 for b in bs):
+            raise ValueError("length_buckets entries must be >= 1")
     return cfg
+
+
+def parse_buckets(spec: str) -> tuple:
+    """'10,20,30' -> (10, 20, 30)."""
+    return tuple(int(x) for x in spec.split(",") if x.strip())
 
 
 # Named presets mirroring the five BASELINE.json target configs.

@@ -107,21 +107,88 @@ class BatchIterator:
             yield chunk.astype(np.int32), w
 
 
-def gather_batch(dev_bank: Dict, caps: CaptionSet, idx: np.ndarray):
+class BucketedBatchIterator:
+    """Length-bucketed minibatches — the compute equivalent of the
+    reference's ``HomogeneousData`` (``data_engine.py:§HomogeneousData``,
+    SURVEY.md §2 row 5), TPU-style.
+
+    The reference groups captions by exact length for pad-free dynamic
+    batches; dynamic shapes recompile XLA per length.  Here captions are
+    grouped into a FEW static ``(B, T_bucket)`` shapes (one executable
+    each): a caption of length L lands in the smallest bucket >= L, so
+    real MSVD captions (mean ~7 tokens vs maxlen 30) stop paying ~3-4x
+    pad-step FLOPs in the train scan.  Loss is invariant: the dropped
+    columns are all-masked (pinned by tests/test_data.py).
+
+    Yields ``(indices (B,), weight (B,), t_bucket)``; batch order is
+    shuffled ACROSS buckets per epoch (like HomogeneousData's random
+    bucket order), ragged tails pad by wrapping within the bucket with
+    weight 0.
+    """
+
+    def __init__(self, lengths: Sequence[int], batch_size: int,
+                 buckets: Sequence[int], seed: int = 0,
+                 shuffle: bool = True):
+        lengths = np.asarray(lengths, dtype=np.int64)
+        self.buckets = tuple(sorted(set(int(b) for b in buckets)))
+        if lengths.size and int(lengths.max()) > self.buckets[-1]:
+            raise ValueError(
+                f"max caption length {int(lengths.max())} exceeds the "
+                f"largest bucket {self.buckets[-1]}")
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self._rng = np.random.RandomState(seed)
+        edges = np.asarray(self.buckets)
+        assign = edges[np.searchsorted(edges, lengths)]
+        self._groups = [(int(t), np.flatnonzero(assign == t))
+                        for t in self.buckets
+                        if np.any(assign == t)]
+        self.n = int(lengths.size)
+
+    def epoch(self) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
+        b = self.batch_size
+        batches = []
+        for t_b, idxs in self._groups:
+            order = idxs.copy()
+            if self.shuffle:
+                self._rng.shuffle(order)
+            for s in range(0, len(order), b):
+                chunk = order[s: s + b]
+                n_real = len(chunk)
+                w = np.ones(b, dtype=np.float32)
+                if n_real < b:
+                    chunk = np.concatenate(
+                        [chunk, np.resize(order, b - n_real)])
+                    w[n_real:] = 0.0
+                batches.append((chunk.astype(np.int32), w, t_b))
+        if self.shuffle:
+            self._rng.shuffle(batches)
+        return iter(batches)
+
+
+def gather_batch(dev_bank: Dict, caps: CaptionSet, idx: np.ndarray,
+                 seq_len: int = 0):
     """Assemble a device batch: gather features by caption's video row.
 
     ``dev_bank`` is the dict returned by ``FeatureBank.to_device``.
+    ``seq_len`` > 0 slices tokens/mask to a bucket length (the columns
+    beyond a caption's bucket are all-pad, so the loss is unchanged).
     Returns a dict of jnp arrays (frames, frame_mask, [regions, motion],
     tokens, token_mask).
     """
     import jax.numpy as jnp
 
     rows = jnp.asarray(caps.video_idx[idx])
+    tokens = caps.tokens[idx]
+    mask = caps.mask[idx]
+    if seq_len:
+        tokens = tokens[:, :seq_len]
+        mask = mask[:, :seq_len]
     out = {
         "frames": jnp.take(dev_bank["frames"], rows, axis=0),
         "frame_mask": jnp.take(dev_bank["frame_mask"], rows, axis=0),
-        "tokens": jnp.asarray(caps.tokens[idx]),
-        "token_mask": jnp.asarray(caps.mask[idx]),
+        "tokens": jnp.asarray(tokens),
+        "token_mask": jnp.asarray(mask),
     }
     if "regions" in dev_bank:
         out["regions"] = jnp.take(dev_bank["regions"], rows, axis=0)

@@ -349,7 +349,18 @@ def fit(
     train_step = make_train_step(mcfg, tcfg, step_fn, mesh,
                                  use_shard_map=use_shard_map)
     dev = train_ds.bank.to_device(dtype=jnp.dtype(mcfg.compute_dtype))
-    it = BatchIterator(train_ds.captions.n, tcfg.batch_size, seed=tcfg.seed)
+    if tcfg.length_buckets:
+        from ..config import parse_buckets
+        from ..data.batching import BucketedBatchIterator
+        buckets = parse_buckets(tcfg.length_buckets)
+        if max(buckets) < tcfg.maxlen:
+            buckets = buckets + (tcfg.maxlen,)
+        lens = train_ds.captions.mask.sum(axis=1).astype(np.int64)
+        it = BucketedBatchIterator(lens, tcfg.batch_size, buckets,
+                                   seed=tcfg.seed)
+    else:
+        it = BatchIterator(train_ds.captions.n, tcfg.batch_size,
+                           seed=tcfg.seed)
     sampler = _make_sampler(mcfg, cfg.decode.maxlen, step_fn)
     from ..utils.profiling import StepTimer
     timer = StepTimer(window=max(tcfg.disp_freq, 10))
@@ -366,8 +377,13 @@ def fit(
         for epoch in range(tcfg.max_epochs):
             if stop:
                 break
-            for idx, w in it.epoch():
-                batch = gather_batch(dev, train_ds.captions, idx)
+            for item in it.epoch():
+                # BucketedBatchIterator adds the bucket length (a static
+                # shape: one compiled executable per bucket)
+                idx, w = item[0], item[1]
+                t_b = item[2] if len(item) == 3 else 0
+                batch = gather_batch(dev, train_ds.captions, idx,
+                                     seq_len=t_b)
                 batch["weight"] = jnp.asarray(w)
                 if mesh is not None:
                     batch = parallel.shard_batch(batch, mesh)

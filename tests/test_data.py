@@ -99,3 +99,56 @@ def test_synthetic_dataset_consistency():
 
 def test_tokenize():
     assert tokenize("A man, IS running!") == ["a", "man", "is", "running"]
+
+
+def test_bucketed_iterator_coverage_and_shapes():
+    """Every caption is visited with weight 1 exactly once per epoch;
+    each batch's bucket covers every member's length; batch shapes are
+    static per bucket (SURVEY.md §2 row 5 HomogeneousData)."""
+    from stvd.data.batching import BucketedBatchIterator
+    rng = np.random.RandomState(0)
+    lengths = rng.randint(2, 31, size=101)
+    it = BucketedBatchIterator(lengths, batch_size=16,
+                               buckets=(10, 20, 30), seed=1)
+    seen = np.zeros(101, int)
+    for idx, w, t_b in it.epoch():
+        assert idx.shape == (16,) and w.shape == (16,)
+        assert t_b in (10, 20, 30)
+        assert (lengths[idx] <= t_b).all()
+        for i, wi in zip(idx, w):
+            if wi > 0:
+                seen[i] += 1
+    assert (seen == 1).all()
+    with pytest.raises(ValueError):
+        BucketedBatchIterator([5, 35], 4, buckets=(10, 30))
+
+
+def test_bucketed_loss_invariance():
+    """Slicing tokens/mask to a covering bucket leaves per-example NLL
+    (and therefore gradients) exactly unchanged: the dropped columns
+    are all-masked."""
+    import jax
+    from stvd.data.batching import gather_batch
+    from stvd.model.decoder import init_params
+    from stvd.train.loss import loss_fn
+    from conftest import small_cfg
+    cfg = small_cfg(compute_dtype="float32")
+    ds = synthetic_dataset(n_videos=6, k=cfg.n_frames, d=cfg.ctx_dim,
+                           maxlen=30, seed=3)
+    dev = ds.bank.to_device()
+    idx = np.arange(6, dtype=np.int32)
+    lens = ds.captions.mask.sum(axis=1).astype(int)
+    t_b = int(((lens.max() + 9) // 10) * 10)       # covering bucket
+    full = gather_batch(dev, ds.captions, idx)
+    bucketed = gather_batch(dev, ds.captions, idx, seq_len=t_b)
+    assert bucketed["tokens"].shape[1] == t_b < full["tokens"].shape[1]
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    la, _ = loss_fn(params, cfg, full, train=False)
+    lb, _ = loss_fn(params, cfg, bucketed, train=False)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+    ga = jax.grad(lambda p: loss_fn(p, cfg, full, train=False)[0])(params)
+    gb = jax.grad(lambda p: loss_fn(p, cfg, bucketed, train=False)[0]
+                  )(params)
+    for k in ("U", "Wc_att", "Wemb"):
+        np.testing.assert_allclose(np.asarray(ga[k]), np.asarray(gb[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)

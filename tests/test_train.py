@@ -256,3 +256,41 @@ def test_executable_caches_key_on_objects():
     # cached (id-reuse is structurally impossible)
     assert any(f1 in k for k in ev._DECODER_CACHE)
     assert any(f1 in k for k in loop_mod._EVAL_NLL_CACHE)
+
+
+def test_fit_length_bucketed_converges(tmp_path):
+    """Bucketed training (train.length_buckets) reaches the same loss
+    regime as unbucketed on the same data: the buckets only remove
+    all-masked scan steps, so per-example losses are identical and only
+    batch composition order differs."""
+    def run(buckets, seed_dir):
+        cfg = Config(
+            model=MCFG,
+            train=dataclasses.replace(
+                TCFG, max_epochs=40, valid_freq=0, save_freq=0,
+                disp_freq=10, sample_freq=0, maxlen=10,
+                length_buckets=buckets,
+                save_dir=str(tmp_path / seed_dir)),
+            decode=DecodeConfig(beam_size=1, maxlen=10, decode_batch=4),
+            data=DataConfig(dataset="synthetic", synthetic_videos=8),
+        )
+        # caption lengths 4-8 + eos vs maxlen 10: both buckets exercise
+        train_ds = synthetic_dataset(n_videos=8, captions_per_video=1,
+                                     k=6, d=32, maxlen=10, seed=0)
+        res = fit(cfg, train_ds, None, max_updates=40)
+        return float(res.history[-1]["nll"]) if res.history else None
+
+    from stvd.train.loop import evaluate_nll
+    import json as _json
+
+    # run bucketed; read final train loss from metrics.jsonl
+    for buckets, d in (("6,10", "bucketed"), ("", "plain")):
+        cfg_dir = tmp_path / d
+        run(buckets, d)
+    losses = {}
+    for d in ("bucketed", "plain"):
+        with open(os.path.join(str(tmp_path / d), "metrics.jsonl")) as f:
+            rows = [_json.loads(l) for l in f]
+        losses[d] = [r["loss"] for r in rows if r["kind"] == "train"][-1]
+    # same data, same model: end in the same loss regime
+    assert losses["bucketed"] < losses["plain"] * 1.5 + 1.0
