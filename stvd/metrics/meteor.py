@@ -28,9 +28,11 @@ non-comparable to jar scores until validated (see PARITY.md).
 
 Common machinery for both profiles:
 
-  * staged unigram alignment: exact -> Porter stem -> WordNet synonym
-    (the synonym stage activates only if the WordNet corpus is present;
-    this machine has no nltk_data, so exact+stem run — noted in README),
+  * staged unigram alignment: exact -> Porter stem -> synonym (stage 2
+    activates with WordNet data OR an injected ``_synonym_override``
+    table; this machine has no nltk_data, so production runs exact+stem
+    — but the stage-2 logic itself is pinned by known-answer tests with
+    injected tables, tests/test_metrics.py),
   * F_mean = P*R / (alpha*P + (1-alpha)*R),
   * fragmentation penalty gamma * (chunks / matches)^beta,
   * score = F_mean * (1 - penalty), best reference taken per segment,
@@ -143,7 +145,15 @@ def _get_wordnet():
     return _wordnet
 
 
+# Injectable synonym source: {word: set(synonyms)}.  Tests (and any
+# WordNet-free deployment with its own thesaurus) set this to exercise
+# the stage-2 logic without nltk_data; None = use WordNet when present.
+_synonym_override: Optional[Dict[str, set]] = None
+
+
 def _synonyms(w: str) -> set:
+    if _synonym_override is not None:
+        return _synonym_override.get(w, set())
     wn = _get_wordnet()
     if wn is None:
         return set()
@@ -152,6 +162,17 @@ def _synonyms(w: str) -> set:
         for l in s.lemmas():
             syns.add(l.name().lower())
     return syns
+
+
+def _synonyms_active() -> bool:
+    """THE native/Python routing rule, in one place: the native C ABI
+    aligner takes symmetric equivalence-class ids and cannot express
+    the jar's asymmetric synonymy test (``hyp_word in syns(ref_word) or
+    ref_word in syns(hyp_word)``), so ANY active synonym source —
+    WordNet data or an injected table — routes alignment through the
+    pure-Python resolver; the native fast paths (meteor_align and the
+    batched meteor_corpus) engage only when this returns False."""
+    return _synonym_override is not None or _get_wordnet() is not None
 
 
 BEAM_WIDTH = 40   # the METEOR jar's default alignment beam
@@ -219,8 +240,8 @@ def _align_staged(hyp: List[str], ref: List[str]
     SLOWER at caption scale — per-pair ctypes + interning overhead
     exceeds the beam cost on <=30-token segments.  The native win is
     the batched one-call corpus path (stvd_meteor_corpus)."""
-    wn = _get_wordnet()
-    syns = [_synonyms(w) for w in hyp] if wn is not None else None
+    syn_on = _synonyms_active()
+    syns = [_synonyms(w) for w in hyp] if syn_on else None
     cands: List[List[Tuple[int, int]]] = []
     for i, hw in enumerate(hyp):
         hs = _stem(hw)
@@ -230,7 +251,7 @@ def _align_staged(hyp: List[str], ref: List[str]
                 ci.append((j, 0))
             elif hs == _stem(rw):
                 ci.append((j, 1))
-            elif wn is not None and (hw in _synonyms(rw) or rw in syns[i]):
+            elif syn_on and (hw in _synonyms(rw) or rw in syns[i]):
                 ci.append((j, 2))
         cands.append(ci)
     return sorted(_resolve_beam(cands, len(ref)))
@@ -250,14 +271,13 @@ def _align_stats(hyp: List[str], ref: List[str]) -> Tuple[int, int]:
     """(matches, chunks) for one hypothesis/reference pair.
 
     Uses the native C++ beam aligner (native/metrics_core.cpp:
-    stvd_meteor_align) when built, the WordNet synonym stage is
-    inactive (the native core takes equivalence-class ids, which can't
-    express WordNet's asymmetric synonymy), and the reference fits the
-    native 63-token bitmask; identical results to the Python path are
-    pinned by tests/test_native.py.
+    stvd_meteor_align) when built, no synonym source is active (the
+    routing rule lives in ``_synonyms_active``), and the reference fits
+    the native 63-token bitmask; identical results to the Python path
+    are pinned by tests/test_native.py.
     """
     from . import _native
-    if _get_wordnet() is None and _native.get_lib() is not None:
+    if not _synonyms_active() and _native.get_lib() is not None:
         intern = _native.Interner()
         out = _native.meteor_align(
             intern(hyp), intern([_stem(w) for w in hyp]), None,
@@ -281,7 +301,7 @@ def _segment_stats(hyp: List[str], refs: Sequence[List[str]],
     the jar optimizes per segment before corpus aggregation).
     """
     from . import _native
-    use_native = _get_wordnet() is None and _native.get_lib() is not None
+    use_native = not _synonyms_active() and _native.get_lib() is not None
     if use_native:
         # hoist hypothesis interning/stemming out of the reference loop
         intern = _native.Interner()
@@ -413,7 +433,7 @@ def meteor_score(gts: Dict[str, List[List[str]]],
             return score, {"METEOR": score}
         alpha, beta, gamma = prof.alpha, prof.beta, prof.gamma
     from . import _native
-    if (_get_wordnet() is None and _native.get_lib() is not None
+    if (not _synonyms_active() and _native.get_lib() is not None
             and all(len(r) <= 62 for i in ids for r in gts[i])):
         # one native call for the whole corpus (per-pair ctypes overhead
         # dominates otherwise); >62-token refs exceed the native beam

@@ -240,3 +240,66 @@ def test_meteor_beam_distance_tiebreak():
     ref pos 2 (dist 2)."""
     from stvd.metrics.meteor import _align
     assert _align(["a"], ["a", "b", "a"]) == [(0, 0)]
+
+
+# ---------------------------------------------------------------------------
+# METEOR synonym stage (stage 2) with an injected table — no nltk_data
+# needed (SURVEY.md §2 row 11: the jar always runs this stage; here it
+# activates with WordNet data OR an injected synonym source)
+# ---------------------------------------------------------------------------
+
+_SYNS = {"dog": {"puppy"}}          # one-directional on purpose
+
+
+def test_meteor_synonym_stage_2005(monkeypatch):
+    """Hand-computed: hyp 'a dog runs' vs ref 'a puppy runs'.
+    With dog~puppy: m=3 contiguous, chunks=1 -> F=1, penalty=0.5/27
+    -> 0.981481...  Without: m=2, chunks=2 -> 0.333333..."""
+    from stvd.metrics import meteor
+    hyp, ref = ["a", "dog", "runs"], [["a", "puppy", "runs"]]
+    assert abs(meteor.meteor_sentence(hyp, ref) - 1 / 3) < 1e-12
+    monkeypatch.setattr(meteor, "_synonym_override", _SYNS)
+    got = meteor.meteor_sentence(hyp, ref)
+    assert abs(got - 0.9814814814814815) < 1e-12
+    # the jar's synonymy test is symmetric over an asymmetric table:
+    # hyp 'puppy' matches ref 'dog' through syns('dog') as well
+    got_rev = meteor.meteor_sentence(["a", "puppy", "runs"],
+                                     [["a", "dog", "runs"]])
+    assert abs(got_rev - 0.9814814814814815) < 1e-12
+
+
+def test_meteor_synonym_stage_weighted(monkeypatch):
+    """meteor15-en with a synonym match: stage weight w_syn=0.8 and
+    delta=0.75 content weighting.  Hand-computed 0.4739246289772449
+    (mwh=mwr=0.25+0.6+0.75=1.6, whl=wrl=1.75, penalty=0.6*(1/3)^0.2)."""
+    from stvd.metrics import meteor
+    monkeypatch.setattr(meteor, "_synonym_override", _SYNS)
+    got = meteor.meteor_sentence(["a", "dog", "runs"],
+                                 [["a", "puppy", "runs"]],
+                                 profile="meteor15-en")
+    assert abs(got - 0.4739246289772449) < 1e-12
+
+
+def test_meteor_synonym_forces_python_path(monkeypatch):
+    """With a synonym source active the native fast paths must be
+    bypassed (the C ABI cannot express asymmetric synonymy): corpus
+    scoring and _align_stats include stage-2 matches."""
+    from stvd.metrics import meteor
+    from stvd.metrics import _native
+    monkeypatch.setattr(meteor, "_synonym_override", _SYNS)
+    assert meteor._synonyms_active()
+    # per-pair stats: 3 matches / 1 chunk only via the Python resolver
+    assert meteor._align_stats(["a", "dog", "runs"],
+                               ["a", "puppy", "runs"]) == (3, 1)
+    # corpus path: single-segment corpus score equals the segment score
+    score, _ = meteor.meteor_score(
+        {"v0": [["a", "puppy", "runs"]]}, {"v0": [["a", "dog", "runs"]]})
+    assert abs(score - 0.9814814814814815) < 1e-12
+    monkeypatch.setattr(meteor, "_synonym_override", None)
+    if _native.get_lib() is not None:
+        # sanity: with no synonym source the native path re-engages and
+        # scores the exact+stem-only alignment
+        score2, _ = meteor.meteor_score(
+            {"v0": [["a", "puppy", "runs"]]},
+            {"v0": [["a", "dog", "runs"]]})
+        assert abs(score2 - 1 / 3) < 1e-12
