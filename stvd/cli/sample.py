@@ -155,6 +155,14 @@ def main(argv=None) -> int:
             tokens=np.asarray(out.tokens), alphas=np.asarray(out.alphas),
             frame_mask=np.asarray(b["frame_mask"]))
         print(f"attention maps -> {path}")
+    # persist the scores next to the samples artifacts: score claims
+    # for a run must be reproducible from a committed file, not from
+    # captured stdout (the repo's BASELINE convention)
+    meta = {"split": args.split, "beam": cfg.decode.beam_size,
+            "checkpoint": name, "scores": scores}
+    score_path = os.path.join(args.run_dir, f"{args.split}_scores.json")
+    with open(score_path, "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
     print(json.dumps(scores, indent=2, sort_keys=True))
     return 0
 

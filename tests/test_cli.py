@@ -72,6 +72,11 @@ def test_sample_cli_scores(run_dir, capsys):
     out = capsys.readouterr().out
     scores = json.loads(out[out.index("{"):])
     assert "Bleu_4" in scores and "METEOR" in scores
+    # scores are persisted as a run artifact (reproducible claims)
+    with open(os.path.join(run_dir, "valid_scores.json")) as f:
+        saved = json.load(f)
+    assert saved["scores"]["Bleu_4"] == scores["Bleu_4"]
+    assert saved["beam"] == 2 and saved["split"] == "valid"
 
 
 def test_sample_cli_nll(run_dir, capsys):
