@@ -443,7 +443,14 @@ def probe_device(timeout_s: int = 150) -> bool:
     fail fast with a valid JSON line instead of hanging the driver.
     """
     import subprocess
+    # the probe subprocess must reuse the compile cache: a cold compile
+    # of even this trivial program occasionally exceeds the timeout
+    # through the relay, and subprocess.run's timeout SIGKILLs the
+    # child — a SIGKILLed TPU client is THE tunnel-wedging trigger
+    # (round 3: two battery jobs lost to probe-induced false negatives)
     code = ("import jax, jax.numpy as jnp;"
+            "jax.config.update('jax_compilation_cache_dir','/tmp/jax_cache');"
+            "jax.config.update('jax_persistent_cache_min_compile_time_secs',0.0);"
             "print(float(jax.jit(lambda x: x.sum())(jnp.ones((8,)))))")
     try:
         r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,

@@ -62,7 +62,17 @@ class ModelConfig:
     # auto-falls-back for spatial attention / scheduled sampling
     wgrad_dtype: str = "float32"    # weight-gradient scan-accumulator
     # dtype: 'float32' (exact) or 'bfloat16' (halves the 220 MB/step
-    # dL/d[gates] accumulator traffic — see step._dot_bf16_wgrad)
+    # dL/d[gates] accumulator traffic — see step._dot_bf16_wgrad).
+    # Measured NEGATIVE on the temporal path (round 2: 20.7 vs 24.8
+    # steps/s) — kept for experimentation only.
+    spatial_wgrad_dtype: str = "bfloat16"  # dtype of the spatial fused
+    # VJP's pregion-cotangent accumulator (the (B,K,R,s) = 360 MB f32
+    # carry read+written every backward step — the single largest cost
+    # of config-2 training).  bfloat16 measured -23% grad-step time at
+    # reference scale (130.6 -> 101.1 ms, round 3) with ~1e-2 relative
+    # wgrad error on Ws_att/bs_att only, which adadelta's
+    # per-coordinate normalization absorbs.  float32 = exact (used
+    # automatically whenever compute_dtype is float32).
     remat: bool = False             # jax.checkpoint the train-scan body:
     # recompute per-step activations in the backward instead of saving
     # them (required for config 2 at full scale+batch 64: the spatial
@@ -199,6 +209,9 @@ def validate(cfg: Config) -> Config:
                          f"available: {sorted(PROFILES)}")
     if m.wgrad_dtype not in ("float32", "bfloat16"):
         raise ValueError(f"unknown wgrad_dtype {m.wgrad_dtype!r}")
+    if m.spatial_wgrad_dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"unknown spatial_wgrad_dtype {m.spatial_wgrad_dtype!r}")
     if not 0.0 <= cfg.train.ss_prob <= 1.0:
         raise ValueError("ss_prob must be in [0, 1]")
     if cfg.train.length_buckets:

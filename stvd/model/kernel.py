@@ -483,15 +483,34 @@ def _pick_vocab_tile(v: int, cap: int = 4608) -> int:
     # cap tuned on v5e-1: tv=4352/tr=128 ran 0.537 ms/step at
     # (1280x512)@(512x13056) vs 0.646 at tv=2176 and 1.014 for the XLA
     # matmul+log_softmax+top_k path (tv=6528 fails to compile: VMEM)
-    """Largest 128-multiple tile <= cap that divides round_up(v, 128)
-    (no tile -> no padded vocab copy; 13056 = 6 x 2176, 20096 = 2 x
-    10048 ... falls back to padding only when v128 is prime x 128)."""
+    """Largest 128-multiple tile <= cap whose padded vocab
+    round_up(v, tile) wastes <= 3% work.
+
+    The round-2 version required the tile to DIVIDE round_up(v, 128)
+    exactly, with a dead padding fallback — at v=20096 (= 157 x 128,
+    157 prime) that left tv=128: a 157-iteration vocab grid of tiny
+    matmul tiles, measured 8.53 ms/step vs 0.54 at v=13056 — the
+    entire preset-4 serial_roofline_ratio=4.9 gap (round 3,
+    tools/probe_p4_decode.py).  Padding the vocab copy (built once per
+    decode program, -inf bias lanes) to 20480 = 5 x 4096 is ~2% extra
+    work for a 5-iteration grid."""
     v128 = _round_up(v, 128) // 128
-    best = 0
-    for d in range(1, v128 + 1):
-        if v128 % d == 0 and d * 128 <= cap:
-            best = d * 128
-    return best if best else min(cap, 2048)
+    if v128 * 128 <= cap:
+        return v128 * 128                  # whole vocab in one tile
+    # candidates: MXU-healthy tiles (>= 2048); among admissible waste,
+    # minimize padded work first, then take the widest tile
+    for max_waste in (0.03, 0.06, 0.12, 1.0):
+        best = None                        # (vp, -tv)
+        for d in range(16, min(cap // 128, v128) + 1):
+            tv = d * 128
+            vp = _round_up(v128, d) * 128
+            if vp / max(v, 1) - 1.0 <= max_waste:
+                key = (vp, -tv)
+                if best is None or key < best:
+                    best = key
+        if best is not None:
+            return -best[1]
+    return 2048
 
 
 def _shrink_tail_tv(tv: int, vp: int, rp: int, tr: int, dw: int,

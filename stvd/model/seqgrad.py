@@ -502,7 +502,11 @@ def run_spatial(params, cfg, sc, state0, x_pre_all_tm):
     from .step import _h_projection_weights
     hw = sc.h_proj_w if sc.h_proj_w is not None \
         else _h_projection_weights(params, cfg)
-    acc_dt = ("bfloat16" if (cfg.wgrad_dtype == "bfloat16"
+    # Dpe accumulator dtype: its own knob, decoupled from wgrad_dtype
+    # (bf16 measured -23% grad step here, round 3, while the temporal
+    # wgrad bf16 path measured NEGATIVE in round 2).  Exact f32 math
+    # whenever compute is f32 (the parity-test configuration).
+    acc_dt = ("bfloat16" if (cfg.spatial_wgrad_dtype == "bfloat16"
                              and cfg.compute_dtype != "float32")
               else "float32")
     static = (cfg.dim, cfg.attn_dim, int(cfg.region_dim),

@@ -286,6 +286,32 @@ def test_logit_tail_ties_and_padding():
     assert v2.shape == (9, k) and i2.shape == (9, k) and l2.shape == (9,)
 
 
+def test_logit_tail_prime_vocab_grid():
+    """Vocab sizes whose 128-grid count is PRIME (e.g. MSR-VTT 20096 =
+    157 x 128) must get a padded WIDE tile, not tv=128: the round-2
+    divisor-only rule left a 157-iteration vocab grid measured at
+    8.53 ms/step — the entire preset-4 roofline gap (round 3).  Parity
+    pinned at the same shape class (4736 = 37 x 128, 37 prime)."""
+    assert kmod._pick_vocab_tile(20096) >= 2048
+    assert kmod._pick_vocab_tile(13056) == 4352   # tuned exact divisor kept
+    rng = np.random.RandomState(2)
+    rows, dw, V, k = 16, 128, 4736, 5
+    assert kmod._pick_vocab_tile(V) >= 2048
+    x = jnp.asarray(rng.randn(rows, dw), jnp.float32)
+    w = jnp.asarray(rng.randn(dw, V) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(V), jnp.float32)
+    tail = kmod.make_logit_tail(w, b, k)
+    vals, idx, lse = jax.jit(tail)(x)
+    logits = x @ w + b
+    rv, ri = jax.lax.top_k(logits, k)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(rv),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ri))
+    np.testing.assert_allclose(np.asarray(lse),
+                               np.asarray(jax.nn.logsumexp(logits, -1)),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_logit_tail_small_vocab_falls_back():
     w = jnp.zeros((128, 30), jnp.float32)
     assert kmod.make_logit_tail(w, jnp.zeros(30), 5) is None

@@ -68,17 +68,17 @@ def main(bt=1920, d=3584, dw=512, dc=1024, a=1024, v=13056, k_f=28,
     def attention(hp, h):
         h_at = hp[:, :a]
         beta_l = hp[:, a]
-        e = jnp.tanh(pctx + h_at[:, None, :])
+        e = jnp.tanh(env['pctx'] + h_at[:, None, :])
         s = jnp.einsum("bkd,d->bk", e, u_att.astype(e.dtype))
         al = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
-        ctx_t = jnp.einsum("bk,bkd->bd", al.astype(cd), ctx).astype(
+        ctx_t = jnp.einsum("bk,bkd->bd", al.astype(cd), env['ctx']).astype(
             jnp.float32)
         return ctx_t * jax.nn.sigmoid(beta_l)[:, None]
 
     def lstm(emb, h, c, ctx_t):
         x_cat = jnp.concatenate([emb.astype(cd), h.astype(cd),
                                  ctx_t.astype(cd)], axis=1)
-        pre = jnp.dot(x_cat, gates_w,
+        pre = jnp.dot(x_cat, env['gates_w'],
                       preferred_element_type=jnp.float32) + b_g
         i = jax.nn.sigmoid(pre[:, :d])
         f = jax.nn.sigmoid(pre[:, d:2 * d])
@@ -89,20 +89,20 @@ def main(bt=1920, d=3584, dw=512, dc=1024, a=1024, v=13056, k_f=28,
 
     def finish(act_pre, ctx_t, emb):
         act = jnp.tanh(act_pre
-                       + jnp.dot(ctx_t.astype(cd), w_lc,
+                       + jnp.dot(ctx_t.astype(cd), env['w_lc'],
                                  preferred_element_type=jnp.float32)
                        + emb.astype(jnp.float32))
         vals, idx, lse = tail(act)
         # argmax feedback: the serial dependency real decode has
-        return wemb[idx[:, 0]], vals[:, 0] - lse
+        return env['wemb'][idx[:, 0]], vals[:, 0] - lse
 
     def step_a(carry, _):
         h, c, emb, acc = carry
-        hp = jnp.dot(h.astype(cd), h_att_w,
+        hp = jnp.dot(h.astype(cd), env['h_att_w'],
                      preferred_element_type=jnp.float32)
         ctx_t = attention(hp, h)
         h_t, c_t = lstm(emb, h, c, ctx_t)
-        act_pre = jnp.dot(h_t.astype(cd), w_ll,
+        act_pre = jnp.dot(h_t.astype(cd), env['w_ll'],
                           preferred_element_type=jnp.float32)
         emb2, s = finish(act_pre, ctx_t, emb)
         return (h_t, c_t, emb2, acc + s.sum()), None
@@ -111,7 +111,7 @@ def main(bt=1920, d=3584, dw=512, dc=1024, a=1024, v=13056, k_f=28,
         h, c, hp, emb, acc = carry
         ctx_t = attention(hp, h)
         h_t, c_t = lstm(emb, h, c, ctx_t)
-        epi = jnp.dot(h_t.astype(cd), w_epi,
+        epi = jnp.dot(h_t.astype(cd), env['w_epi'],
                       preferred_element_type=jnp.float32)
         hp_next = epi[:, : a + 1]
         act_pre = epi[:, a + 1:]
@@ -124,23 +124,31 @@ def main(bt=1920, d=3584, dw=512, dc=1024, a=1024, v=13056, k_f=28,
     hp0 = jnp.dot(h0.astype(cd), h_att_w,
                   preferred_element_type=jnp.float32)
 
+    # big tensors ride as jit ARGS, not closure constants: baked-in
+    # constants blow the axon relay's compile-payload limit (HTTP 413)
+    consts = dict(wemb=wemb, h_att_w=h_att_w, gates_w=gates_w, w_ll=w_ll,
+                  w_lc=w_lc, w_epi=w_epi, pctx=pctx, ctx=ctx)
+    env = {}
+
     @jax.jit
-    def run_a(h, c):
+    def run_a(h, c, consts):
+        env.update(consts)
         (h, c, _, acc), _ = jax.lax.scan(
             step_a, (h, c, emb0, jnp.zeros(())), None, length=t_steps)
         return acc
 
     @jax.jit
-    def run_b(h, c):
+    def run_b(h, c, consts):
+        env.update(consts)
         (h, c, _, _, acc), _ = jax.lax.scan(
             step_b, (h, c, hp0, emb0, jnp.zeros(())), None, length=t_steps)
         return acc
 
     for name, fn in (("A_production", run_a), ("B_fused_epilogue", run_b)):
-        float(fn(h0, c0))                      # compile + warmup
+        float(fn(h0, c0, consts))              # compile + warmup
         t0 = time.perf_counter()
         for _ in range(iters):
-            s = fn(h0, c0)
+            s = fn(h0, c0, consts)
         float(s)                               # one value-transfer sync
         dt = (time.perf_counter() - t0) / iters
         print(f"{name}: {dt * 1e3 / t_steps:.4f} ms/step "

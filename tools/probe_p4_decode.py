@@ -98,7 +98,7 @@ def main():
     ctx = encode_context(cp, mcfg, frames, motion)
     sc = precompute(cp, mcfg, ctx, fmask)
     h_att0 = jnp.asarray(rng.randn(R, a) * .3, bf)
-    beta0 = jnp.asarray(rng.randn(R, 1) * .3, bf)
+    beta0 = jnp.asarray(rng.randn(R) * .3, bf)   # 1-D: the core API
 
     @jax.jit
     def run_attn_pallas(h_att0, beta0):
@@ -106,9 +106,9 @@ def main():
             h_att, beta = c
             ctx_t, alpha = attention_core_pallas(
                 h_att, beta, sc.pctx, sc.ctx, sc.ctx_mask, cp["U_att"],
-                cp["c_att"], cp["b_sel"], bf)
+                cp["c_att"], cp["b_sel"], True)
             return (h_att * (1 + 1e-6 * ctx_t[:, :1]).astype(bf),
-                    beta * (1 + 1e-6 * alpha[:, :1]).astype(bf)), ()
+                    beta * (1 + 1e-6 * alpha[:, 0]).astype(bf)), ()
         c, _ = jax.lax.scan(body, (h_att0, beta0), None, length=N)
         return c[0].sum()
 
@@ -117,10 +117,10 @@ def main():
         def body(c, _):
             h_att, beta = c
             ctx_t, alpha = smod._attention_core_jnp(
-                h_att, beta[:, 0], sc.pctx, sc.ctx, sc.ctx_mask,
+                h_att, beta, sc.pctx, sc.ctx, sc.ctx_mask,
                 cp["U_att"], cp["c_att"], cp["b_sel"], True)
             return (h_att * (1 + 1e-6 * ctx_t[:, :1]).astype(bf),
-                    beta * (1 + 1e-6 * alpha[:, :1]).astype(bf)), ()
+                    beta * (1 + 1e-6 * alpha[:, 0]).astype(bf)), ()
         c, _ = jax.lax.scan(body, (h_att0, beta0), None, length=N)
         return c[0].sum()
 
