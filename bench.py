@@ -389,7 +389,7 @@ def bench_preset(name: str, use_kernel: bool, iters: int = 4):
 
 
 def bench_preset_train(name: str, use_kernel: bool, iters: int = 10,
-                       fused: bool = True):
+                       fused: bool = True, batch: int = 0):
     """Teacher-forced train-step throughput at a preset's reference
     scale (presets 1-4; preset 5 is the DP path in bench_preset).
 
@@ -405,6 +405,8 @@ def bench_preset_train(name: str, use_kernel: bool, iters: int = 10,
 
     cfg = preset(name)
     mcfg, tcfg = cfg.model, cfg.train
+    if batch:
+        tcfg = dataclasses.replace(tcfg, batch_size=batch)
     if not fused:
         # the autodiff path needs remat at full spatial scale (the
         # saved (B,K,R,s) tanh activations exceed HBM otherwise)
@@ -559,6 +561,8 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--cpu", action="store_true", help="force CPU")
     ap.add_argument("--no-probe", action="store_true")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="override the batch size (preset train bench)")
     ap.add_argument("--hard", action="store_true",
                     help="quality: harder non-saturating synthetic recipe")
     ap.add_argument("--preset", default=None,
@@ -605,7 +609,8 @@ def main():
         if args.what == "train" and args.preset not in ("5", "msvd-dp"):
             print(json.dumps(bench_preset_train(args.preset, args.kernel,
                                                 args.iters,
-                                                fused=args.fused)))
+                                                fused=args.fused,
+                                                batch=args.batch)))
         else:
             print(json.dumps(bench_preset(args.preset, args.kernel,
                                           args.iters)))
