@@ -389,7 +389,8 @@ def bench_preset(name: str, use_kernel: bool, iters: int = 4):
 
 
 def bench_preset_train(name: str, use_kernel: bool, iters: int = 10,
-                       fused: bool = True, batch: int = 0):
+                       fused: bool = True, batch: int = 0,
+                       spatial_bwd: str = "auto"):
     """Teacher-forced train-step throughput at a preset's reference
     scale (presets 1-4; preset 5 is the DP path in bench_preset).
 
@@ -407,6 +408,8 @@ def bench_preset_train(name: str, use_kernel: bool, iters: int = 10,
     mcfg, tcfg = cfg.model, cfg.train
     if batch:
         tcfg = dataclasses.replace(tcfg, batch_size=batch)
+    if spatial_bwd != "auto":
+        mcfg = dataclasses.replace(mcfg, spatial_bwd_kernel=spatial_bwd)
     if not fused:
         # the autodiff path needs remat at full spatial scale (the
         # saved (B,K,R,s) tanh activations exceed HBM otherwise)
@@ -434,7 +437,8 @@ def bench_preset_train(name: str, use_kernel: bool, iters: int = 10,
             "train_mfu": round(mfu, 4),
             "spatial": mcfg.use_spatial, "motion": mcfg.use_motion,
             "path": ("fused_seq_vjp" if fused else
-                     "autodiff" + ("+remat" if mcfg.remat else ""))}
+                     "autodiff" + ("+remat" if mcfg.remat else "")),
+            "spatial_bwd_kernel": mcfg.spatial_bwd_kernel}
 
 
 def probe_device(timeout_s: int = 150) -> bool:
@@ -574,6 +578,11 @@ def main():
                     help="with --what train --preset: measure the "
                          "autodiff(+remat) fallback instead of the "
                          "fused sequence VJP")
+    ap.add_argument("--spatial-bwd", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="with --what train --preset 2: toggle the "
+                         "fused Pallas backward-spatial kernel "
+                         "(before/after evidence)")
     args = ap.parse_args()
 
     import os
@@ -610,7 +619,8 @@ def main():
             print(json.dumps(bench_preset_train(args.preset, args.kernel,
                                                 args.iters,
                                                 fused=args.fused,
-                                                batch=args.batch)))
+                                                batch=args.batch,
+                                                spatial_bwd=args.spatial_bwd)))
         else:
             print(json.dumps(bench_preset(args.preset, args.kernel,
                                           args.iters)))

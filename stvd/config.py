@@ -73,6 +73,13 @@ class ModelConfig:
     # wgrad error on Ws_att/bs_att only, which adadelta's
     # per-coordinate normalization absorbs.  float32 = exact (used
     # automatically whenever compute_dtype is float32).
+    spatial_bwd_kernel: str = "auto"  # fused Pallas backward-spatial
+    # step inside the spatial sequence VJP (kernel.spatial_bwd_pallas):
+    # e_s recompute + region-softmax backward + in-place Dpe accumulate
+    # in one VMEM pass, carrying spat across the reverse scan so the
+    # 176 MB regions tensor is read once per step instead of twice.
+    # 'auto' = on under TPU, off elsewhere; 'on' forces it (interpret
+    # mode off-TPU — tests use this); 'off' keeps the XLA path.
     remat: bool = False             # jax.checkpoint the train-scan body:
     # recompute per-step activations in the backward instead of saving
     # them (required for config 2 at full scale+batch 64: the spatial
@@ -212,6 +219,9 @@ def validate(cfg: Config) -> Config:
     if m.spatial_wgrad_dtype not in ("float32", "bfloat16"):
         raise ValueError(
             f"unknown spatial_wgrad_dtype {m.spatial_wgrad_dtype!r}")
+    if m.spatial_bwd_kernel not in ("auto", "on", "off"):
+        raise ValueError(
+            f"unknown spatial_bwd_kernel {m.spatial_bwd_kernel!r}")
     if not 0.0 <= cfg.train.ss_prob <= 1.0:
         raise ValueError("ss_prob must be in [0, 1]")
     if cfg.train.length_buckets:

@@ -358,6 +358,206 @@ def spatial_core_pallas(h_satt, pregion, regions, u_s, c_s, cdtype
             alpha.reshape(bc, nb, *alpha.shape[1:]))
 
 
+# ---------------------------------------------------------------------------
+# Fused backward-spatial block (config-2 TRAINING).
+#
+# Used inside the hand-derived sequence VJP (seqgrad._bwd_spatial).  Per
+# backward step the spatial stage must (a) recompute the (B, K, R, s)
+# tanh ``e_s`` from ``pregion`` (the framework's largest activation —
+# 176 MB bf16 at reference scale), (b) run the region-softmax backward,
+# (c) accumulate the pregion cotangent ``Dpe += dpe_s`` (a 352 MB
+# read+write of the accumulator), and (d) reduce ``du_s``/``dh_satt``.
+# Under XLA the ``e_s`` recompute and the ``dpe_s`` intermediate cost
+# extra HBM round-trips; this kernel keeps both entirely in VMEM, reads
+# ``pregion``/``regions`` exactly once, and updates the accumulator in
+# place (``input_output_aliases``).
+#
+# It ALSO computes the NEXT (reverse-order) step's ``spat_{t-1}`` from
+# the regions block already resident in VMEM — the backward scan carries
+# ``spat`` instead of re-reading the 176 MB ``regions`` a second time
+# per step for the standalone einsum (see seqgrad._bwd_spatial).
+#
+# Training only (nb = 1): decode never accumulates weight gradients.
+# Reference: the theano grad of the spatial lstm_cond_layer scan
+# (``model_attention.py:§build_model`` — SURVEY.md §3.2).
+# ---------------------------------------------------------------------------
+
+def _make_spatial_bwd_kernel(cd, adt):
+    cdtype = jnp.dtype(cd)
+    adtype = jnp.dtype(adt)
+
+    def kernel(hs_ref, pregion_ref, regions_ref, alpha_ref, alphap_ref,
+               dspat_ref, us_ref, dpe_in_ref,
+               dpe_out_ref, dh_ref, du_ref, dss_ref, spatp_ref):
+        # Mosaic tiling rule: the last two dims of every block must be
+        # divisible by (8, 128) or equal the array dims — hence every
+        # (B, K, x)-shaped operand rides with an explicit singleton
+        # third dim ((B, K, 1, x), block (bt, 1, 1, x)), same pattern
+        # as the forward kernels' outputs.
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        first = jnp.logical_and(i == 0, j == 0)
+        bt = pregion_ref.shape[0]
+        r, s = pregion_ref.shape[2], pregion_ref.shape[3]
+        dr = regions_ref.shape[-1]
+
+        pre = pregion_ref[:, 0]                       # (bt, R, s) cd
+        reg = regions_ref[:, 0]                       # (bt, R, Dr) cd
+        h = hs_ref[:, 0, :].astype(cdtype)            # (bt, s)
+        e_s = jnp.tanh(pre + h[:, None, :])           # (bt, R, s) cd
+
+        # d[alpha_s] = dspat . regions^T  (VPU multiply-reduce over Dr)
+        dsp = dspat_ref[:, 0, 0].astype(jnp.float32)  # (bt, Dr)
+        dalpha = jnp.sum(reg.astype(jnp.float32) * dsp[:, None, :],
+                         axis=2)                      # (bt, R)
+        al = alpha_ref[:, 0, 0].astype(jnp.float32)   # (bt, R)
+        dss = al * (dalpha - jnp.sum(al * dalpha, axis=1, keepdims=True))
+        dss_ref[:] = dss.reshape(bt, 1, 1, r)
+
+        # du_s contribution: sum_{b,r} dss * e_s  -> (1, 1, s).
+        # Reductions over the sublane (R) axis use keepdims=True: a
+        # squeezing sublane reduce produces a replicated-layout vector
+        # Mosaic cannot relayout ('non-singleton logical dimension is
+        # replicated' — same bug class the forward spatial kernel
+        # works around).  Minor-dim inserts ([:, :, None]) happen in
+        # f32 only: Mosaic rejects non-no-op minor inserts for 16-bit.
+        e32 = e_s.astype(jnp.float32)
+        du_c = jnp.sum(jnp.sum(dss[:, :, None] * e32, axis=1,
+                               keepdims=True),
+                       axis=0, keepdims=True
+                       ).reshape(1, s)                 # (1, s)
+
+        # dpe_s through the tanh; accumulate Dpe in place
+        u32 = us_ref[:, 0]                             # (s,) f32
+        dpe = ((dss[:, :, None] * u32[None, None, :]).astype(cdtype)
+               * (1.0 - e_s * e_s))                    # (bt, R, s) cd
+        dpe_out_ref[:, 0] = dpe_in_ref[:, 0] + dpe.astype(adtype)
+        dh_c = jnp.sum(dpe.astype(jnp.float32), axis=1,
+                       keepdims=True)                  # (bt, 1, s)
+
+        # next reverse-order step's spat from the SAME regions block:
+        # spat_{t-1} = sum_r alpha_s^{t-1}_r * regions_r
+        alp = alphap_ref[:, 0, 0].astype(jnp.float32)  # (bt, R)
+        spatp = jnp.sum(alp[:, :, None].astype(cdtype) * reg,
+                        axis=1, keepdims=True)         # (bt, 1, Dr) cd
+        spatp_ref[:] = spatp.reshape(bt, 1, 1, dr)
+
+        @pl.when(j == 0)
+        def _():
+            dh_ref[:] = dh_c
+
+        @pl.when(j != 0)
+        def _():
+            dh_ref[:] = dh_ref[:] + dh_c
+
+        @pl.when(first)
+        def _():
+            du_ref[:] = du_c
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            du_ref[:] = du_ref[:] + du_c
+
+    return kernel
+
+
+def _pick_spatial_bwd_tile(b, k, r, s, dr, cd_bytes, ad_bytes):
+    """Largest batch tile whose double-buffered blocks + temps fit VMEM,
+    or None (caller falls back to the jnp path)."""
+    for bt in (8, 4, 2, 1):
+        if b % bt:
+            continue
+        blocks = (bt * r * s * cd_bytes          # pregion
+                  + bt * r * dr * cd_bytes       # regions
+                  + bt * r * s * ad_bytes * 2    # Dpe in + out
+                  + bt * (2 * s + dr + 3 * r) * 4
+                  + bt * dr * cd_bytes + s * 4)
+        temps = bt * r * s * (2 * cd_bytes + 8)  # e_s, dpe, e32/f32 temp
+        if blocks * 2 + temps <= _VMEM_BUDGET:
+            return bt
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("cd", "adt", "interpret"))
+def _spatial_bwd_pallas_call(h_satt, pregion, regions, alpha_s, alpha_prev,
+                             dspat, u_s, dpe_acc, cd: str, adt: str,
+                             interpret: bool):
+    b, k, r, s = pregion.shape
+    dr = regions.shape[-1]
+    cdtype, adtype = jnp.dtype(cd), jnp.dtype(adt)
+    bt = _pick_spatial_bwd_tile(b, k, r, s, dr, cdtype.itemsize,
+                                adtype.itemsize)
+    assert bt is not None  # caller falls back to jnp when None
+    grid = (b // bt, k)
+    f32 = jnp.float32
+    out_shape = (jax.ShapeDtypeStruct((b, k, r, s), adtype),   # Dpe
+                 jax.ShapeDtypeStruct((b, 1, s), f32),         # dh_satt
+                 jax.ShapeDtypeStruct((1, s), f32),            # du_s
+                 jax.ShapeDtypeStruct((b, k, 1, r), f32),      # dss
+                 jax.ShapeDtypeStruct((b, k, 1, dr), cdtype))  # spat_prev
+    dpe_out, dh, du, dss, spatp = pl.pallas_call(
+        _make_spatial_bwd_kernel(cd, adt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, 1, s), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),             # h_satt
+            pl.BlockSpec((bt, 1, r, s), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),             # pregion
+            pl.BlockSpec((bt, 1, r, dr), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),             # regions
+            pl.BlockSpec((bt, 1, 1, r), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),             # alpha_s
+            pl.BlockSpec((bt, 1, 1, r), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),             # alpha_prev
+            pl.BlockSpec((bt, 1, 1, dr), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),             # dspat
+            pl.BlockSpec((s, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),             # u_s
+            pl.BlockSpec((bt, 1, r, s), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),             # Dpe in
+        ],
+        out_specs=(
+            pl.BlockSpec((bt, 1, r, s), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1, s), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1, 1, r), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1, 1, dr), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        input_output_aliases={7: 0},
+        interpret=interpret,
+    )(h_satt[:, None, :], pregion, regions, alpha_s[:, :, None],
+      alpha_prev[:, :, None], dspat[:, :, None], u_s[:, None], dpe_acc)
+    return dpe_out, dh[:, 0], du[0], dss[:, :, 0], spatp[:, :, 0]
+
+
+def spatial_bwd_pallas(h_satt, pregion, regions, alpha_s, alpha_prev,
+                       dspat, u_s, dpe_acc, cd: str):
+    """Fused backward-spatial step for seqgrad._bwd_spatial.
+
+    Returns (dpe_acc_new, dh_satt (B,s) f32, du_s (s,) f32,
+    dss (B,K,R) f32, spat_prev (B,K,Dr) compute-dtype), or None when no
+    tiling fits VMEM (caller keeps the jnp path).
+    """
+    b, k, r, s = pregion.shape
+    cdtype = jnp.dtype(cd)
+    adtype = dpe_acc.dtype
+    if _pick_spatial_bwd_tile(b, k, r, s, regions.shape[-1],
+                              cdtype.itemsize, adtype.itemsize) is None:
+        return None
+    interpret = jax.default_backend() != "tpu"
+    return _spatial_bwd_pallas_call(
+        h_satt.astype(jnp.float32), pregion.astype(cdtype),
+        regions.astype(cdtype), alpha_s.astype(jnp.float32),
+        alpha_prev.astype(jnp.float32), dspat.astype(jnp.float32),
+        u_s.astype(jnp.float32), dpe_acc, cd, str(adtype), interpret)
+
+
 def attention_core_pallas(h_att, beta_logit, pctx, ctx, ctx_mask, u_att,
                           c_att, b_sel, selector: bool
                           ) -> Tuple[jax.Array, jax.Array]:

@@ -225,8 +225,9 @@ fused_sequence.defvjp(_fwd, _bwd)
 # Spatial path (config 2): region attention inside the scan
 # ---------------------------------------------------------------------------
 
-# (dim, attn, s_attn, selector, unroll, compute_dtype, acc_dtype)
-SpatialStatic = Tuple[int, int, int, bool, int, str, str]
+# (dim, attn, s_attn, selector, unroll, compute_dtype, acc_dtype,
+#  use_bwd_kernel)
+SpatialStatic = Tuple[int, int, int, bool, int, str, str, bool]
 
 
 def _spatial_step_fwd(h_satt, h_att, pregion_c, regions_c, ctx,
@@ -277,7 +278,7 @@ def fused_sequence_spatial(static: SpatialStatic, hw, wc, u_att, c_att,
 def _fwd_spatial(static, hw, wc, u_att, c_att, b_sel, u_s, c_s, w_sf,
                  w_sfa, ctx, pctx, pregion, regions, ctx_mask, h0, c0,
                  x_pre_all):
-    dim, attn, s_attn, selector, unroll, cd, _ = static
+    dim, attn, s_attn, selector, unroll, cd = static[:6]
     cdtype = jnp.dtype(cd)
     u32 = u_att.astype(pctx.dtype)
     pregion_c = pregion.astype(cdtype)
@@ -314,7 +315,7 @@ def _fwd_spatial(static, hw, wc, u_att, c_att, b_sel, u_s, c_s, w_sf,
 
 
 def _bwd_spatial(static, res, g):
-    dim, attn, s_attn, selector, unroll, cd, acc_dt = static
+    dim, attn, s_attn, selector, unroll, cd, acc_dt, use_kernel = static
     cdtype = jnp.dtype(cd)
     adtype = jnp.dtype(acc_dt)
     (hw, wc, u_att, c_att, b_sel, u_s, c_s, w_sf, w_sfa, ctx, pctx,
@@ -324,6 +325,18 @@ def _bwd_spatial(static, res, g):
     dhs, dctxs, dalphas = g
     T, B = hs.shape[0], hs.shape[1]
     K, R = regions.shape[1], regions.shape[2]
+
+    if use_kernel:
+        # fused Pallas backward-spatial step (kernel.spatial_bwd_pallas):
+        # e_s recompute + softmax backward + Dpe in-place accumulate in
+        # one VMEM pass, plus the next step's spat from the regions
+        # block already resident.  Falls back to the jnp path when no
+        # tiling fits VMEM.
+        from . import kernel as kernel_mod
+        if kernel_mod._pick_spatial_bwd_tile(
+                B, K, R, pregion.shape[3], regions.shape[3],
+                cdtype.itemsize, adtype.itemsize) is None:
+            use_kernel = False
 
     h_prev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
     c_prev = jnp.concatenate([c0[None], cs[:-1]], axis=0)
@@ -338,16 +351,23 @@ def _bwd_spatial(static, res, g):
     regions_c = regions.astype(cdtype)
 
     def body(carry, xs):
-        (dh, dc, du_att, dc_att, db_sel, du_s, dc_s, dpctx, dctx, dpe_s_acc,
-         dw_sf, dw_sfa) = carry
-        (hp_t, cp_t, c_t, ctx_t, alpha, preact, h_att, blogit, h_satt,
-         alpha_s, dh_out, dctx_out, dalpha_out) = xs
+        if use_kernel:
+            (dh, dc, du_att, dc_att, db_sel, du_s, dc_s, dpctx, dctx,
+             dpe_s_acc, dw_sf, dw_sfa, spat) = carry
+            (hp_t, cp_t, c_t, ctx_t, alpha, preact, h_att, blogit, h_satt,
+             alpha_s, alpha_prev, dh_out, dctx_out, dalpha_out) = xs
+        else:
+            (dh, dc, du_att, dc_att, db_sel, du_s, dc_s, dpctx, dctx,
+             dpe_s_acc, dw_sf, dw_sfa) = carry
+            (hp_t, cp_t, c_t, ctx_t, alpha, preact, h_att, blogit, h_satt,
+             alpha_s, dh_out, dctx_out, dalpha_out) = xs
 
-        # ---- recompute the step's big intermediates (cheaper than
-        # saving them: e_s alone is (B,K,R,s) = 360 MB/step) ----
-        e_s = jnp.tanh(pregion_c + h_satt.astype(cdtype)[:, None, None, :])
-        spat = jnp.einsum("bkr,bkrd->bkd", alpha_s.astype(cdtype),
-                          regions_c)
+            # ---- recompute the step's big intermediates (cheaper than
+            # saving them: e_s alone is (B,K,R,s) = 360 MB/step) ----
+            e_s = jnp.tanh(pregion_c
+                           + h_satt.astype(cdtype)[:, None, None, :])
+            spat = jnp.einsum("bkr,bkrd->bkd", alpha_s.astype(cdtype),
+                              regions_c)
         ctx_k = ctx + _dot(spat, w_sf, cdtype)
         pctx_k = pctx + _dot(spat, w_sfa, cdtype)
         e = jnp.tanh(pctx_k + h_att[:, None, :])
@@ -411,18 +431,28 @@ def _bwd_spatial(static, res, g):
                  ).reshape(B, K, -1)                         # (B,K,Dr) f32
 
         # ---- spatial attention backward ----
-        dalpha_s = jnp.einsum("bkd,bkrd->bkr", dspat.astype(cdtype),
-                              regions_c,
-                              preferred_element_type=jnp.float32)
-        dss = alpha_s * (dalpha_s - jnp.sum(alpha_s * dalpha_s, axis=-1,
-                                            keepdims=True))   # (B,K,R)
-        dc_s = dc_s + jnp.sum(dss)
-        du_s = du_s + jnp.einsum("bkr,bkrd->d", dss.astype(cdtype), e_s,
-                                 preferred_element_type=jnp.float32)
-        dpe_s = ((dss[:, :, :, None].astype(cdtype) * u_s_c)
-                 * (1.0 - e_s * e_s))                        # (B,K,R,s) cd
-        dpe_s_acc = dpe_s_acc + dpe_s.astype(adtype)
-        dh_satt = jnp.sum(dpe_s, axis=(1, 2)).astype(jnp.float32)
+        if use_kernel:
+            dpe_s_acc, dh_satt, du_c, dss, spat_prev = \
+                kernel_mod.spatial_bwd_pallas(
+                    h_satt, pregion_c, regions_c, alpha_s, alpha_prev,
+                    dspat, u_s, dpe_s_acc, cd)
+            du_s = du_s + du_c
+            dc_s = dc_s + jnp.sum(dss)
+        else:
+            dalpha_s = jnp.einsum("bkd,bkrd->bkr", dspat.astype(cdtype),
+                                  regions_c,
+                                  preferred_element_type=jnp.float32)
+            dss = alpha_s * (dalpha_s - jnp.sum(alpha_s * dalpha_s,
+                                                axis=-1,
+                                                keepdims=True))  # (B,K,R)
+            dc_s = dc_s + jnp.sum(dss)
+            du_s = du_s + jnp.einsum("bkr,bkrd->d", dss.astype(cdtype),
+                                     e_s,
+                                     preferred_element_type=jnp.float32)
+            dpe_s = ((dss[:, :, :, None].astype(cdtype) * u_s_c)
+                     * (1.0 - e_s * e_s))                  # (B,K,R,s) cd
+            dpe_s_acc = dpe_s_acc + dpe_s.astype(adtype)
+            dh_satt = jnp.sum(dpe_s, axis=(1, 2)).astype(jnp.float32)
 
         # ---- h-projection backward ----
         dhp = jnp.concatenate(
@@ -430,9 +460,11 @@ def _bwd_spatial(static, res, g):
             axis=1)
         dh_prev = jnp.dot(dhp.astype(cdtype), hw_t,
                           preferred_element_type=jnp.float32)
-        return ((dh_prev, dc_prev, du_att, dc_att, db_sel, du_s, dc_s,
-                 dpctx, dctx, dpe_s_acc, dw_sf, dw_sfa),
-                (dhp, dspat.astype(cdtype)))
+        new_carry = (dh_prev, dc_prev, du_att, dc_att, db_sel, du_s, dc_s,
+                     dpctx, dctx, dpe_s_acc, dw_sf, dw_sfa)
+        if use_kernel:
+            new_carry = new_carry + (spat_prev,)
+        return new_carry, (dhp, dspat.astype(cdtype))
 
     carry0 = (jnp.zeros_like(h0), jnp.zeros_like(c0),
               jnp.zeros((attn,), jnp.float32), jnp.zeros((), jnp.float32),
@@ -445,9 +477,20 @@ def _bwd_spatial(static, res, g):
               jnp.zeros(w_sfa.shape, jnp.float32))
     xs = (h_prev, c_prev, cs, ctxs, alphas, preacts, h_atts, blogits,
           h_satts, alpha_ss, dhs, dctxs, dalphas)
-    ((dh0, dc0, du_att, dc_att, db_sel, du_s, dc_s, dpctx, dctx,
-      dpe_s_acc, dw_sf, dw_sfa), (dhp_stack, dspat_stack)) = \
+    if use_kernel:
+        # spat for the first (t = T-1) backward step; later steps get it
+        # from the kernel's in-VMEM recompute at t+1
+        spat_init = jnp.einsum("bkr,bkrd->bkd",
+                               alpha_ss[-1].astype(cdtype), regions_c)
+        carry0 = carry0 + (spat_init,)
+        alpha_prev_st = jnp.concatenate(
+            [jnp.zeros_like(alpha_ss[:1]), alpha_ss[:-1]], axis=0)
+        xs = (h_prev, c_prev, cs, ctxs, alphas, preacts, h_atts, blogits,
+              h_satts, alpha_ss, alpha_prev_st, dhs, dctxs, dalphas)
+    final_carry, (dhp_stack, dspat_stack) = \
         jax.lax.scan(body, carry0, xs, reverse=True, unroll=unroll)
+    (dh0, dc0, du_att, dc_att, db_sel, du_s, dc_s, dpctx, dctx,
+     dpe_s_acc, dw_sf, dw_sfa) = final_carry[:12]
 
     # ---- weight gradients as single GEMMs over all T*B rows ----
     P = dhp_stack.shape[-1]
@@ -509,9 +552,15 @@ def run_spatial(params, cfg, sc, state0, x_pre_all_tm):
     acc_dt = ("bfloat16" if (cfg.spatial_wgrad_dtype == "bfloat16"
                              and cfg.compute_dtype != "float32")
               else "float32")
+    # Fused Pallas backward-spatial step: 'auto' engages on TPU only
+    # (on CPU the kernel runs in interpret mode — correct but slow —
+    # so tests opt in explicitly with 'on').
+    use_kernel = (cfg.spatial_bwd_kernel == "on"
+                  or (cfg.spatial_bwd_kernel == "auto"
+                      and jax.default_backend() == "tpu"))
     static = (cfg.dim, cfg.attn_dim, int(cfg.region_dim),
               bool(cfg.selector), int(cfg.scan_unroll), cfg.compute_dtype,
-              acc_dt)
+              acc_dt, use_kernel)
     return fused_sequence_spatial(
         static, hw, params["Wc"], params["U_att"], params["c_att"],
         params["b_sel"], params["Us_att"], params["cs_att"],

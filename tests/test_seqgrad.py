@@ -208,6 +208,68 @@ def test_spatial_grad_parity_bf16_loose():
         assert np.abs(a - b).max() / denom < 0.05, k
 
 
+# ---------------------------------------------------------------------------
+# Fused Pallas backward-spatial kernel (spatial_bwd_kernel='on'):
+# kernel.spatial_bwd_pallas inside the reverse scan, interpret mode on
+# CPU.  Must be invisible: identical gradients vs plain autodiff.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("selector", [True, False])
+def test_spatial_bwd_kernel_grad_parity_f32(selector):
+    """Kernelized spatial VJP vs autodiff, every parameter, f32 exact —
+    including the spat-carry restructuring (the kernel computes step
+    t-1's spat from the VMEM-resident regions block)."""
+    cfg = _scfg(selector=selector, spatial_bwd_kernel="on")
+    cfg_ref = dataclasses.replace(cfg, fused_seq_grad=False,
+                                  spatial_bwd_kernel="off")
+    params, batch = _setup_spatial(cfg, ragged_mask=True)
+    g_new = jax.grad(lambda p: loss_fn(p, cfg, batch, train=False)[0]
+                     )(params)
+    g_ref = jax.grad(lambda p: loss_fn(p, cfg_ref, batch, train=False)[0]
+                     )(params)
+    assert set(g_new) == set(g_ref)
+    for k in sorted(g_ref):
+        np.testing.assert_allclose(np.asarray(g_new[k]),
+                                   np.asarray(g_ref[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_spatial_bwd_kernel_matches_jnp_fused_bf16():
+    """bf16 compute + bf16 Dpe accumulator: the kernel path must stay in
+    the same rounding class as the jnp fused path (identical Dpe
+    accumulator math; reduction orders may differ)."""
+    cfg_k = _scfg(compute_dtype="bfloat16", spatial_bwd_kernel="on")
+    cfg_j = dataclasses.replace(cfg_k, spatial_bwd_kernel="off")
+    params, batch = _setup_spatial(cfg_k)
+    g_k = jax.grad(lambda p: loss_fn(p, cfg_k, batch, train=False)[0]
+                   )(params)
+    g_j = jax.grad(lambda p: loss_fn(p, cfg_j, batch, train=False)[0]
+                   )(params)
+    for k in ("U", "Wc", "Us_att", "Ws_att", "W_spat_fuse", "Wsd_att",
+              "bs_att", "cs_att"):
+        a, b = np.asarray(g_k[k], np.float32), np.asarray(g_j[k],
+                                                          np.float32)
+        denom = np.maximum(np.abs(b).max(), 1e-6)
+        assert np.abs(a - b).max() / denom < 0.02, k
+
+
+def test_spatial_bwd_kernel_alpha_c():
+    """alpha_c feeds dalphas into the scan; the kernel path must route
+    them identically (they enter via dspat, upstream of the kernel)."""
+    cfg = _scfg(alpha_c=0.5, spatial_bwd_kernel="on")
+    cfg_ref = dataclasses.replace(cfg, fused_seq_grad=False,
+                                  spatial_bwd_kernel="off")
+    params, batch = _setup_spatial(cfg)
+    g_new = jax.grad(lambda p: loss_fn(p, cfg, batch, train=False)[0]
+                     )(params)
+    g_ref = jax.grad(lambda p: loss_fn(p, cfg_ref, batch, train=False)[0]
+                     )(params)
+    for k in ("Us_att", "Wsd_att", "Ws_att", "W_spat_fuse", "U_att", "U"):
+        np.testing.assert_allclose(np.asarray(g_new[k]),
+                                   np.asarray(g_ref[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
 def test_spatial_fused_trains():
     """End-to-end: optimizer steps reduce the loss on the spatial path."""
     from stvd.config import TrainConfig
