@@ -35,7 +35,12 @@ N = B * K * R
 
 
 def timeit(name, fn, *args, iters=8, rounds=3):
-    out = fn(*args)
+    try:
+        out = fn(*args)
+    except Exception as e:  # e.g. scoped-VMEM OOM at kt=896
+        print(f"{name:28s}: FAILED ({type(e).__name__}: "
+              f"{str(e).splitlines()[0][:80]})", flush=True)
+        return
     float(out.reshape(-1)[0])                      # compile + warm
     best = 1e9
     for _ in range(rounds):
