@@ -390,7 +390,8 @@ def bench_preset(name: str, use_kernel: bool, iters: int = 4):
 
 def bench_preset_train(name: str, use_kernel: bool, iters: int = 10,
                        fused: bool = True, batch: int = 0,
-                       spatial_bwd: str = "auto"):
+                       spatial_bwd: str = "auto",
+                       opt_slots: str = "float32"):
     """Teacher-forced train-step throughput at a preset's reference
     scale (presets 1-4; preset 5 is the DP path in bench_preset).
 
@@ -410,6 +411,8 @@ def bench_preset_train(name: str, use_kernel: bool, iters: int = 10,
         tcfg = dataclasses.replace(tcfg, batch_size=batch)
     if spatial_bwd != "auto":
         mcfg = dataclasses.replace(mcfg, spatial_bwd_kernel=spatial_bwd)
+    if opt_slots != "float32":
+        tcfg = dataclasses.replace(tcfg, opt_slot_dtype=opt_slots)
     if not fused:
         # the autodiff path needs remat at full spatial scale (the
         # saved (B,K,R,s) tanh activations exceed HBM otherwise)
@@ -438,7 +441,8 @@ def bench_preset_train(name: str, use_kernel: bool, iters: int = 10,
             "spatial": mcfg.use_spatial, "motion": mcfg.use_motion,
             "path": ("fused_seq_vjp" if fused else
                      "autodiff" + ("+remat" if mcfg.remat else "")),
-            "spatial_bwd_kernel": mcfg.spatial_bwd_kernel}
+            "spatial_bwd_kernel": mcfg.spatial_bwd_kernel,
+            "opt_slot_dtype": tcfg.opt_slot_dtype}
 
 
 def probe_device(timeout_s: int = 150) -> bool:
@@ -583,6 +587,11 @@ def main():
                     help="with --what train --preset 2: toggle the "
                          "fused Pallas backward-spatial kernel "
                          "(before/after evidence)")
+    ap.add_argument("--opt-slots", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="with --what train --preset: adadelta "
+                         "accumulator storage dtype (bf16 halves the "
+                         "optimizer island's HBM traffic)")
     args = ap.parse_args()
 
     import os
@@ -620,7 +629,8 @@ def main():
                                                 args.iters,
                                                 fused=args.fused,
                                                 batch=args.batch,
-                                                spatial_bwd=args.spatial_bwd)))
+                                                spatial_bwd=args.spatial_bwd,
+                                                opt_slots=args.opt_slots)))
         else:
             print(json.dumps(bench_preset(args.preset, args.kernel,
                                           args.iters)))

@@ -39,11 +39,54 @@ from .loss import loss_fn
 TrainState = Dict[str, Any]   # {"params", "opt_state", "step", "rng"}
 
 
+def _adadelta_slot_dtype(lr: float, slot_dtype, rho: float = 0.9,
+                         eps: float = 1e-6) -> optax.GradientTransformation:
+    """optax.adadelta's exact math with the two accumulator slots
+    STORED in ``slot_dtype`` (update math stays f32: slots are cast in,
+    rounded out).
+
+    Why: the optimizer island is pure HBM streaming — 10.3 ms of the
+    28.9 ms temporal train step at 101 M params, vs a measured 8.4 ms
+    triad ceiling for its 3.0 GB of traffic (tools/probe_optimizer.py,
+    tools/probe_temporal_train.py; flattening and fusing measured flat
+    — it is bandwidth-bound, not leaf-bound).  bf16 slots cut the
+    traffic to ~2.0 GB.  With slot_dtype=float32 this is bit-exact vs
+    optax.adadelta (pinned in tests/test_train.py)."""
+    f32 = jnp.float32
+
+    def init(params):
+        z = lambda p: jnp.zeros(p.shape, slot_dtype)
+        return (jax.tree.map(z, params), jax.tree.map(z, params))
+
+    def update(grads, state, params=None):
+        del params
+        acc, acc_d = state
+
+        def upd(g, a, d):
+            g = g.astype(f32)
+            # op order/associativity matches optax bit-exactly:
+            # (1-rho)*(g*g) not ((1-rho)*g)*g; ratio-then-multiply for u
+            a2 = rho * a.astype(f32) + (1 - rho) * (g * g)
+            u = (jnp.sqrt(d.astype(f32) + eps) / jnp.sqrt(a2 + eps)) * g
+            d2 = rho * d.astype(f32) + (1 - rho) * (u * u)
+            return -lr * u, a2.astype(slot_dtype), d2.astype(slot_dtype)
+
+        out = jax.tree.map(upd, grads, acc, acc_d)
+        pick = lambda i: jax.tree.map(
+            lambda t: t[i], out, is_leaf=lambda t: isinstance(t, tuple))
+        return pick(0), (pick(1), pick(2))
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
     """Reference optimizers (common.py:§adadelta/§rmsprop/§sgd) as optax
     transforms, with the reference's global grad clipping (clip_c)."""
     if tcfg.optimizer == "adadelta":
-        opt = optax.adadelta(learning_rate=tcfg.lr)
+        if tcfg.opt_slot_dtype == "bfloat16":
+            opt = _adadelta_slot_dtype(tcfg.lr, jnp.bfloat16)
+        else:
+            opt = optax.adadelta(learning_rate=tcfg.lr)
     elif tcfg.optimizer == "rmsprop":
         opt = optax.rmsprop(learning_rate=tcfg.lr)
     elif tcfg.optimizer == "sgd":

@@ -104,6 +104,55 @@ def test_adadelta_default_recipe_converges():
     assert float(m["loss"]) < 0.5 * l0, (l0, float(m["loss"]))
 
 
+def test_adadelta_slot_dtype_f32_bit_exact():
+    """_adadelta_slot_dtype(f32) must be BIT-exact vs optax.adadelta
+    over a multi-step trajectory — same math, different storage plumbing
+    (the bf16 path reuses this code with only the cast changed)."""
+    from stvd.train.loop import _adadelta_slot_dtype
+    import optax
+
+    params = {"a": jnp.linspace(-1.0, 1.0, 64).reshape(8, 8),
+              "b": jnp.ones((16,)) * 0.3}
+    ref = optax.adadelta(learning_rate=1.0)
+    new = _adadelta_slot_dtype(1.0, jnp.float32)
+    st_r, st_n = ref.init(params), new.init(params)
+    p_r = p_n = params
+    key = jax.random.PRNGKey(0)
+    for i in range(5):
+        key, k = jax.random.split(key)
+        g = {"a": jax.random.normal(k, (8, 8)) * 0.1,
+             "b": jnp.full((16,), 0.01 * (i + 1))}
+        u_r, st_r = ref.update(g, st_r, p_r)
+        u_n, st_n = new.update(g, st_n, p_n)
+        p_r = optax.apply_updates(p_r, u_r)
+        p_n = optax.apply_updates(p_n, u_n)
+    for k in p_r:
+        np.testing.assert_array_equal(np.asarray(p_r[k]),
+                                      np.asarray(p_n[k]), err_msg=k)
+
+
+def test_adadelta_bf16_slots_trains_close_to_f32():
+    """bf16 accumulator storage must track the f32 trajectory on the
+    overfit task (adadelta's per-coordinate normalization absorbs the
+    ~0.4% slot rounding) and the slots must actually BE bf16."""
+    _, batch = _data()
+    tcfg32 = dataclasses.replace(TCFG, optimizer="adadelta", lr=1.0)
+    tcfg16 = dataclasses.replace(tcfg32, opt_slot_dtype="bfloat16")
+    losses = {}
+    for name, tcfg in (("f32", tcfg32), ("bf16", tcfg16)):
+        state = init_train_state(jax.random.PRNGKey(0), MCFG, tcfg)
+        if name == "bf16":
+            leaves = jax.tree.leaves(state["opt_state"])
+            assert all(x.dtype == jnp.bfloat16 for x in leaves)
+        step = make_train_step(MCFG, tcfg)
+        for _ in range(200):
+            state, m = step(state, batch)
+        losses[name] = float(m["loss"])
+    # same convergence class: within 10% relative after 200 steps
+    assert abs(losses["bf16"] - losses["f32"]) < 0.1 * losses["f32"] + 0.05, \
+        losses
+
+
 @pytest.mark.parametrize("opt", ["adadelta", "sgd"])
 def test_optimizers_update_params(opt):
     _, batch = _data()

@@ -13,7 +13,17 @@ table vs a ~4.2 ms traffic floor (params r/w 0.76 GB + 2 slots r/w
 
 If a ~= b + 0.9 ms and c ~= b, the win is a fused transform; if
 a ~= b ~= c, XLA already fuses across the optax stage boundary and the
-6.9 ms is dispatch / small-leaf overhead (negative result, record)."""
+6.9 ms is dispatch / small-leaf overhead (negative result, record).
+
+Round-3 follow-up variants (a/b/c measured 10.29/9.80/9.71 ms — optax
+already fused; but the ~3.2 ms traffic floor says 3x slack remains):
+
+  d. flat:       identical math on ONE concatenated f32 vector per
+                 tree (params/grads/acc/acc_delta pre-flattened) —
+                 isolates per-leaf kernel/dispatch overhead
+  e. triad:      jnp-level streaming ceiling over the same byte
+                 volume (reads 4 vectors, writes 3) — the achievable-
+                 bandwidth denominator for d"""
 import sys
 import time
 
@@ -98,6 +108,32 @@ def main():
     timeit("a chain(clip, adadelta)", step_a, grads, st_a, params)
     timeit("b adadelta only", step_b, grads, st_b, params)
     timeit("c fused single pass", step_c, grads, acc, acc_d, params)
+
+    # d. the same math on ONE flat f32 vector per tree
+    gf = jnp.concatenate([x.reshape(-1) for x in jax.tree.leaves(grads)])
+    pf = jnp.concatenate([x.reshape(-1).astype(jnp.float32)
+                          for x in jax.tree.leaves(params)])
+    af = jnp.zeros_like(pf)
+    adf = jnp.zeros_like(pf)
+
+    @jax.jit
+    def step_d(g, a, ad, p):
+        gnorm = jnp.sqrt(jnp.sum(g * g))
+        g = g * jnp.where(gnorm < clip_c, 1.0, clip_c / gnorm)
+        a2 = rho * a + (1 - rho) * g * g
+        u = g * jnp.sqrt(ad + eps) / jnp.sqrt(a2 + eps)
+        ad2 = rho * ad + (1 - rho) * u * u
+        return p - lr * u, a2, ad2
+
+    timeit("d flat single vector", step_d, gf, af, adf, pf)
+
+    # e. streaming ceiling: same traffic pattern (4 reads, 3 writes)
+    @jax.jit
+    def step_e(g, a, ad, p):
+        return p - 1e-3 * g, a + 1e-3 * g, ad + 1e-3 * a
+    timeit("e triad r4w3 ceiling", step_e, gf, af, adf, pf)
+    nb = pf.size * 4
+    print(f"   (triad bytes/iter: {7 * nb / 1e9:.2f} GB)", flush=True)
     print("DONE_OPT", flush=True)
 
 
