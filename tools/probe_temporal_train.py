@@ -135,6 +135,48 @@ def main():
         t = timed(make_grad(stops), params, batch, iters=6)
         print(f"grad_{name}: {t * 1e3:.2f} ms (delta "
               f"{(t_grad - t) * 1e3:+.2f})", flush=True)
+
+    # ---- forward sub-islands: scan body vs logit/CE tail ----
+    from stvd.model import seqgrad
+    from stvd.model import step as step_mod
+    from stvd.model.step import cast_params, init_state, precompute
+    cd = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+    @jax.jit
+    def fwd_scan(params, batch):
+        p = cast_params(params, mcfg)
+        sc = precompute(p, mcfg, batch["frames"], batch["frame_mask"],
+                        batch.get("regions"))
+        st = init_state(p, mcfg, sc)
+        emb_all = p["Wemb"][batch["tokens"]]
+        emb_in = jnp.concatenate(
+            [jnp.zeros_like(emb_all[:, :1]), emb_all[:, :-1]], axis=1)
+        x_pre = step_mod._dot(emb_in, p["W"], jnp.dtype(mcfg.compute_dtype)
+                              ) + p["b"]
+        hs, ctxs, alphas = seqgrad.run(p, mcfg, sc, st,
+                                       jnp.swapaxes(x_pre, 0, 1))
+        return hs.reshape(-1)[0]
+
+    print(f"fwd_scan_only: "
+          f"{timed(fwd_scan, params, batch, iters=6) * 1e3:.2f} ms",
+          flush=True)
+
+    # ---- achievable READ-ONLY bandwidth (weight-streaming anchor):
+    # serial-carry scan over 30 reads of a W-gates-sized bf16 array ----
+    w = jnp.ones((mcfg.dim, 4 * mcfg.dim), cd)
+    nb = w.size * w.dtype.itemsize
+
+    @jax.jit
+    def read30(w):
+        def body(c, _):
+            return c + jnp.sum(w, dtype=jnp.float32) * 1e-9, None
+        c, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                            length=30)
+        return c
+
+    t = timed(read30, w)
+    print(f"read_stream_30x{nb / 1e6:.0f}MB: {t * 1e3:.2f} ms "
+          f"({30 * nb / t / 1e9:.0f} GB/s read-only)", flush=True)
     print("DONE_TEMPORAL", flush=True)
 
 
