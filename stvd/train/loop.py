@@ -126,7 +126,12 @@ def make_train_step(
     produce bit-identical updates (tests/test_parallel.py).
     """
     opt = make_optimizer(tcfg)
+    tp = mesh is not None and parallel.MODEL_AXIS in mesh.axis_names
     if mesh is not None and use_shard_map:
+        if tp:
+            raise ValueError("use_shard_map is the explicit DP path; "
+                             "tensor parallelism (a 2-D mesh) uses the "
+                             "pjit path")
         return _make_shard_map_train_step(mcfg, tcfg, step_fn, mesh, opt)
 
     def train_step(state: TrainState, batch):
@@ -149,6 +154,20 @@ def make_train_step(
         return jax.jit(train_step, donate_argnums=donate)
     rep = parallel.replicated(mesh)
     shard = parallel.batch_sharding(mesh)
+    if tp:
+        # 2-D (data x model) mesh: params/opt-slots carry TP_RULES
+        # shardings (gates weights row-sharded -> one psum per matmul;
+        # vocab logits column-sharded), batch sharded on 'data'; XLA
+        # inserts the model-axis collectives from the layout.
+        st_shape = jax.eval_shape(
+            lambda: init_train_state(jax.random.PRNGKey(0), mcfg, tcfg))
+        st_sh = parallel.state_shardings(st_shape, mesh)
+        return jax.jit(
+            train_step,
+            in_shardings=(st_sh, shard),
+            out_shardings=(st_sh, rep),
+            donate_argnums=donate,
+        )
     return jax.jit(
         train_step,
         in_shardings=(rep, shard),

@@ -115,6 +115,79 @@ def test_shard_map_train_step_matches_single_device():
             rtol=1e-4, atol=1e-6, err_msg=k)
 
 
+def test_tp_train_step_matches_single_device():
+    """3 train steps over a 2-D (2 data x 4 model) mesh — gates weights
+    row-sharded, vocab logits column-sharded (parallel.TP_RULES) — must
+    track the single-device trajectory; and the shardings must actually
+    be applied (not silently replicated)."""
+    batch = _batch(8)
+    mesh = parallel.make_mesh_2d(model_parallel=4)
+    assert dict(mesh.shape) == {"data": 2, "model": 4}
+
+    s1 = init_train_state(jax.random.PRNGKey(0), MCFG, TCFG)
+    st = parallel.shard_state(jax.device_get(s1), mesh)
+    # the big weights really are sharded over 'model'
+    assert st["params"]["U"].sharding.spec == P("model", None)
+    assert st["params"]["ff_logit_W"].sharding.spec == P(None, "model")
+    step1 = make_train_step(MCFG, TCFG)
+    stepT = make_train_step(MCFG, TCFG, mesh=mesh)
+    b_sh = parallel.shard_batch(batch, mesh)
+    for _ in range(3):
+        s1, m1 = step1(s1, batch)
+        st, mT = stepT(st, b_sh)
+    np.testing.assert_allclose(float(m1["loss"]), float(mT["loss"]),
+                               rtol=1e-5)
+    # output shardings preserved across steps (stable layout, no
+    # per-step resharding of the state)
+    assert st["params"]["U"].sharding.spec == P("model", None)
+    for k in s1["params"]:
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(st["params"][k])),
+            np.asarray(jax.device_get(s1["params"][k])),
+            rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_tp_spatial_config_trains():
+    """TP over the spatial (config-2) model: one step runs and updates
+    sharded params (the spatial mirror weights are in TP_RULES)."""
+    mcfg = dataclasses.replace(MCFG, use_spatial=True, n_regions=4,
+                               region_dim=32)
+    ds = synthetic_dataset(n_videos=8, captions_per_video=1, k=6, d=32,
+                           maxlen=10, seed=0, n_regions=4, region_dim=32)
+    dev = ds.bank.to_device()
+    batch = gather_batch(dev, ds.captions, np.arange(8, dtype=np.int32))
+    batch["weight"] = jnp.ones((8,), jnp.float32)
+    mesh = parallel.make_mesh_2d(model_parallel=2)
+    st = parallel.shard_state(
+        jax.device_get(init_train_state(jax.random.PRNGKey(0), mcfg,
+                                        TCFG)), mesh)
+    assert st["params"]["Ws_att"].sharding.spec == P("model", None)
+    p0 = np.asarray(jax.device_get(st["params"]["Ws_att"]))
+    step = make_train_step(mcfg, TCFG, mesh=mesh)
+    st, m = step(st, parallel.shard_batch(batch, mesh))
+    assert np.isfinite(float(m["loss"]))
+    assert np.abs(np.asarray(jax.device_get(st["params"]["Ws_att"]))
+                  - p0).max() > 0
+
+
+def test_tp_shard_map_combination_rejected():
+    mesh = parallel.make_mesh_2d(model_parallel=4)
+    with pytest.raises(ValueError):
+        make_train_step(MCFG, TCFG, mesh=mesh, use_shard_map=True)
+
+
+def test_tp_indivisible_dims_fall_back_replicated():
+    """A model dim the model axis doesn't divide must quietly replicate
+    that param instead of crashing."""
+    mcfg = dataclasses.replace(MCFG, n_words=50)  # 50 % 4 != 0
+    mesh = parallel.make_mesh_2d(model_parallel=4)
+    st = parallel.shard_state(
+        jax.device_get(init_train_state(jax.random.PRNGKey(0), mcfg,
+                                        TCFG)), mesh)
+    assert st["params"]["ff_logit_W"].sharding.spec == P()   # V=50
+    assert st["params"]["U"].sharding.spec == P("model", None)
+
+
 def test_data_parallel_decode_matches_single_device():
     """Mesh-sharded batched decode == single-device decode."""
     from stvd.config import DecodeConfig
