@@ -78,6 +78,11 @@ def main(argv=None) -> int:
                          "(default: cfg.train.use_shard_map)")
     ap.add_argument("--no-shard-map", dest="shard_map",
                     action="store_false", help="force the pjit path")
+    ap.add_argument("--model-parallel", type=int, default=None,
+                    metavar="N",
+                    help="tensor parallelism: shard the big GEMM weights "
+                         "over an N-wide 'model' mesh axis (2-D data x "
+                         "model mesh; default: cfg.train.model_parallel)")
     args = ap.parse_args(argv)
 
     cfg = build_config(args)
@@ -92,7 +97,16 @@ def main(argv=None) -> int:
     step_fn = get_step_fn(args.use_kernel)
     dp = (cfg.train.data_parallel if args.data_parallel is None
           else args.data_parallel)
-    mesh = parallel.make_mesh() if dp else None
+    mp = (cfg.train.model_parallel if args.model_parallel is None
+          else args.model_parallel)
+    if mp > 1:
+        # TP implies a mesh over all devices even without --data-parallel
+        # (the data axis is then len(devices) // mp, possibly 1)
+        mesh = parallel.make_mesh_2d(model_parallel=mp)
+    elif dp:
+        mesh = parallel.make_mesh()
+    else:
+        mesh = None
     logger = MetricsLogger(cfg.train.save_dir,
                            tensorboard=cfg.train.tensorboard)
     try:

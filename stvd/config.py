@@ -143,8 +143,12 @@ class TrainConfig:
     # shard_map instead of XLA sharding propagation (both paths produce
     # bit-identical updates; see train/loop.py:_make_shard_map_train_step)
     per_device_batch: int = 0       # when >0, global batch_size is scaled
-    # to per_device_batch * mesh size at fit() time (DP recipes stay
+    # to per_device_batch * DATA-axis size at fit() time (DP recipes stay
     # valid across slice sizes: v5e-1 ... v5e-8)
+    model_parallel: int = 1         # >1: tensor parallelism — a 2-D
+    # (data x model) mesh; gates/input GEMM weights row-sharded, vocab
+    # logits column-sharded per train/parallel.py:TP_RULES. Requires
+    # data_parallel (the mesh owns all devices; data axis may be 1).
     donate_state: bool = True       # donate train-state buffers to jit
     # --- debugging (reference common.py:§grad_nan_report equivalent) ---
     debug_nans: bool = False        # raise on first NaN-producing op
@@ -238,6 +242,11 @@ def validate(cfg: Config) -> Config:
             f"unknown spatial_bwd_kernel {m.spatial_bwd_kernel!r}")
     if not 0.0 <= cfg.train.ss_prob <= 1.0:
         raise ValueError("ss_prob must be in [0, 1]")
+    if cfg.train.model_parallel < 1:
+        raise ValueError("model_parallel must be >= 1")
+    if cfg.train.model_parallel > 1 and cfg.train.use_shard_map:
+        raise ValueError("use_shard_map is the explicit DP path; "
+                         "model_parallel > 1 uses pjit shardings")
     if cfg.train.length_buckets:
         try:
             bs = parse_buckets(cfg.train.length_buckets)

@@ -14,7 +14,7 @@ TPU-native replacement for the reference's ``Movie2Caption`` +
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterator, List, Sequence, Tuple
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -221,15 +221,21 @@ def synthetic_dataset(
     motion_dim: int = 0,
     maxlen: int = 30,
     seed: int = 0,
+    n_words: Optional[int] = None,
 ) -> Dataset:
     """Deterministic synthetic dataset: each video row gets captions drawn
     from a per-video word pattern so that features fully determine the
-    caption (enables exact-recovery overfit tests — SURVEY.md §4)."""
+    caption (enables exact-recovery overfit tests — SURVEY.md §4).
+
+    ``n_words`` caps the vocab like the reference's worddict truncation
+    (rarer words encode as UNK) so token ids always fit the model's
+    logit table; default keeps the full synthetic word list."""
     bank = synthetic_bank(n_videos, k=k, d=d, n_regions=n_regions,
                           region_dim=region_dim, motion_dim=motion_dim,
                           seed=seed)
     rng = np.random.RandomState(seed + 1)
-    vocab = Vocab.build([[w] for w in _SYN_WORDS], max_words=len(_SYN_WORDS) + 2)
+    cap = len(_SYN_WORDS) + 2 if n_words is None else n_words
+    vocab = Vocab.build([[w] for w in _SYN_WORDS], max_words=cap)
     pairs: List[Tuple[str, List[str]]] = []
     references: List[List[List[str]]] = []
     for i, vid in enumerate(bank.ids):
@@ -242,5 +248,5 @@ def synthetic_dataset(
             pairs.append((vid, toks))
             refs.append(toks)
         references.append(refs)
-    caps = build_caption_set(pairs, bank, vocab, maxlen, len(vocab))
+    caps = build_caption_set(pairs, bank, vocab, maxlen, cap)
     return Dataset(bank=bank, captions=caps, vocab=vocab, references=references)

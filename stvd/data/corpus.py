@@ -144,7 +144,7 @@ def load_splits(cfg: Config) -> Dict[str, Dataset]:
             n_regions=m.n_regions if m.use_spatial else 0,
             region_dim=m.region_dim,
             motion_dim=m.motion_dim if m.use_motion else 0,
-            maxlen=cfg.train.maxlen, seed=i)
+            maxlen=cfg.train.maxlen, seed=i, n_words=m.n_words)
             for i, (s, n) in enumerate(sizes.items())}
 
     caps = load_captions(_resolve(d, d.captions_file, "captions"))

@@ -367,15 +367,18 @@ def fit(
     tcfg, mcfg = cfg.train, cfg.model
     if use_shard_map is None:
         use_shard_map = tcfg.use_shard_map
+    # batch shards over the DATA axis only (a 2-D TP mesh's 'model'
+    # axis never splits the batch)
+    dp_size = mesh.shape[parallel.DATA_AXIS] if mesh is not None else 1
     if mesh is not None and tcfg.per_device_batch > 0:
         # DP recipes specify a per-device batch so the same config is
         # valid on any slice size (config 5, SURVEY.md §2 row 9)
         tcfg = dataclasses.replace(
-            tcfg, batch_size=tcfg.per_device_batch * mesh.devices.size)
-    if mesh is not None and tcfg.batch_size % mesh.devices.size != 0:
+            tcfg, batch_size=tcfg.per_device_batch * dp_size)
+    if mesh is not None and tcfg.batch_size % dp_size != 0:
         raise ValueError(
             f"batch_size {tcfg.batch_size} must be divisible by the mesh "
-            f"size {mesh.devices.size} (static data-parallel sharding)")
+            f"data-axis size {dp_size} (static data-parallel sharding)")
     if tcfg.debug_nans:
         from ..utils.debug import enable_nan_debug
         enable_nan_debug(True)
@@ -385,7 +388,10 @@ def fit(
     rng = jax.random.PRNGKey(tcfg.seed)
     state = init_train_state(rng, mcfg, tcfg)
     if mesh is not None:
-        state = parallel.replicate(state, mesh)
+        if parallel.MODEL_AXIS in mesh.axis_names:
+            state = parallel.shard_state(state, mesh)
+        else:
+            state = parallel.replicate(state, mesh)
 
     metric_name = tcfg.metric
     bigger_is_better = metric_name != "nll"

@@ -66,6 +66,34 @@ def test_train_cli_honors_config_data_parallel(tmp_path):
     assert os.path.exists(os.path.join(d, "metrics.jsonl"))
 
 
+def test_train_cli_model_parallel(tmp_path):
+    """train.model_parallel=2 builds the 2-D (data x model) mesh from
+    the config alone: TP-sharded params train through the CLI (dims
+    chosen divisible by 2 so TP_RULES actually shard)."""
+    d = str(tmp_path / "tprun")
+    rc = train_main([
+        "--preset", "msvd-beam",
+        "--set", "model.dim=32", "--set", "model.ctx_dim=16",
+        "--set", "model.n_frames=4", "--set", "model.n_words=32",
+        "--set", "model.dim_word=16",
+        "--set", "data.synthetic_videos=8",
+        "--set", "train.model_parallel=2",
+        "--set", "train.batch_size=8",
+        "--set", "train.valid_freq=4", "--set", "train.sample_freq=0",
+        "--set", "train.disp_freq=2",
+        "--set", f"train.save_dir={d}",
+        "--max-updates", "4",
+    ])
+    assert rc == 0
+    losses = []
+    with open(os.path.join(d, "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec["kind"] == "train":
+                losses.append(rec["loss"])
+    assert losses and all(l == l for l in losses)  # finite, ran
+
+
 def test_sample_cli_scores(run_dir, capsys):
     assert sample_main(["--run-dir", run_dir, "--split", "valid",
                         "--beam", "2"]) == 0

@@ -107,6 +107,21 @@ def test_load_splits_from_legacy_files(tmp_path):
     assert dec in tr.references[row]
 
 
+def test_synthetic_splits_honor_n_words():
+    """model.n_words caps the synthetic vocab like the reference's
+    worddict truncation (rare words -> UNK): token ids must never reach
+    the logit table size (regression: ids up to the full synthetic word
+    list used to NaN the loss whenever n_words was set small)."""
+    from stvd.config import ModelConfig
+    cfg = Config(model=ModelConfig(n_words=32, dim_word=16, dim=32,
+                                   ctx_dim=16, n_frames=4),
+                 data=DataConfig(dataset="synthetic", synthetic_videos=8))
+    splits = load_splits(cfg)
+    for ds in splits.values():
+        assert int(ds.captions.tokens.max()) < 32
+        assert len(ds.vocab) <= 32
+
+
 def test_load_splits_missing_file_raises():
     cfg = Config(data=DataConfig(dataset="legacy", data_dir="/tmp"))
     with pytest.raises(ValueError):
