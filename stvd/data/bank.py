@@ -36,6 +36,10 @@ class FeatureBank:
     frame_mask: np.ndarray        # (N, K)
     regions: Optional[np.ndarray] = None   # (N, K, R, Dr)
     motion: Optional[np.ndarray] = None    # (N, K, Dm)
+    # (dtype, sharding) -> device dict; see to_device.  Not part of the
+    # bank's value (compare/repr excluded).
+    _dev_cache: Dict = dataclasses.field(
+        default_factory=dict, repr=False, compare=False)
 
     @property
     def n_videos(self) -> int:
@@ -72,9 +76,22 @@ class FeatureBank:
         """device_put the bank to HBM (optionally sharded / cast).
 
         Returns a dict of jnp arrays; missing streams are omitted.
+
+        Cached per (dtype, sharding): the train loop evaluates NLL and
+        decodes the valid/test splits every ``valid_freq`` round, and each
+        of those used to re-upload the whole bank through the host relay
+        (at real MSVD scale the region bank alone is ~1.9 GB bf16 for the
+        test split — per round, twice per split).  The bank is treated as
+        immutable after the first upload; mutate the numpy arrays only
+        before any ``to_device`` call.
         """
         import jax
         import jax.numpy as jnp
+
+        key = (None if dtype is None else jnp.dtype(dtype), sharding)
+        cached = self._dev_cache.get(key)
+        if cached is not None:
+            return cached
 
         def put(x, cast):
             a = jnp.asarray(x, dtype=dtype if cast else None)
@@ -86,6 +103,7 @@ class FeatureBank:
             out["regions"] = put(self.regions, True)
         if self.motion is not None:
             out["motion"] = put(self.motion, True)
+        self._dev_cache[key] = out
         return out
 
 

@@ -70,6 +70,23 @@ def test_bank_save_load_roundtrip(tmp_path):
     np.testing.assert_array_equal(b2.motion, bank.motion)
 
 
+def test_to_device_is_cached_per_dtype():
+    import jax.numpy as jnp
+
+    bank = synthetic_bank(3, k=4, d=8, n_regions=2, region_dim=4, seed=1)
+    dev1 = bank.to_device()
+    dev2 = bank.to_device()
+    # Same upload reused (the train loop calls this every valid round).
+    assert dev1 is dev2
+    # A different dtype is a distinct cache entry, not a clobber.
+    dev_bf16 = bank.to_device(dtype=jnp.bfloat16)
+    assert dev_bf16 is not dev1
+    assert dev_bf16["frames"].dtype == jnp.bfloat16
+    assert dev_bf16["frame_mask"].dtype == dev1["frame_mask"].dtype  # never cast
+    assert bank.to_device(dtype=jnp.bfloat16) is dev_bf16
+    np.testing.assert_array_equal(np.asarray(dev1["frames"]), bank.frames)
+
+
 def test_batch_iterator_static_shapes_and_weights():
     it = BatchIterator(10, 4, seed=0)
     batches = list(it.epoch())
