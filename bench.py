@@ -240,6 +240,81 @@ def bench_greedy(use_kernel: bool, iters: int = 16, batch: int = 1024,
     return batch * iters / dt, dt / iters
 
 
+def bench_latency(use_kernel: bool, quant: str = "none",
+                  chain_iters: int = 32, synced_iters: int = 12,
+                  small: bool = False):
+    """Single-request serving latency: batch=1, beam-5, full-maxlen decode.
+
+    The throughput benches answer "captions/s at saturation"; serving
+    also cares about the b=1 critical path, which at this scale is
+    weight-STREAMING-bound (the ~145 MB gates stack is read every step
+    for 5 rows of work).  Two numbers, per BASELINE.md's
+    measurement-overhead calibration:
+
+    * ``device_ms`` — a SERIAL CHAIN of ``chain_iters`` decodes (each
+      consumes the previous result, so nothing overlaps or hoists) with
+      one value sync at the end: per-decode device latency with the
+      relay RTT amortized away.
+    * ``client_p50_ms`` — one value-synced call per measurement: what a
+      caller observes through this machine's axon relay (~3-30 ms RTT
+      included; reported as-is, NOT RTT-corrected).
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    from stvd.decode.beam import beam_decode
+    from stvd.model.decoder import init_params
+    from stvd.model.kernel import get_step_fn
+
+    mcfg, tcfg, dcfg = _cfgs(small)
+    if quant != "none":
+        mcfg = dataclasses.replace(mcfg, decode_quant=quant)
+    params = dict(init_params(jax.random.PRNGKey(0), mcfg))
+    params["ff_logit_b"] = params["ff_logit_b"].at[0].set(-1e9)
+    b = {k: v for k, v in _batch(mcfg, tcfg, 1).items()
+         if k in ("frames", "frame_mask")}
+    step_fn = get_step_fn(use_kernel)
+
+    @jax.jit
+    def run(params, frames, fmask, eps):
+        bb = {"frames": frames * (1.0 + eps), "frame_mask": fmask}
+        out = beam_decode(params, mcfg, bb, beam_size=dcfg.beam_size,
+                          maxlen=dcfg.maxlen, length_norm=0.6,
+                          step_fn=step_fn)
+        # tiny scalar: serial-dependency feedback for the chained
+        # variant AND the value-transfer sync for the synced one
+        return out.tokens.sum().astype(jnp.float32) * 1e-30
+
+    eps = jnp.float32(0.0)
+    float(run(params, b["frames"], b["frame_mask"], eps))   # compile+warm
+    t0 = time.perf_counter()
+    s = eps
+    for _ in range(chain_iters):
+        s = run(params, b["frames"], b["frame_mask"], s)
+    float(s)
+    device_ms = (time.perf_counter() - t0) / chain_iters * 1e3
+
+    synced = []
+    for _ in range(synced_iters):
+        t0 = time.perf_counter()
+        float(run(params, b["frames"], b["frame_mask"], eps))
+        synced.append((time.perf_counter() - t0) * 1e3)
+    synced.sort()
+    p50 = synced[len(synced) // 2]
+
+    mxu_s, vpu_s, hbm_s = decode_cost_model(mcfg, 1, dcfg.beam_size, quant)
+    floor_ms = max(mxu_s + vpu_s, hbm_s) * dcfg.maxlen * 1e3
+    return {"metric": "decode_latency_ms_b1_beam5",
+            "value": round(device_ms, 3), "unit": "ms",
+            "vs_baseline": None,
+            "client_p50_ms": round(p50, 2),
+            "client_min_ms": round(min(synced), 2),
+            "serial_floor_ms": round(floor_ms, 2),
+            "serial_roofline_ratio": round(device_ms / floor_ms, 2),
+            "quant": quant, "maxlen": dcfg.maxlen}
+
+
 def train_cost_model(mcfg, batch: int, maxlen: int) -> float:
     """Forward-pass matmul FLOPs of one train step; backward ~2x
     forward (the standard 3x total used for train MFU).
@@ -559,7 +634,8 @@ def bench_dp(small: bool, use_kernel: bool, iters: int = 10):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", default="decode",
-                    choices=["decode", "train", "all", "quality", "dp"])
+                    choices=["decode", "train", "all", "quality", "dp",
+                             "latency"])
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--kernel", action="store_true", default=None,
                     help="force the Pallas fused kernels (default: auto "
@@ -642,6 +718,16 @@ def main():
             "unit": "steps/s", "vs_baseline": None, "devices": n_dev,
             "global_batch": b,
             "examples_per_sec": round(sps * b, 1)}))
+        return
+    if args.what == "latency":
+        out = bench_latency(args.kernel, small=args.small,
+                            chain_iters=min(32, max(4, args.iters * 4)))
+        if not args.small:   # int8 companion row (serving path)
+            out["int8"] = {k: v for k, v in
+                           bench_latency(args.kernel, quant="int8").items()
+                           if k in ("value", "client_p50_ms",
+                                    "serial_roofline_ratio")}
+        print(json.dumps(out))
         return
     if args.what == "quality":
         scores = bench_quality(args.kernel, args.hard)

@@ -65,3 +65,24 @@ def test_roofline_fields_well_formed():
     assert 0 < mfu < 1 and 0 < bw < 1 and 0 < vpu < 1
     assert serial <= ratio  # serial floor >= max-overlap floor
     assert abs(ratio - 4e-3 / 2e-3) < 1e-9
+
+
+def test_latency_floor_is_weight_streaming_bound():
+    """At b=1 the decode floor flips from MXU to HBM: the ~145 MB
+    gates weight stack is streamed every step for 5 rows of work, so
+    hbm_s must dominate mxu_s + vpu_s (the premise of bench_latency's
+    serial_floor_ms)."""
+    bench = _bench()
+    mcfg, _, _ = bench._cfgs(False)
+    mxu_s, vpu_s, hbm_s = bench.decode_cost_model(mcfg, 1, 5)
+    assert hbm_s > mxu_s + vpu_s
+
+
+def test_bench_latency_smoke():
+    """bench_latency end-to-end at toy scale: keys + positive values."""
+    bench = _bench()
+    out = bench.bench_latency(False, chain_iters=2, synced_iters=2,
+                              small=True)
+    assert out["metric"] == "decode_latency_ms_b1_beam5"
+    assert out["value"] > 0 and out["client_p50_ms"] > 0
+    assert out["serial_floor_ms"] > 0
