@@ -466,7 +466,8 @@ def bench_preset(name: str, use_kernel: bool, iters: int = 4):
 def bench_preset_train(name: str, use_kernel: bool, iters: int = 10,
                        fused: bool = True, batch: int = 0,
                        spatial_bwd: str = "auto",
-                       opt_slots: str = "float32"):
+                       opt_slots: str = "float32",
+                       fwd_kernel: str = "auto"):
     """Teacher-forced train-step throughput at a preset's reference
     scale (presets 1-4; preset 5 is the DP path in bench_preset).
 
@@ -486,6 +487,8 @@ def bench_preset_train(name: str, use_kernel: bool, iters: int = 10,
         tcfg = dataclasses.replace(tcfg, batch_size=batch)
     if spatial_bwd != "auto":
         mcfg = dataclasses.replace(mcfg, spatial_bwd_kernel=spatial_bwd)
+    if fwd_kernel != "auto":
+        mcfg = dataclasses.replace(mcfg, train_fwd_kernel=fwd_kernel)
     if opt_slots != "float32":
         tcfg = dataclasses.replace(tcfg, opt_slot_dtype=opt_slots)
     if not fused:
@@ -517,6 +520,7 @@ def bench_preset_train(name: str, use_kernel: bool, iters: int = 10,
             "path": ("fused_seq_vjp" if fused else
                      "autodiff" + ("+remat" if mcfg.remat else "")),
             "spatial_bwd_kernel": mcfg.spatial_bwd_kernel,
+            "train_fwd_kernel": mcfg.train_fwd_kernel,
             "opt_slot_dtype": tcfg.opt_slot_dtype}
 
 
@@ -668,6 +672,11 @@ def main():
                     help="with --what train --preset: adadelta "
                          "accumulator storage dtype (bf16 halves the "
                          "optimizer island's HBM traffic)")
+    ap.add_argument("--fwd-kernel", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="with --what train --preset: toggle the Pallas "
+                         "attention core inside the fused-VJP forward "
+                         "scan (before/after evidence)")
     args = ap.parse_args()
 
     import os
@@ -706,7 +715,8 @@ def main():
                                                 fused=args.fused,
                                                 batch=args.batch,
                                                 spatial_bwd=args.spatial_bwd,
-                                                opt_slots=args.opt_slots)))
+                                                opt_slots=args.opt_slots,
+                                                fwd_kernel=args.fwd_kernel)))
         else:
             print(json.dumps(bench_preset(args.preset, args.kernel,
                                           args.iters)))

@@ -80,6 +80,15 @@ class ModelConfig:
     # 176 MB regions tensor is read once per step instead of twice.
     # 'auto' = on under TPU, off elsewhere; 'on' forces it (interpret
     # mode off-TPU — tests use this); 'off' keeps the XLA path.
+    train_fwd_kernel: str = "auto"  # Pallas temporal-attention core
+    # (kernel.attention_core_pallas) inside the fused-VJP FORWARD train
+    # scan: replaces ~5 XLA fusions (tanh-score, softmax, ctx reduce,
+    # selector) with one kernel per step.  The forward sits ~1.8x over
+    # its weight-streaming floor from per-fusion dependency latency
+    # (BASELINE.md "Temporal (preset-3) train decomposition"), so fewer
+    # fusions is the remaining lever.  'auto' = on under TPU, off
+    # elsewhere; 'on' forces it (interpret mode off-TPU — tests);
+    # 'off' keeps the pure-jnp body.  Backward math is unchanged.
     remat: bool = False             # jax.checkpoint the train-scan body:
     # recompute per-step activations in the backward instead of saving
     # them (required for config 2 at full scale+batch 64: the spatial
@@ -240,6 +249,9 @@ def validate(cfg: Config) -> Config:
     if m.spatial_bwd_kernel not in ("auto", "on", "off"):
         raise ValueError(
             f"unknown spatial_bwd_kernel {m.spatial_bwd_kernel!r}")
+    if m.train_fwd_kernel not in ("auto", "on", "off"):
+        raise ValueError(
+            f"unknown train_fwd_kernel {m.train_fwd_kernel!r}")
     if not 0.0 <= cfg.train.ss_prob <= 1.0:
         raise ValueError("ss_prob must be in [0, 1]")
     if cfg.train.model_parallel < 1:

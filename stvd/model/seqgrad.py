@@ -55,9 +55,10 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .step import _dot, masked_softmax
+from .step import _attention_core_jnp, _dot, masked_softmax
 
-Static = Tuple[int, int, bool, int, str]   # (dim, attn, selector, unroll, cd)
+# (dim, attn, selector, unroll, cd, use_attn_kernel)
+Static = Tuple[int, int, bool, int, str, bool]
 
 
 def _gates(preact, dim):
@@ -83,9 +84,19 @@ def fused_sequence(static: Static, hw, wc, u_att, c_att, b_sel, ctx, pctx,
 
 def _fwd(static, hw, wc, u_att, c_att, b_sel, ctx, pctx, ctx_mask, h0, c0,
          x_pre_all):
-    dim, attn, selector, unroll, cd = static
+    dim, attn, selector, unroll, cd, use_attn_kernel = static
     cdtype = jnp.dtype(cd)
-    u32 = u_att.astype(pctx.dtype)
+    if use_attn_kernel:
+        # Pallas temporal-attention core (tanh-score + masked softmax +
+        # ctx reduce + selector in ONE kernel) — same contract as the
+        # inline jnp block (`step._attention_core_jnp`); chosen because
+        # the forward scan's cost over its streaming floor is per-fusion
+        # dependency latency (cfg.train_fwd_kernel, BASELINE.md).  The
+        # backward is untouched: it recomputes e from pctx + h_att.
+        from . import kernel as kernel_mod
+        attention_core = kernel_mod.attention_core_pallas
+    else:
+        attention_core = _attention_core_jnp
 
     def body(carry, x_pre_t):
         h, c = carry
@@ -93,15 +104,8 @@ def _fwd(static, hw, wc, u_att, c_att, b_sel, ctx, pctx, ctx_mask, h0, c0,
         h_gates = hp[:, : 4 * dim]
         h_att = hp[:, 4 * dim: 4 * dim + attn]
         blogit = hp[:, 4 * dim + attn]
-        e = jnp.tanh(pctx + h_att[:, None, :])       # (B, K, A) fp32
-        scores = jnp.einsum("bkd,d->bk", e, u32) + c_att
-        alpha = masked_softmax(scores.astype(jnp.float32), ctx_mask,
-                               axis=-1)
-        ctx_t = jnp.einsum("bk,bkd->bd", alpha.astype(ctx.dtype),
-                           ctx).astype(jnp.float32)
-        if selector:
-            beta = jax.nn.sigmoid(blogit.astype(jnp.float32) + b_sel)
-            ctx_t = ctx_t * beta[:, None]
+        ctx_t, alpha = attention_core(h_att, blogit, pctx, ctx, ctx_mask,
+                                      u_att, c_att, b_sel, selector)
         preact = x_pre_t + h_gates + _dot(ctx_t, wc, cdtype)
         i, f, o, g = _gates(preact, dim)
         c_t = f * c + i * g
@@ -117,7 +121,7 @@ def _fwd(static, hw, wc, u_att, c_att, b_sel, ctx, pctx, ctx_mask, h0, c0,
 
 
 def _bwd(static, res, g):
-    dim, attn, selector, unroll, cd = static
+    dim, attn, selector, unroll, cd = static[:5]
     cdtype = jnp.dtype(cd)
     (hw, wc, u_att, c_att, b_sel, ctx, pctx, ctx_mask, h0, c0,
      hs, cs, ctxs, alphas, preacts, h_atts, blogits) = res
@@ -531,8 +535,14 @@ def run(params, cfg, sc, state0, x_pre_all_tm):
     from .step import _h_projection_weights
     hw = sc.h_proj_w if sc.h_proj_w is not None \
         else _h_projection_weights(params, cfg)
+    # Pallas forward attention core: 'auto' engages on TPU only (on CPU
+    # the kernel runs in interpret mode — correct but slow — so tests
+    # opt in explicitly with 'on').
+    use_attn_kernel = (cfg.train_fwd_kernel == "on"
+                       or (cfg.train_fwd_kernel == "auto"
+                           and jax.default_backend() == "tpu"))
     static = (cfg.dim, cfg.attn_dim, bool(cfg.selector),
-              int(cfg.scan_unroll), cfg.compute_dtype)
+              int(cfg.scan_unroll), cfg.compute_dtype, use_attn_kernel)
     return fused_sequence(static, hw, params["Wc"], params["U_att"],
                           params["c_att"], params["b_sel"], sc.ctx,
                           sc.pctx, sc.ctx_mask, state0.h, state0.c,

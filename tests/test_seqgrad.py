@@ -107,6 +107,64 @@ def test_grad_parity_bf16_loose():
         assert np.abs(a - b).max() / denom < 0.05, k
 
 
+# ---------------------------------------------------------------------------
+# Pallas forward attention core (train_fwd_kernel='on'):
+# kernel.attention_core_pallas inside the fused-VJP forward scan,
+# interpret mode on CPU.  Must be invisible: identical forward values
+# and gradients vs plain autodiff (the backward recomputes e from
+# pctx + h_att regardless of which core produced the forward).
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("selector", [True, False])
+def test_fwd_kernel_forward_parity_f32(selector):
+    cfg = _cfg(selector=selector, train_fwd_kernel="on")
+    cfg_ref = dataclasses.replace(cfg, fused_seq_grad=False,
+                                  train_fwd_kernel="off")
+    params, batch = _setup(cfg, ragged_mask=True)
+    a = forward_train(params, cfg, batch, train=False)
+    b = forward_train(params, cfg_ref, batch, train=False)
+    np.testing.assert_allclose(np.asarray(a.logits), np.asarray(b.logits),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.alphas), np.asarray(b.alphas),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("selector", [True, False])
+def test_fwd_kernel_grad_parity_f32(selector):
+    """Kernelized forward + hand backward vs plain autodiff, every
+    parameter, f32 exact."""
+    cfg = _cfg(selector=selector, train_fwd_kernel="on")
+    cfg_ref = dataclasses.replace(cfg, fused_seq_grad=False,
+                                  train_fwd_kernel="off")
+    params, batch = _setup(cfg, ragged_mask=True)
+    g_new = jax.grad(lambda p: loss_fn(p, cfg, batch, train=False)[0]
+                     )(params)
+    g_ref = jax.grad(lambda p: loss_fn(p, cfg_ref, batch, train=False)[0]
+                     )(params)
+    assert set(g_new) == set(g_ref)
+    for k in sorted(g_ref):
+        np.testing.assert_allclose(np.asarray(g_new[k]),
+                                   np.asarray(g_ref[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_fwd_kernel_alpha_c():
+    """alpha_c's dalphas cotangent routes through the hand backward
+    identically whichever core produced the forward alphas."""
+    cfg = _cfg(alpha_c=0.5, train_fwd_kernel="on")
+    cfg_ref = dataclasses.replace(cfg, fused_seq_grad=False,
+                                  train_fwd_kernel="off")
+    params, batch = _setup(cfg)
+    g_new = jax.grad(lambda p: loss_fn(p, cfg, batch, train=False)[0]
+                     )(params)
+    g_ref = jax.grad(lambda p: loss_fn(p, cfg_ref, batch, train=False)[0]
+                     )(params)
+    for k in ("U_att", "Wd_att", "U", "Wc_att"):
+        np.testing.assert_allclose(np.asarray(g_new[k]),
+                                   np.asarray(g_ref[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
 def test_ss_falls_back_to_autodiff():
     """Scheduled sampling keeps the autodiff path (fused_seq_grad must
     not change its results or crash)."""
