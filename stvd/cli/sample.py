@@ -55,6 +55,8 @@ def main(argv=None) -> int:
                          "for the split (reference pred_probs)")
     args = ap.parse_args(argv)
 
+    from ..utils import enable_compile_cache
+    enable_compile_cache()
     with open(os.path.join(args.run_dir, "config.json")) as f:
         cfg = Config.from_json(f.read())
     if args.beam is not None:

@@ -85,6 +85,8 @@ def main(argv=None) -> int:
                          "model mesh; default: cfg.train.model_parallel)")
     args = ap.parse_args(argv)
 
+    from ..utils import enable_compile_cache
+    enable_compile_cache()
     cfg = build_config(args)
     os.makedirs(cfg.train.save_dir, exist_ok=True)
     with open(os.path.join(cfg.train.save_dir, "config.json"), "w") as f:
