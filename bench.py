@@ -33,7 +33,8 @@ V5E_HBM_BW = 820e9
 V5E_VPU_OPS = 1.0e12
 
 
-def decode_cost_model(mcfg, batch: int, beam: int, quant: str = "none"):
+def decode_cost_model(mcfg, batch: int, beam: int, quant: str = "none",
+                      k_sel: int = 5):
     """Analytic per-while-step resource totals for beam decode.
 
     Round-2 CORRECTED model.  The round-1 roofline assumed decode is
@@ -62,7 +63,8 @@ def decode_cost_model(mcfg, batch: int, beam: int, quant: str = "none"):
     d, dw, dc, a, v = (mcfg.dim, mcfg.dim_word, mcfg.ctx_dim,
                        mcfg.attn_dim, mcfg.n_words)
     k_f = mcfg.n_frames
-    k_sel = 5
+    # k_sel: top-k selections the tail kernel streams (5 for beam search,
+    # 1 for greedy's argmax)
     gates_flops = 2 * bt * (dw + d + dc) * 4 * d   # [emb|h|ctx] @ [W;U;Wc]
     other_flops = (
         2 * bt * d * (a + 1)              # h @ [Wd_att | W_sel]
@@ -824,8 +826,14 @@ def main():
         out["serial_roofline_ratio"] = serial
         # config-1 greedy headline rides along — always the production
         # path (fused Pallas tail top-1), independent of --kernel
-        g_cps, _ = bench_greedy(True, iters=16, batch=1024)
+        g_cps, g_pb = bench_greedy(True, iters=16, batch=1024)
         out["greedy_captions_per_sec"] = round(g_cps, 2)
+        # greedy floor: beam=1, single masked-max tail pass (k_sel=1)
+        mxu_g, vpu_g, hbm_g = decode_cost_model(mcfg, 1024, 1, k_sel=1)
+        _, _, _, r_g, s_g = roofline(mxu_g, vpu_g, hbm_g,
+                                     g_pb / dcfg.maxlen)
+        out["greedy_roofline_ratio"] = r_g
+        out["greedy_serial_roofline_ratio"] = s_g
         # opt-in W8A8 serving path (model.decode_quant='int8'): the
         # gates matmul — the compute-bound majority of the beam step —
         # runs on the v5e int8 MXU at ~2x the bf16 rate.  Reported as a

@@ -86,3 +86,15 @@ def test_bench_latency_smoke():
     assert out["metric"] == "decode_latency_ms_b1_beam5"
     assert out["value"] > 0 and out["client_p50_ms"] > 0
     assert out["serial_floor_ms"] > 0
+
+
+def test_greedy_tail_cost_below_beam():
+    """k_sel parametrizes the tail's streaming top-k VPU passes: the
+    greedy floor (k_sel=1) must be strictly cheaper on the VPU than the
+    beam-5 floor at the same rows, and identical on MXU/HBM."""
+    bench = _bench()
+    mcfg, _, _ = bench._cfgs(False)
+    m5, v5, h5 = bench.decode_cost_model(mcfg, 64, 1, k_sel=5)
+    m1, v1, h1 = bench.decode_cost_model(mcfg, 64, 1, k_sel=1)
+    assert v1 < v5
+    assert m1 == m5 and h1 == h5
