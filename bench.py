@@ -16,6 +16,7 @@ Usage: python bench.py [--what decode|train|all] [--small] [--kernel]
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -539,10 +540,13 @@ def probe_device(timeout_s: int = 150) -> bool:
     # through the relay, and subprocess.run's timeout SIGKILLs the
     # child — a SIGKILLed TPU client is THE tunnel-wedging trigger
     # (round 3: two battery jobs lost to probe-induced false negatives)
+    cache = os.environ.get("STVD_CACHE_DIR", "/tmp/jax_cache")
     code = ("import jax, jax.numpy as jnp;"
-            "jax.config.update('jax_compilation_cache_dir','/tmp/jax_cache');"
-            "jax.config.update('jax_persistent_cache_min_compile_time_secs',0.0);"
-            "print(float(jax.jit(lambda x: x.sum())(jnp.ones((8,)))))")
+            + (f"jax.config.update('jax_compilation_cache_dir',{cache!r});"
+               "jax.config.update("
+               "'jax_persistent_cache_min_compile_time_secs',0.0);"
+               if cache else "")
+            + "print(float(jax.jit(lambda x: x.sum())(jnp.ones((8,)))))")
     try:
         r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
                            capture_output=True)
@@ -681,13 +685,11 @@ def main():
                          "scan (before/after evidence)")
     args = ap.parse_args()
 
-    import os
-
-    import jax as _jax
     # persistent compile cache: repeated bench invocations (driver runs,
-    # kernel/batch variants) reuse executables instead of recompiling
-    _jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # kernel/batch variants) reuse executables instead of recompiling;
+    # shared location + STVD_CACHE_DIR override with the CLI/tests
+    from stvd.utils import enable_compile_cache
+    enable_compile_cache()
 
     if args.cpu or os.environ.get("STVD_FORCE_CPU"):
         import jax

@@ -266,6 +266,12 @@ def validate(cfg: Config) -> Config:
             raise ValueError(
                 f"length_buckets must be comma-separated ints, got "
                 f"{cfg.train.length_buckets!r}")
+        if not bs:
+            # ',' / ' ' parse to an empty tuple; fail here with the key
+            # name instead of an opaque max()-of-empty inside fit()
+            raise ValueError(
+                f"length_buckets is non-empty but parses to no buckets: "
+                f"{cfg.train.length_buckets!r}")
         if any(b < 1 for b in bs):
             raise ValueError("length_buckets entries must be >= 1")
     return cfg

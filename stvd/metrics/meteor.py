@@ -313,7 +313,14 @@ def _segment_stats(hyp: List[str], refs: Sequence[List[str]],
         out = _native.meteor_align(
             h_ids, h_stems, None, intern(r),
             intern([_stem(w) for w in r]), None) if use_native else None
-        nm, nchunks = out if out is not None else _align_stats(hyp, r)
+        if out is not None:
+            nm, nchunks = out
+        else:
+            # native returned None (>62-token ref) or is unavailable:
+            # go straight to the Python beam — _align_stats would
+            # re-intern/re-stem and re-ask native just to get None again
+            m = _align(hyp, r)
+            nm, nchunks = len(m), _count_chunks(m)
         stats = (nm, len(hyp), len(r), nchunks)
         s = _score_from_stats(*stats, alpha=alpha, beta=beta, gamma=gamma)
         if s > best_score or (s == best_score and best is not None
