@@ -143,6 +143,11 @@ class TrainConfig:
     save_dir: str = "runs/default"
     tensorboard: bool = False       # also write TB scalar curves to
     # save_dir/tb (flax SummaryWriter); JSONL stays the primary record
+    profile_dir: str = ""           # when set: capture a jax.profiler
+    # device trace (Perfetto/TensorBoard-viewable) of train updates
+    # [profile_start, profile_start + profile_steps) into this dir
+    profile_start: int = 5          # first traced update (post-compile)
+    profile_steps: int = 5          # traced-update count
     # --- parallelism (no reference equivalent; SURVEY.md §2 rows 9-10) ---
     data_parallel: bool = False     # shard batch over the 'data' mesh
     # axis.  Off by default (single-device runs stay mesh-free); the

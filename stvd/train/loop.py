@@ -435,6 +435,7 @@ def fit(
 
     update = int(state["step"])
     stop = False
+    tracing = False
 
     def _persist_fit_state():
         save_fit_state(tcfg.save_dir, best=best, best_step=best_step,
@@ -455,8 +456,21 @@ def fit(
                 batch["weight"] = jnp.asarray(w)
                 if mesh is not None:
                     batch = parallel.shard_batch(batch, mesh)
+                if tcfg.profile_dir and update == tcfg.profile_start:
+                    # profile window: trace the next profile_steps
+                    # train updates (post-compile by default)
+                    jax.profiler.start_trace(tcfg.profile_dir)
+                    tracing = True
                 state, m = train_step(state, batch)
                 update += 1
+                if tracing and update >= (tcfg.profile_start
+                                          + tcfg.profile_steps):
+                    jax.block_until_ready(m["loss"])
+                    jax.profiler.stop_trace()
+                    tracing = False
+                    log.log("profile", dir=tcfg.profile_dir,
+                            first_update=tcfg.profile_start + 1,
+                            steps=tcfg.profile_steps)
                 rate = timer.tick()
                 if update % tcfg.disp_freq == 0:
                     extra = {"steps_per_sec": round(rate, 2)} if rate else {}
@@ -501,6 +515,8 @@ def fit(
         # graceful interrupt: persist current state before exiting (the
         # reference loses all progress since the last saveFreq save)
         log.log("interrupt", update=update)
+    if tracing:   # run ended inside the profile window
+        jax.profiler.stop_trace()
     save_checkpoint(ckpt_dir, state)
     _persist_fit_state()
     if own_logger:

@@ -343,3 +343,29 @@ def test_fit_length_bucketed_converges(tmp_path):
         losses[d] = [r["loss"] for r in rows if r["kind"] == "train"][-1]
     # same data, same model: end in the same loss regime
     assert losses["bucketed"] < losses["plain"] * 1.5 + 1.0
+
+
+def test_fit_profile_window(tmp_path):
+    """train.profile_dir captures a jax.profiler trace of the configured
+    update window and logs a 'profile' row (SURVEY.md §5 tracing)."""
+    import glob
+    import json as _json
+    prof = str(tmp_path / "trace")
+    cfg = Config(
+        model=MCFG,
+        train=dataclasses.replace(
+            TCFG, max_epochs=4, valid_freq=0, disp_freq=10, sample_freq=0,
+            maxlen=10, save_dir=str(tmp_path / "run"),
+            profile_dir=prof, profile_start=1, profile_steps=2),
+        decode=DecodeConfig(beam_size=1, maxlen=10, decode_batch=4),
+        data=DataConfig(dataset="synthetic", synthetic_videos=8),
+    )
+    train_ds = synthetic_dataset(n_videos=8, captions_per_video=1, k=6,
+                                 d=32, maxlen=10, seed=0)
+    fit(cfg, train_ds, None, max_updates=4)
+    assert glob.glob(os.path.join(prof, "plugins", "profile", "*", "*")), \
+        "profiler trace files should exist"
+    with open(os.path.join(cfg.train.save_dir, "metrics.jsonl")) as f:
+        rows = [_json.loads(l) for l in f]
+    prow = [r for r in rows if r["kind"] == "profile"]
+    assert prow and prow[0]["steps"] == 2
