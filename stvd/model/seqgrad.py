@@ -230,8 +230,8 @@ fused_sequence.defvjp(_fwd, _bwd)
 # ---------------------------------------------------------------------------
 
 # (dim, attn, s_attn, selector, unroll, compute_dtype, acc_dtype,
-#  use_bwd_kernel)
-SpatialStatic = Tuple[int, int, int, bool, int, str, str, bool]
+#  use_bwd_kernel, use_attn_kernel)
+SpatialStatic = Tuple[int, int, int, bool, int, str, str, bool, bool]
 
 
 def _spatial_step_fwd(h_satt, h_att, pregion_c, regions_c, ctx,
@@ -283,10 +283,13 @@ def _fwd_spatial(static, hw, wc, u_att, c_att, b_sel, u_s, c_s, w_sf,
                  w_sfa, ctx, pctx, pregion, regions, ctx_mask, h0, c0,
                  x_pre_all):
     dim, attn, s_attn, selector, unroll, cd = static[:6]
+    use_attn_kernel = static[8] if len(static) > 8 else False
     cdtype = jnp.dtype(cd)
     u32 = u_att.astype(pctx.dtype)
     pregion_c = pregion.astype(cdtype)
     regions_c = regions.astype(cdtype)
+    if use_attn_kernel:
+        from . import kernel as kernel_mod
 
     def body(carry, x_pre_t):
         h, c = carry
@@ -295,12 +298,30 @@ def _fwd_spatial(static, hw, wc, u_att, c_att, b_sel, u_s, c_s, w_sf,
         h_att = hp[:, 4 * dim: 4 * dim + attn]
         blogit = hp[:, 4 * dim + attn]
         h_satt = hp[:, 4 * dim + attn + 1:]
-        alpha_s, _, _, _, _, alpha, ctx_t = _spatial_step_fwd(
-            h_satt, h_att, pregion_c, regions_c, ctx, pctx,
-            ctx_mask, u_s, c_s, w_sf, w_sfa, u32, c_att, cdtype)
-        if selector:
-            beta = jax.nn.sigmoid(blogit.astype(jnp.float32) + b_sel)
-            ctx_t = ctx_t * beta[:, None]
+        if use_attn_kernel:
+            # region stage verbatim from _spatial_step_fwd, then the
+            # Pallas temporal core over the per-step ctx_k/pctx_k
+            # (selector applied inside the core, same saved ys)
+            e_s = jnp.tanh(pregion_c
+                           + h_satt.astype(cdtype)[:, None, None, :])
+            ss = jnp.einsum("bkrd,d->bkr", e_s,
+                            u_s.astype(cdtype)) + c_s
+            alpha_s = masked_softmax(ss.astype(jnp.float32), None,
+                                     axis=-1)
+            spat = jnp.einsum("bkr,bkrd->bkd", alpha_s.astype(cdtype),
+                              regions_c)
+            ctx_k = ctx + _dot(spat, w_sf, cdtype)
+            pctx_k = pctx + _dot(spat, w_sfa, cdtype)
+            ctx_t, alpha = kernel_mod.attention_core_pallas(
+                h_att, blogit, pctx_k, ctx_k, ctx_mask, u_att, c_att,
+                b_sel, selector)
+        else:
+            alpha_s, _, _, _, _, alpha, ctx_t = _spatial_step_fwd(
+                h_satt, h_att, pregion_c, regions_c, ctx, pctx,
+                ctx_mask, u_s, c_s, w_sf, w_sfa, u32, c_att, cdtype)
+            if selector:
+                beta = jax.nn.sigmoid(blogit.astype(jnp.float32) + b_sel)
+                ctx_t = ctx_t * beta[:, None]
         preact = x_pre_t + h_gates + _dot(ctx_t, wc, cdtype)
         i, f, o, g = _gates(preact, dim)
         c_t = f * c + i * g
@@ -319,7 +340,8 @@ def _fwd_spatial(static, hw, wc, u_att, c_att, b_sel, u_s, c_s, w_sf,
 
 
 def _bwd_spatial(static, res, g):
-    dim, attn, s_attn, selector, unroll, cd, acc_dt, use_kernel = static
+    (dim, attn, s_attn, selector, unroll, cd, acc_dt,
+     use_kernel) = static[:8]
     cdtype = jnp.dtype(cd)
     adtype = jnp.dtype(acc_dt)
     (hw, wc, u_att, c_att, b_sel, u_s, c_s, w_sf, w_sfa, ctx, pctx,
@@ -568,9 +590,12 @@ def run_spatial(params, cfg, sc, state0, x_pre_all_tm):
     use_kernel = (cfg.spatial_bwd_kernel == "on"
                   or (cfg.spatial_bwd_kernel == "auto"
                       and jax.default_backend() == "tpu"))
+    use_attn_kernel = (cfg.train_fwd_kernel == "on"
+                       or (cfg.train_fwd_kernel == "auto"
+                           and jax.default_backend() == "tpu"))
     static = (cfg.dim, cfg.attn_dim, int(cfg.region_dim),
               bool(cfg.selector), int(cfg.scan_unroll), cfg.compute_dtype,
-              acc_dt, use_kernel)
+              acc_dt, use_kernel, use_attn_kernel)
     return fused_sequence_spatial(
         static, hw, params["Wc"], params["U_att"], params["c_att"],
         params["b_sel"], params["Us_att"], params["cs_att"],

@@ -328,6 +328,44 @@ def test_spatial_bwd_kernel_alpha_c():
                                    rtol=1e-4, atol=1e-6, err_msg=k)
 
 
+@pytest.mark.parametrize("selector", [True, False])
+def test_spatial_fwd_kernel_grad_parity_f32(selector):
+    """train_fwd_kernel='on' in the SPATIAL fused VJP: the Pallas
+    temporal core runs over the per-step ctx_k/pctx_k; every
+    parameter's gradient must still match plain autodiff at f32."""
+    cfg = _scfg(selector=selector, train_fwd_kernel="on")
+    cfg_ref = dataclasses.replace(cfg, fused_seq_grad=False,
+                                  train_fwd_kernel="off")
+    params, batch = _setup_spatial(cfg, ragged_mask=True)
+    g_new = jax.grad(lambda p: loss_fn(p, cfg, batch, train=False)[0]
+                     )(params)
+    g_ref = jax.grad(lambda p: loss_fn(p, cfg_ref, batch, train=False)[0]
+                     )(params)
+    assert set(g_new) == set(g_ref)
+    for k in sorted(g_ref):
+        np.testing.assert_allclose(np.asarray(g_new[k]),
+                                   np.asarray(g_ref[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_spatial_fwd_kernel_with_bwd_kernel_f32():
+    """Both scan kernels at once (the TPU 'auto' production config for
+    config 2): forward attention core + backward-spatial kernel."""
+    cfg = _scfg(train_fwd_kernel="on", spatial_bwd_kernel="on")
+    cfg_ref = dataclasses.replace(cfg, fused_seq_grad=False,
+                                  train_fwd_kernel="off",
+                                  spatial_bwd_kernel="off")
+    params, batch = _setup_spatial(cfg)
+    g_new = jax.grad(lambda p: loss_fn(p, cfg, batch, train=False)[0]
+                     )(params)
+    g_ref = jax.grad(lambda p: loss_fn(p, cfg_ref, batch, train=False)[0]
+                     )(params)
+    for k in sorted(g_ref):
+        np.testing.assert_allclose(np.asarray(g_new[k]),
+                                   np.asarray(g_ref[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
 def test_spatial_fused_trains():
     """End-to-end: optimizer steps reduce the loss on the spatial path."""
     from stvd.config import TrainConfig
