@@ -24,6 +24,49 @@ from .decode.sample import sample_decode
 from .model.decoder import StepFn
 
 
+def chunked_caption(run, params, batch: Dict, bsz: int, vocab: Vocab,
+                    window: int = 4) -> List[str]:
+    """Drive ``run(params, chunk) -> (tokens, scores)`` over an
+    arbitrary-size batch in fixed ``bsz`` chunks (last chunk
+    zero-padded) so only ONE executable is ever compiled regardless of
+    request size.  Shared by the live Captioner and the AOT-exported
+    loader (export_aot.ExportedCaptioner).
+
+    A small window of chunks stays in flight: per-chunk host syncs
+    would pay one relay round-trip per chunk, while dispatching
+    EVERYTHING would hold a padded duplicate of the whole request on
+    device (an OOM risk at large N) — a bounded window gets the RTT
+    amortization with bounded memory.
+    """
+    import jax.numpy as jnp
+    n = int(batch["frames"].shape[0])
+    pending: List = []
+    out: List[str] = []
+
+    def drain_one():
+        count, toks = pending.pop(0)
+        toks = np.asarray(toks)
+        out.extend(" ".join(vocab.decode(toks[i])) for i in range(count))
+
+    for s in range(0, n, bsz):
+        e = min(s + bsz, n)
+        chunk = {k: v[s:e] for k, v in batch.items()}
+        pad = bsz - (e - s)
+        if pad:
+            chunk = {k: jnp.concatenate(
+                [jnp.asarray(v), jnp.zeros((pad,) + v.shape[1:], v.dtype)])
+                for k, v in chunk.items()}
+            # padded rows need >=1 valid frame for a sane softmax
+            chunk["frame_mask"] = chunk["frame_mask"].at[e - s:, 0].set(1.0)
+        toks, _ = run(params, chunk)
+        pending.append((e - s, toks))
+        if len(pending) >= window:
+            drain_one()
+    while pending:
+        drain_one()
+    return out
+
+
 class Captioner:
     """Caption pre-extracted video features with a trained model."""
 
@@ -94,41 +137,8 @@ class Captioner:
         chunks (last chunk zero-padded) so only ONE executable is ever
         compiled regardless of request size.
         """
-        import jax.numpy as jnp
-        n = int(batch["frames"].shape[0])
-        bsz = self.cfg.decode.decode_batch
-        # keep a small window of chunks in flight: per-chunk host syncs
-        # would pay one relay round-trip per chunk, while dispatching
-        # EVERYTHING would hold a padded duplicate of the whole request
-        # on device (an OOM risk at large N) — a bounded window gets the
-        # RTT amortization with bounded memory
-        window = 4
-        pending: List = []
-        out: List[str] = []
-
-        def drain_one():
-            count, toks = pending.pop(0)
-            toks = np.asarray(toks)
-            out.extend(" ".join(self.vocab.decode(toks[i]))
-                       for i in range(count))
-
-        for s in range(0, n, bsz):
-            e = min(s + bsz, n)
-            chunk = {k: v[s:e] for k, v in batch.items()}
-            pad = bsz - (e - s)
-            if pad:
-                chunk = {k: jnp.concatenate(
-                    [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)])
-                    for k, v in chunk.items()}
-                # padded rows need >=1 valid frame for a sane softmax
-                chunk["frame_mask"] = chunk["frame_mask"].at[e - s:, 0].set(1.0)
-            toks, _ = self._run(self.params, chunk)
-            pending.append((e - s, toks))
-            if len(pending) >= window:
-                drain_one()
-        while pending:
-            drain_one()
-        return out
+        return chunked_caption(self._run, self.params, batch,
+                               self.cfg.decode.decode_batch, self.vocab)
 
     def caption_nbest(self, batch: Dict, n: Optional[int] = None,
                       norm: bool = True) -> List[List[tuple]]:

@@ -1,0 +1,212 @@
+"""AOT-exported decode artifacts: serving without model-building Python.
+
+The reference re-builds and re-compiles its sampler in every process
+(`model_attention.py:§build_sampler` -> theano.function f_init/f_next);
+there is no way to ship a compiled decoder.  XLA's AOT compilation
+model makes the TPU-native equivalent first-class: ``jax.export``
+serializes the jitted decode graph (StableHLO, with the Pallas kernels
+already Mosaic-lowered) into a self-contained artifact directory that a
+serving process deserializes and calls — no stvd model code runs at
+serving time, no tracing, and the graph is pinned (a model-code change
+cannot silently alter a deployed decoder).
+
+Artifact layout (a directory)::
+
+    decode.jaxexport   serialized jax.export.Exported (StableHLO bytes)
+    params.npz         checkpoint weights.  Weights are CALL-TIME inputs
+                       to the exported graph, so one artifact serves any
+                       same-architecture checkpoint (pass ``params=`` to
+                       ``load_artifact``) — re-export only on config or
+                       code changes.
+    vocab.pkl          worddict (reference pickle format)
+    config.json        full stvd Config (audit + loader shapes)
+    manifest.json      shapes / platforms / jax version / beam setup
+
+The exported callable has the same contract as ``Captioner._run``:
+``(params, batch) -> (tokens, scores)`` at the static decode batch
+size; the loader reuses ``api.chunked_caption`` for arbitrary request
+sizes, so serving behavior is identical to the live path (pinned by
+tests/test_export_aot.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from .config import Config
+from .data.text import Vocab
+
+_EXPORT_FILE = "decode.jaxexport"
+
+
+def _decode_run_fn(cfg: Config, step_fn):
+    """The (params, batch) -> (tokens, scores) decode program — the
+    same body ``Captioner.__init__`` jits (greedy when beam_size <= 1,
+    length-normalized beam otherwise)."""
+    from .decode.beam import beam_decode
+    from .decode.greedy import greedy_decode
+    d = cfg.decode
+
+    def run(params, batch):
+        if d.beam_size <= 1:
+            out = greedy_decode(params, cfg.model, batch,
+                                maxlen=d.maxlen, step_fn=step_fn)
+            return out.tokens, out.scores
+        out = beam_decode(params, cfg.model, batch,
+                          beam_size=d.beam_size, maxlen=d.maxlen,
+                          length_norm=d.length_norm, step_fn=step_fn)
+        return out.tokens, out.norm_scores
+
+    return run
+
+
+def example_batch(cfg: Config, batch_size: Optional[int] = None) -> Dict:
+    """A zeros device batch with exactly the shapes/dtypes the serving
+    path produces (built through pack_bank + to_device so the two can
+    never drift)."""
+    from .data.bank import pack_bank
+    import jax.numpy as jnp
+    m = cfg.model
+    bsz = batch_size or cfg.decode.decode_batch
+    ids = [f"v{i}" for i in range(bsz)]
+    feats = {v: np.zeros((m.n_frames, m.ctx_dim), np.float32) for v in ids}
+    regs = ({v: np.zeros((m.n_frames, m.n_regions, m.region_dim),
+                         np.float32) for v in ids}
+            if m.use_spatial else None)
+    mots = ({v: np.zeros((m.n_frames, m.motion_dim), np.float32)
+             for v in ids} if m.use_motion else None)
+    bank = pack_bank(feats, m.n_frames, ids=ids, regions=regs, motion=mots)
+    dev = bank.to_device(dtype=jnp.dtype(m.compute_dtype))
+    # a valid frame per row keeps the masked softmax sane (same
+    # convention as chunked_caption's padding)
+    batch = {"frames": dev["frames"],
+             "frame_mask": dev["frame_mask"].at[:, 0].set(1.0)}
+    for k in ("regions", "motion"):
+        if k in dev:
+            batch[k] = dev[k]
+    return batch
+
+
+def export_decoder(params, cfg: Config,
+                   platforms: Sequence[str] = ("tpu",),
+                   batch_size: Optional[int] = None,
+                   use_kernel: Optional[bool] = None):
+    """Trace + lower the decode program for the target platform(s) and
+    return the ``jax.export.Exported``.
+
+    ``use_kernel`` picks the step function statically (the exported
+    graph cannot re-select per backend): default = Pallas kernels iff
+    the export targets TPU only.  Multi-platform exports must use the
+    XLA path (Mosaic custom calls only lower for TPU).
+    """
+    import jax
+    from jax import export as jexport
+
+    from .model.kernel import get_step_fn
+    platforms = tuple(platforms)
+    if use_kernel is None:
+        use_kernel = platforms == ("tpu",)
+    if use_kernel and any(p != "tpu" for p in platforms):
+        raise ValueError(
+            f"Pallas kernels only lower for TPU; platforms={platforms} "
+            "requires use_kernel=False")
+    run = _decode_run_fn(cfg, get_step_fn(use_kernel))
+    batch = example_batch(cfg, batch_size)
+    return jexport.export(jax.jit(run), platforms=list(platforms))(
+        params, batch)
+
+
+def save_artifact(out_dir: str, params, cfg: Config, vocab: Vocab,
+                  platforms: Sequence[str] = ("tpu",),
+                  batch_size: Optional[int] = None,
+                  use_kernel: Optional[bool] = None) -> Dict:
+    """Export the decoder and write the full serving artifact directory.
+
+    Returns the manifest dict.
+    """
+    import jax
+    os.makedirs(out_dir, exist_ok=True)
+    exp = export_decoder(params, cfg, platforms=platforms,
+                         batch_size=batch_size, use_kernel=use_kernel)
+    with open(os.path.join(out_dir, _EXPORT_FILE), "wb") as f:
+        f.write(exp.serialize())
+    np.savez(os.path.join(out_dir, "params.npz"),
+             **{k: np.asarray(v) for k, v in params.items()})
+    vocab.save_pickle(os.path.join(out_dir, "vocab.pkl"))
+    if batch_size:
+        cfg = dataclasses.replace(
+            cfg, decode=dataclasses.replace(cfg.decode,
+                                            decode_batch=batch_size))
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+    manifest = {
+        "format": "stvd-aot-decode-v1",
+        "platforms": list(platforms),
+        "jax_version": jax.__version__,
+        "decode_batch": cfg.decode.decode_batch,
+        "beam_size": cfg.decode.beam_size,
+        "maxlen": cfg.decode.maxlen,
+        "use_kernel": bool(use_kernel if use_kernel is not None
+                           else tuple(platforms) == ("tpu",)),
+        "param_count": int(sum(int(np.prod(v.shape))
+                               for v in params.values())),
+        "inputs": {k: [list(v.shape), str(v.dtype)]
+                   for k, v in example_batch(cfg).items()},
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+class ExportedCaptioner:
+    """Serve captions from an AOT artifact (see module docstring).
+
+    Supports ``caption_batch`` / ``caption`` with the exact semantics of
+    the live ``Captioner`` (same chunking helper).  n-best and
+    stochastic sampling need live tracing — use ``Captioner`` for those.
+    """
+
+    def __init__(self, exported, params, cfg: Config, vocab: Vocab,
+                 manifest: Optional[Dict] = None):
+        self._exported = exported
+        self.params = params
+        self.cfg = cfg
+        self.vocab = vocab
+        self.manifest = manifest or {}
+
+    def caption_batch(self, batch: Dict) -> List[str]:
+        from .api import chunked_caption
+        return chunked_caption(self._exported.call, self.params, batch,
+                               self.cfg.decode.decode_batch, self.vocab)
+
+    def caption(self,
+                features: Union[np.ndarray, Sequence[np.ndarray]],
+                regions: Optional[Sequence[np.ndarray]] = None,
+                motion: Optional[Sequence[np.ndarray]] = None,
+                ) -> List[str]:
+        from .api import Captioner
+        return Captioner.caption(self, features, regions, motion)
+
+
+def load_artifact(path: str, params=None) -> ExportedCaptioner:
+    """Deserialize a saved artifact.  ``params`` (a flat dict of arrays)
+    overrides the shipped checkpoint — same-architecture weight swaps
+    need no re-export."""
+    from jax import export as jexport
+    import jax.numpy as jnp
+    with open(os.path.join(path, _EXPORT_FILE), "rb") as f:
+        exported = jexport.deserialize(f.read())
+    with open(os.path.join(path, "config.json")) as f:
+        cfg = Config.from_json(f.read())
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    if params is None:
+        with np.load(os.path.join(path, "params.npz")) as z:
+            params = {k: jnp.asarray(z[k]) for k in z.files}
+    vocab = Vocab.load_pickle(os.path.join(path, "vocab.pkl"))
+    return ExportedCaptioner(exported, params, cfg, vocab, manifest)

@@ -146,3 +146,18 @@ def test_sample_cli_stochastic_chunked(run_dir, capsys):
     # valid split = max(4, videos//4) = 4 -> two chunks at
     # decode_batch=3 (3 + 1 padded)
     assert len(rows) == 4 and len(rows[0]["samples"]) == 2
+
+
+def test_export_cli_roundtrip_check(run_dir, tmp_path, capsys):
+    """cli.export writes the AOT artifact and --check verifies the
+    deserialized decoder reproduces the live Captioner (CPU platform
+    under the test conftest)."""
+    from stvd.cli.export import main as export_main
+    out = str(tmp_path / "aot")
+    assert export_main(["--run-dir", run_dir, "--out", out,
+                        "--platforms", "cpu", "--check"]) == 0
+    for name in ("decode.jaxexport", "params.npz", "vocab.pkl",
+                 "config.json", "manifest.json"):
+        assert os.path.exists(os.path.join(out, name)), name
+    stdout = capsys.readouterr().out
+    assert "artifact captions match live" in stdout

@@ -1,0 +1,120 @@
+"""AOT export/serving artifact roundtrip (stvd/export_aot.py).
+
+The exported decode graph must reproduce the live Captioner exactly:
+same chunking helper, same program — pinned here token-for-token on
+CPU-platform exports, plus a TPU-platform serialization check (the
+Mosaic lowering runs; no hardware executes)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from stvd.api import Captioner
+from stvd.config import Config, DecodeConfig, ModelConfig
+from stvd.data.batching import synthetic_dataset
+from stvd.export_aot import (example_batch, export_decoder, load_artifact,
+                             save_artifact)
+from stvd.model.decoder import init_params
+
+MCFG = ModelConfig(n_words=48, dim_word=16, dim=24, ctx_dim=32, n_frames=6,
+                   compute_dtype="float32")
+
+
+def _vocab():
+    return synthetic_dataset(n_videos=2, k=6, d=32, maxlen=8, seed=0).vocab
+
+
+def _feats(n, m, seed=0, spatial=False, motion=False):
+    rng = np.random.RandomState(seed)
+    feats = rng.randn(n, m.n_frames, m.ctx_dim).astype(np.float32)
+    regs = (list(rng.randn(n, m.n_frames, m.n_regions, m.region_dim)
+                 .astype(np.float32)) if spatial else None)
+    mots = (list(rng.randn(n, m.n_frames, m.motion_dim)
+                 .astype(np.float32)) if motion else None)
+    return feats, regs, mots
+
+
+@pytest.mark.parametrize("beam", [1, 3])
+def test_artifact_roundtrip_matches_live(tmp_path, beam):
+    """Save -> load -> caption == live Captioner, greedy and beam,
+    including the chunked/padded path (n = decode_batch + 1)."""
+    cfg = Config(model=MCFG, decode=DecodeConfig(beam_size=beam, maxlen=8,
+                                                 decode_batch=3))
+    params = init_params(jax.random.PRNGKey(0), MCFG)
+    vocab = _vocab()
+    out = str(tmp_path / "artifact")
+    manifest = save_artifact(out, params, cfg, vocab, platforms=("cpu",))
+    assert manifest["decode_batch"] == 3 and manifest["beam_size"] == beam
+    assert manifest["use_kernel"] is False
+
+    served = load_artifact(out)
+    feats, _, _ = _feats(4, MCFG)
+    live = Captioner(params, cfg, vocab)
+    assert served.caption(feats) == live.caption(feats)
+
+
+def test_artifact_spatial_motion_roundtrip(tmp_path):
+    """Config-2/4-shaped artifact: regions + motion streams ride the
+    exported signature."""
+    m = dataclasses.replace(MCFG, use_spatial=True, n_regions=4,
+                            region_dim=16, use_motion=True, motion_dim=12)
+    cfg = Config(model=m, decode=DecodeConfig(beam_size=2, maxlen=8,
+                                              decode_batch=2))
+    params = init_params(jax.random.PRNGKey(1), m)
+    vocab = _vocab()
+    out = str(tmp_path / "artifact")
+    save_artifact(out, params, cfg, vocab, platforms=("cpu",))
+    served = load_artifact(out)
+    feats, regs, mots = _feats(3, m, seed=1, spatial=True, motion=True)
+    live = Captioner(params, cfg, vocab)
+    assert (served.caption(feats, regs, mots)
+            == live.caption(feats, regs, mots))
+
+
+def test_artifact_weight_swap_no_reexport(tmp_path):
+    """Weights are call-time inputs: loading the artifact with different
+    same-architecture params changes the output without re-export."""
+    cfg = Config(model=MCFG, decode=DecodeConfig(beam_size=2, maxlen=8,
+                                                 decode_batch=2))
+    p0 = init_params(jax.random.PRNGKey(0), MCFG)
+    p1 = init_params(jax.random.PRNGKey(7), MCFG)
+    vocab = _vocab()
+    out = str(tmp_path / "artifact")
+    save_artifact(out, p0, cfg, vocab, platforms=("cpu",))
+    feats, _, _ = _feats(2, MCFG, seed=3)
+    swapped = load_artifact(out, params=p1).caption(feats)
+    assert swapped == Captioner(p1, cfg, vocab).caption(feats)
+
+
+def test_tpu_platform_export_serializes():
+    """platforms=('tpu',) exports the Pallas-kernel decode step from a
+    CPU host (Mosaic lowering, no execution) — the serving artifact the
+    real chip loads."""
+    cfg = Config(model=MCFG, decode=DecodeConfig(beam_size=2, maxlen=8,
+                                                 decode_batch=2))
+    params = init_params(jax.random.PRNGKey(0), MCFG)
+    exp = export_decoder(params, cfg, platforms=("tpu",))
+    assert len(exp.serialize()) > 0
+
+
+def test_kernel_multi_platform_rejected():
+    cfg = Config(model=MCFG, decode=DecodeConfig(beam_size=2, maxlen=8,
+                                                 decode_batch=2))
+    params = init_params(jax.random.PRNGKey(0), MCFG)
+    with pytest.raises(ValueError, match="Pallas"):
+        export_decoder(params, cfg, platforms=("tpu", "cpu"),
+                       use_kernel=True)
+
+
+def test_example_batch_matches_serving_shapes():
+    m = dataclasses.replace(MCFG, use_spatial=True, n_regions=4,
+                            region_dim=16)
+    cfg = Config(model=m, decode=DecodeConfig(beam_size=2, maxlen=8,
+                                              decode_batch=3))
+    b = example_batch(cfg)
+    assert b["frames"].shape == (3, 6, 32)
+    assert b["regions"].shape == (3, 6, 4, 16)
+    assert b["frame_mask"].shape == (3, 6)
+    assert str(b["frames"].dtype) == m.compute_dtype
