@@ -137,6 +137,15 @@ class TrainConfig:
     # rounded out); f32 = exact reference parity (default).
     meteor_profile: str = "meteor2005"  # METEOR parameter profile used in
     # validation scoring: meteor2005 | meteor15-en (metrics/meteor.py)
+    grad_accum: int = 1             # microbatches per optimizer step:
+    # the train scan runs grad_accum sequential microbatches of
+    # batch_size/grad_accum rows, summing gradients of the SUMMED
+    # objective (loss_terms numerators) before one exact weighted-mean
+    # divide + update — same math as the full batch (pinned in
+    # tests/test_train.py), but per-step activation memory shrinks by
+    # the factor.  The memory alternative to model.remat that pays
+    # serial microbatch latency instead of backward recompute.
+    # Single-device only (DP shards the batch across chips instead).
     ss_prob: float = 0.0            # scheduled-sampling probability
     seed: int = 1234
     reload_: bool = False           # resume from save_dir checkpoint
@@ -259,6 +268,16 @@ def validate(cfg: Config) -> Config:
             f"unknown train_fwd_kernel {m.train_fwd_kernel!r}")
     if not 0.0 <= cfg.train.ss_prob <= 1.0:
         raise ValueError("ss_prob must be in [0, 1]")
+    if cfg.train.grad_accum < 1:
+        raise ValueError("grad_accum must be >= 1")
+    if cfg.train.batch_size % cfg.train.grad_accum:
+        raise ValueError(
+            f"batch_size {cfg.train.batch_size} must be divisible by "
+            f"grad_accum {cfg.train.grad_accum} (static microbatch shapes)")
+    if cfg.train.grad_accum > 1 and (cfg.train.data_parallel
+                                     or cfg.train.model_parallel > 1):
+        raise ValueError("grad_accum is the single-device memory lever; "
+                         "with a mesh, shard the batch instead")
     if cfg.train.model_parallel < 1:
         raise ValueError("model_parallel must be >= 1")
     if cfg.train.model_parallel > 1 and cfg.train.use_shard_map:

@@ -126,6 +126,9 @@ def make_train_step(
     produce bit-identical updates (tests/test_parallel.py).
     """
     opt = make_optimizer(tcfg)
+    if tcfg.grad_accum > 1 and mesh is not None:
+        raise ValueError("grad_accum is the single-device memory lever; "
+                         "with a mesh, shard the batch instead")
     tp = mesh is not None and parallel.MODEL_AXIS in mesh.axis_names
     if mesh is not None and use_shard_map:
         if tp:
@@ -134,11 +137,52 @@ def make_train_step(
                              "pjit path")
         return _make_shard_map_train_step(mcfg, tcfg, step_fn, mesh, opt)
 
+    def _accum_loss_and_grads(params, batch, sub):
+        """grad_accum > 1: lax.scan over microbatches, accumulating
+        gradients of the SUMMED objective plus the loss_terms
+        numerators/denominators; ONE weighted-mean divide at the end
+        makes the result exactly the full-batch gradient regardless of
+        how the wrap-padding weights split across microbatches (same
+        decomposition the shard_map DP path psums over ICI).  Only one
+        microbatch's activations are live at a time — the memory
+        alternative to model.remat."""
+        from .loss import loss_from_terms, loss_terms
+        n = tcfg.grad_accum
+        mb = jax.tree.map(
+            lambda v: v.reshape((n, v.shape[0] // n) + v.shape[1:]), batch)
+
+        def local_obj(params, mbatch, r):
+            t = loss_terms(params, mcfg, mbatch, rng=r, train=True,
+                           ss_prob=tcfg.ss_prob, step_fn=step_fn)
+            return t["nll_num"] + mcfg.alpha_c * t["reg_num"], t
+
+        def micro(carry, xs):
+            acc_g, acc_t = carry
+            mbatch, i = xs
+            (_, t), g = jax.value_and_grad(local_obj, has_aux=True)(
+                params, mbatch, jax.random.fold_in(sub, i))
+            return (jax.tree.map(jnp.add, acc_g, g),
+                    jax.tree.map(jnp.add, acc_t, t)), None
+
+        zero_t = {"nll_num": jnp.zeros(()), "ex_den": jnp.zeros(()),
+                  "tok_den": jnp.zeros(()), "reg_num": jnp.zeros(())}
+        (grads, terms), _ = jax.lax.scan(
+            micro, (jax.tree.map(jnp.zeros_like, params), zero_t),
+            (mb, jnp.arange(n)))
+        den = jnp.maximum(terms["ex_den"], 1.0)
+        grads = jax.tree.map(lambda g: g / den, grads)
+        loss, aux = loss_from_terms(terms, mcfg)
+        return loss, aux, grads
+
     def train_step(state: TrainState, batch):
         rng, sub = jax.random.split(state["rng"])
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state["params"], mcfg, batch, rng=sub, train=True,
-            ss_prob=tcfg.ss_prob, step_fn=step_fn)
+        if tcfg.grad_accum > 1:
+            loss, aux, grads = _accum_loss_and_grads(state["params"],
+                                                     batch, sub)
+        else:
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state["params"], mcfg, batch, rng=sub, train=True,
+                ss_prob=tcfg.ss_prob, step_fn=step_fn)
         updates, opt_state = opt.update(grads, state["opt_state"],
                                         state["params"])
         params = optax.apply_updates(state["params"], updates)

@@ -369,3 +369,77 @@ def test_fit_profile_window(tmp_path):
         rows = [_json.loads(l) for l in f]
     prow = [r for r in rows if r["kind"] == "profile"]
     assert prow and prow[0]["steps"] == 2
+
+
+@pytest.mark.parametrize("accum", [2, 4])
+def test_grad_accum_exact_parity(accum):
+    """train.grad_accum=N must produce the SAME optimizer step as the
+    full batch: gradients of the summed objective accumulate across
+    microbatches and ONE weighted-mean divide happens at the end, so
+    non-uniform wrap-padding weights split unevenly across microbatches
+    still give the exact full-batch gradient (dropout off -> the only
+    rng consumer is gone and parity is FP-exactness-tight).  SGD keeps
+    updates proportional to gradients; adaptive optimizers would
+    amplify the FP noise of true-zero gradients (c_att's softmax
+    shift-invariance) to lr-scale differences."""
+    ds, batch = _data()
+    batch = dict(batch)
+    # weights deliberately unequal BETWEEN microbatches: a naive
+    # mean-of-microbatch-means would be wrong by construction here
+    batch["weight"] = jnp.asarray([1.0, 1.0, 0.25, 2.0, 1.0, 0.0, 3.0, 1.0])
+    tcfg = dataclasses.replace(TCFG, optimizer="sgd", lr=0.5)
+    # two independent states (donate_state would free shared buffers)
+    s_full = init_train_state(jax.random.PRNGKey(0), MCFG, tcfg)
+    s_acc = init_train_state(jax.random.PRNGKey(0), MCFG, tcfg)
+    step_full = make_train_step(MCFG, tcfg)
+    step_acc = make_train_step(
+        MCFG, dataclasses.replace(tcfg, grad_accum=accum))
+    for _ in range(3):
+        s_full, m_full = step_full(s_full, batch)
+        s_acc, m_acc = step_acc(s_acc, batch)
+    for k in ("loss", "nll", "nll_per_token", "grad_norm"):
+        np.testing.assert_allclose(float(m_acc[k]), float(m_full[k]),
+                                   rtol=2e-5, err_msg=k)
+    for k in s_full["params"]:
+        np.testing.assert_allclose(np.asarray(s_acc["params"][k]),
+                                   np.asarray(s_full["params"][k]),
+                                   rtol=2e-4, atol=1e-6, err_msg=k)
+
+
+def test_grad_accum_spatial_fused_vjp():
+    """grad_accum composes with the spatial fused sequence VJP (the
+    config it exists FOR: config-2 memory pressure) — the custom-VJP
+    scan runs inside the microbatch scan and still matches the
+    full-batch step."""
+    m = dataclasses.replace(MCFG, use_spatial=True, n_regions=4,
+                            region_dim=16)
+    ds = synthetic_dataset(n_videos=8, captions_per_video=1, k=6, d=32,
+                           n_regions=4, region_dim=16, maxlen=10, seed=1)
+    dev = ds.bank.to_device()
+    batch = gather_batch(dev, ds.captions, np.arange(8, dtype=np.int32))
+    tcfg = dataclasses.replace(TCFG, optimizer="sgd", lr=0.5)
+    s_full = init_train_state(jax.random.PRNGKey(0), m, tcfg)
+    s_acc = init_train_state(jax.random.PRNGKey(0), m, tcfg)
+    step_full = make_train_step(m, tcfg)
+    step_acc = make_train_step(m, dataclasses.replace(tcfg, grad_accum=2))
+    s_full, m_full = step_full(s_full, batch)
+    s_acc, m_acc = step_acc(s_acc, batch)
+    np.testing.assert_allclose(float(m_acc["loss"]), float(m_full["loss"]),
+                               rtol=2e-5)
+    for k in s_full["params"]:
+        np.testing.assert_allclose(np.asarray(s_acc["params"][k]),
+                                   np.asarray(s_full["params"][k]),
+                                   rtol=2e-4, atol=1e-6, err_msg=k)
+
+
+def test_grad_accum_config_guards():
+    from stvd.config import validate
+    with pytest.raises(ValueError, match="divisible"):
+        validate(Config(train=dataclasses.replace(TCFG, grad_accum=3)))
+    with pytest.raises(ValueError, match="single-device"):
+        validate(Config(train=dataclasses.replace(
+            TCFG, grad_accum=2, data_parallel=True)))
+    with pytest.raises(ValueError, match="single-device"):
+        from stvd.train.parallel import make_mesh
+        make_train_step(MCFG, dataclasses.replace(TCFG, grad_accum=2),
+                        mesh=make_mesh())
