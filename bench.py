@@ -470,7 +470,8 @@ def bench_preset_train(name: str, use_kernel: bool, iters: int = 10,
                        fused: bool = True, batch: int = 0,
                        spatial_bwd: str = "auto",
                        opt_slots: str = "float32",
-                       fwd_kernel: str = "auto"):
+                       fwd_kernel: str = "auto",
+                       grad_accum: int = 1):
     """Teacher-forced train-step throughput at a preset's reference
     scale (presets 1-4; preset 5 is the DP path in bench_preset).
 
@@ -494,6 +495,10 @@ def bench_preset_train(name: str, use_kernel: bool, iters: int = 10,
         mcfg = dataclasses.replace(mcfg, train_fwd_kernel=fwd_kernel)
     if opt_slots != "float32":
         tcfg = dataclasses.replace(tcfg, opt_slot_dtype=opt_slots)
+    if grad_accum > 1:
+        # microbatched grads (train.grad_accum): measures the serial
+        # latency the memory saving costs vs remat's recompute
+        tcfg = dataclasses.replace(tcfg, grad_accum=grad_accum)
     if not fused:
         # the autodiff path needs remat at full spatial scale (the
         # saved (B,K,R,s) tanh activations exceed HBM otherwise)
@@ -524,7 +529,8 @@ def bench_preset_train(name: str, use_kernel: bool, iters: int = 10,
                      "autodiff" + ("+remat" if mcfg.remat else "")),
             "spatial_bwd_kernel": mcfg.spatial_bwd_kernel,
             "train_fwd_kernel": mcfg.train_fwd_kernel,
-            "opt_slot_dtype": tcfg.opt_slot_dtype}
+            "opt_slot_dtype": tcfg.opt_slot_dtype,
+            "grad_accum": tcfg.grad_accum}
 
 
 def probe_device(timeout_s: int = 150) -> bool:
@@ -678,6 +684,9 @@ def main():
                     help="with --what train --preset: adadelta "
                          "accumulator storage dtype (bf16 halves the "
                          "optimizer island's HBM traffic)")
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="train.grad_accum microbatches for --what "
+                         "train presets")
     ap.add_argument("--fwd-kernel", default="auto",
                     choices=["auto", "on", "off"],
                     help="with --what train --preset: toggle the Pallas "
@@ -720,7 +729,8 @@ def main():
                                                 batch=args.batch,
                                                 spatial_bwd=args.spatial_bwd,
                                                 opt_slots=args.opt_slots,
-                                                fwd_kernel=args.fwd_kernel)))
+                                                fwd_kernel=args.fwd_kernel,
+                                                grad_accum=args.grad_accum)))
         else:
             print(json.dumps(bench_preset(args.preset, args.kernel,
                                           args.iters)))
