@@ -26,6 +26,11 @@ def main(argv=None) -> int:
                     help="static decode batch (default: config decode_batch)")
     ap.add_argument("--no-kernel", action="store_true",
                     help="force the XLA step (no Pallas) even for tpu-only")
+    ap.add_argument("--quant", default=None, choices=["none", "int8"],
+                    help="override model.decode_quant in the exported "
+                         "graph (int8 = W8A8 gates matmul; weights stay "
+                         "f32 call-time inputs, quantized inside the "
+                         "graph)")
     ap.add_argument("--best", action="store_true", default=True)
     ap.add_argument("--check", action="store_true",
                     help="roundtrip-verify vs the live Captioner")
@@ -38,7 +43,8 @@ def main(argv=None) -> int:
     from ..export_aot import load_artifact, save_artifact
 
     platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
-    cap = Captioner.from_run_dir(args.run_dir, best=args.best)
+    cap = Captioner.from_run_dir(args.run_dir, best=args.best,
+                                 quant=args.quant)
     use_kernel = False if args.no_kernel else None
     manifest = save_artifact(args.out, cap.params, cap.cfg, cap.vocab,
                              platforms=platforms,

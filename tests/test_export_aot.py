@@ -118,3 +118,19 @@ def test_example_batch_matches_serving_shapes():
     assert b["regions"].shape == (3, 6, 4, 16)
     assert b["frame_mask"].shape == (3, 6)
     assert str(b["frames"].dtype) == m.compute_dtype
+
+
+def test_artifact_int8_serving_path(tmp_path):
+    """decode_quant='int8' is traced INTO the artifact (W8A8 gates
+    matmul); weights remain f32 call-time inputs.  The artifact must
+    match the live int8 Captioner."""
+    m = dataclasses.replace(MCFG, decode_quant="int8")
+    cfg = Config(model=m, decode=DecodeConfig(beam_size=2, maxlen=8,
+                                              decode_batch=2))
+    params = init_params(jax.random.PRNGKey(0), m)
+    vocab = _vocab()
+    out = str(tmp_path / "artifact")
+    save_artifact(out, params, cfg, vocab, platforms=("cpu",))
+    feats, _, _ = _feats(3, m, seed=5)
+    assert (load_artifact(out).caption(feats)
+            == Captioner(params, cfg, vocab).caption(feats))
