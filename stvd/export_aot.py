@@ -95,7 +95,8 @@ def example_batch(cfg: Config, batch_size: Optional[int] = None) -> Dict:
 def export_decoder(params, cfg: Config,
                    platforms: Sequence[str] = ("tpu",),
                    batch_size: Optional[int] = None,
-                   use_kernel: Optional[bool] = None):
+                   use_kernel: Optional[bool] = None,
+                   _example: Optional[Dict] = None):
     """Trace + lower the decode program for the target platform(s) and
     return the ``jax.export.Exported``.
 
@@ -116,7 +117,8 @@ def export_decoder(params, cfg: Config,
             f"Pallas kernels only lower for TPU; platforms={platforms} "
             "requires use_kernel=False")
     run = _decode_run_fn(cfg, get_step_fn(use_kernel))
-    batch = example_batch(cfg, batch_size)
+    batch = _example if _example is not None \
+        else example_batch(cfg, batch_size)
     return jexport.export(jax.jit(run), platforms=list(platforms))(
         params, batch)
 
@@ -131,8 +133,11 @@ def save_artifact(out_dir: str, params, cfg: Config, vocab: Vocab,
     """
     import jax
     os.makedirs(out_dir, exist_ok=True)
+    # one example batch serves trace AND manifest (at spatial reference
+    # scale the zeros region bank is ~720 MB on device — build it once)
+    example = example_batch(cfg, batch_size)
     exp = export_decoder(params, cfg, platforms=platforms,
-                         batch_size=batch_size, use_kernel=use_kernel)
+                         use_kernel=use_kernel, _example=example)
     with open(os.path.join(out_dir, _EXPORT_FILE), "wb") as f:
         f.write(exp.serialize())
     np.savez(os.path.join(out_dir, "params.npz"),
@@ -156,7 +161,7 @@ def save_artifact(out_dir: str, params, cfg: Config, vocab: Vocab,
         "param_count": int(sum(int(np.prod(v.shape))
                                for v in params.values())),
         "inputs": {k: [list(v.shape), str(v.dtype)]
-                   for k, v in example_batch(cfg).items()},
+                   for k, v in example.items()},
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
