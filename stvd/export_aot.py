@@ -133,6 +133,9 @@ def save_artifact(out_dir: str, params, cfg: Config, vocab: Vocab,
     """
     import jax
     os.makedirs(out_dir, exist_ok=True)
+    platforms = tuple(platforms)
+    if use_kernel is None:
+        use_kernel = platforms == ("tpu",)
     # one example batch serves trace AND manifest (at spatial reference
     # scale the zeros region bank is ~720 MB on device — build it once)
     example = example_batch(cfg, batch_size)
@@ -156,8 +159,7 @@ def save_artifact(out_dir: str, params, cfg: Config, vocab: Vocab,
         "decode_batch": cfg.decode.decode_batch,
         "beam_size": cfg.decode.beam_size,
         "maxlen": cfg.decode.maxlen,
-        "use_kernel": bool(use_kernel if use_kernel is not None
-                           else tuple(platforms) == ("tpu",)),
+        "use_kernel": bool(use_kernel),
         "param_count": int(sum(int(np.prod(v.shape))
                                for v in params.values())),
         "inputs": {k: [list(v.shape), str(v.dtype)]
@@ -194,6 +196,9 @@ class ExportedCaptioner:
                 regions: Optional[Sequence[np.ndarray]] = None,
                 motion: Optional[Sequence[np.ndarray]] = None,
                 ) -> List[str]:
+        # Captioner.caption only touches self.cfg.model and
+        # self.caption_batch, both of which this class provides — the
+        # raw-features packing path is shared, not reimplemented
         from .api import Captioner
         return Captioner.caption(self, features, regions, motion)
 
@@ -202,14 +207,25 @@ def load_artifact(path: str, params=None) -> ExportedCaptioner:
     """Deserialize a saved artifact.  ``params`` (a flat dict of arrays)
     overrides the shipped checkpoint — same-architecture weight swaps
     need no re-export."""
+    import jax
     from jax import export as jexport
     import jax.numpy as jnp
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    fmt = manifest.get("format")
+    if fmt != "stvd-aot-decode-v1":
+        raise ValueError(f"{path}: unknown artifact format {fmt!r} "
+                         "(expected stvd-aot-decode-v1)")
+    backend = jax.default_backend()
+    if backend not in manifest["platforms"]:
+        raise ValueError(
+            f"{path}: artifact was exported for {manifest['platforms']} "
+            f"but the current backend is {backend!r} — re-export with "
+            f"--platforms {backend} (or include it in the list)")
     with open(os.path.join(path, _EXPORT_FILE), "rb") as f:
         exported = jexport.deserialize(f.read())
     with open(os.path.join(path, "config.json")) as f:
         cfg = Config.from_json(f.read())
-    with open(os.path.join(path, "manifest.json")) as f:
-        manifest = json.load(f)
     if params is None:
         with np.load(os.path.join(path, "params.npz")) as z:
             params = {k: jnp.asarray(z[k]) for k in z.files}

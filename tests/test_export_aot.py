@@ -134,3 +134,16 @@ def test_artifact_int8_serving_path(tmp_path):
     feats, _, _ = _feats(3, m, seed=5)
     assert (load_artifact(out).caption(feats)
             == Captioner(params, cfg, vocab).caption(feats))
+
+
+def test_load_artifact_platform_mismatch(tmp_path):
+    """Loading a tpu-only artifact on a cpu backend fails fast with a
+    clear error instead of a cryptic XLA platform failure at call
+    time."""
+    cfg = Config(model=MCFG, decode=DecodeConfig(beam_size=2, maxlen=8,
+                                                 decode_batch=2))
+    params = init_params(jax.random.PRNGKey(0), MCFG)
+    out = str(tmp_path / "artifact")
+    save_artifact(out, params, cfg, _vocab(), platforms=("tpu",))
+    with pytest.raises(ValueError, match="re-export"):
+        load_artifact(out)
