@@ -23,6 +23,7 @@ import time
 sys.path.insert(0, ".")
 
 LEGACY_CAPTIONS_PER_SEC = 2.5   # documented estimate, see module docstring
+_LAST_TPU_CACHE = "/tmp/stvd_bench_last_tpu.json"
 
 # v5e-1 peaks (public spec): 197 TFLOP/s bf16 / 394 TOPS int8, ~820 GB/s
 # HBM.  VPU elementwise rate: 8 sublanes x 128 lanes x ~0.94 GHz ~ 1e12
@@ -712,13 +713,23 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
         cps, per_batch = bench_decode(True, args.kernel, max(2, args.iters // 2))
-        print(json.dumps({
+        rec = {
             "metric": "decode_captions_per_sec_per_chip",
             "value": round(cps, 2), "unit": "captions/s",
             "vs_baseline": round(cps / LEGACY_CAPTIONS_PER_SEC, 1),
             "platform": "cpu-fallback (1 core)",
             "error": "TPU tunnel unresponsive; CPU lower bound reported",
-            "beam": 5, "batch_decode_ms": round(per_batch * 1e3, 1)}))
+            "beam": 5, "batch_decode_ms": round(per_batch * 1e3, 1)}
+        try:
+            with open(_LAST_TPU_CACHE) as f:
+                # last known-good chip record from a previous run of
+                # this same script on this machine — informational
+                # only, clearly labeled; the headline stays the
+                # honestly-measured CPU lower bound
+                rec["last_tpu_measurement"] = json.load(f)
+        except (OSError, ValueError):
+            pass
+        print(json.dumps(rec))
         return
 
     if args.preset:
@@ -864,6 +875,15 @@ def main():
                                  quant="int8")
         out["greedy_captions_per_sec_int8"] = round(gq_cps, 2)
         out["vs_baseline"] = round(out["value"] / LEGACY_CAPTIONS_PER_SEC, 1)
+        import jax as _jx
+        if _jx.default_backend() == "tpu":
+            # cache the record so a wedged-tunnel fallback run can
+            # report the last known-good chip measurement (labeled)
+            try:
+                with open(_LAST_TPU_CACHE, "w") as f:
+                    json.dump(out, f)
+            except OSError:
+                pass
     print(json.dumps(out))
 
 
