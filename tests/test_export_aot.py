@@ -147,3 +147,34 @@ def test_load_artifact_platform_mismatch(tmp_path):
     save_artifact(out, params, cfg, _vocab(), platforms=("tpu",))
     with pytest.raises(ValueError, match="re-export"):
         load_artifact(out)
+
+
+def test_artifact_bf16_compute_roundtrip(tmp_path):
+    """compute_dtype='bfloat16' (the TPU production numeric config)
+    exports and roundtrips on CPU too — the artifact matches the live
+    bf16 Captioner."""
+    m = dataclasses.replace(MCFG, compute_dtype="bfloat16")
+    cfg = Config(model=m, decode=DecodeConfig(beam_size=2, maxlen=8,
+                                              decode_batch=2))
+    params = init_params(jax.random.PRNGKey(2), m)
+    vocab = _vocab()
+    out = str(tmp_path / "artifact")
+    save_artifact(out, params, cfg, vocab, platforms=("cpu",))
+    feats, _, _ = _feats(3, m, seed=9)
+    assert (load_artifact(out).caption(feats)
+            == Captioner(params, cfg, vocab).caption(feats))
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 5, 7])
+def test_chunked_caption_size_invariance(n):
+    """chunked_caption must give identical captions for any request
+    size/padding split: captions of the first n of a 7-video batch ==
+    first n captions of the full batch (decode_batch=3 forces varied
+    chunk/pad layouts across n)."""
+    cfg = Config(model=MCFG, decode=DecodeConfig(beam_size=2, maxlen=8,
+                                                 decode_batch=3))
+    params = init_params(jax.random.PRNGKey(0), MCFG)
+    cap = Captioner(params, cfg, _vocab())
+    feats, _, _ = _feats(7, MCFG, seed=11)
+    full = cap.caption(feats)
+    assert cap.caption(feats[:n]) == full[:n]
