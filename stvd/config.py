@@ -80,7 +80,7 @@ class ModelConfig:
     # 176 MB regions tensor is read once per step instead of twice.
     # 'auto' = on under TPU, off elsewhere; 'on' forces it (interpret
     # mode off-TPU — tests use this); 'off' keeps the XLA path.
-    train_fwd_kernel: str = "auto"  # Pallas temporal-attention core
+    train_fwd_kernel: str = "off"   # Pallas temporal-attention core
     # (kernel.attention_core_pallas) inside the fused-VJP FORWARD train
     # scan: replaces ~5 XLA fusions (tanh-score, softmax, ctx reduce,
     # selector) with one kernel per step.  The forward sits ~1.8x over
@@ -89,6 +89,12 @@ class ModelConfig:
     # fusions is the remaining lever.  'auto' = on under TPU, off
     # elsewhere; 'on' forces it (interpret mode off-TPU — tests);
     # 'off' keeps the pure-jnp body.  Backward math is unchanged.
+    # DEFAULT 'off': grad parity is test-pinned, but the reference-
+    # scale TPU before/after (battery 11/12) had not landed when this
+    # shipped — the decode-side analogue measured slightly NEGATIVE
+    # (attn_pallas 0.254 vs attn_jnp 0.205 ms/step), so on-by-default
+    # must wait for a measured win.  Flip to 'auto' if battery 11/12
+    # comes back positive.
     remat: bool = False             # jax.checkpoint the train-scan body:
     # recompute per-step activations in the backward instead of saving
     # them (required for config 2 at full scale+batch 64: the spatial
