@@ -399,3 +399,42 @@ def test_fused_seq_grad_trains():
     for _ in range(20):
         state, m = step(state, batch)
     assert float(m["loss"]) < float(m0["loss"])
+
+
+def test_fwd_kernel_grad_parity_bf16_loose():
+    """train_fwd_kernel='on' at bfloat16 (the TPU production numeric
+    config if battery 11/12 flips the default): same rounding class as
+    the bf16 jnp body."""
+    cfg = _cfg(compute_dtype="bfloat16", train_fwd_kernel="on")
+    cfg_ref = dataclasses.replace(cfg, fused_seq_grad=False,
+                                  train_fwd_kernel="off")
+    params, batch = _setup(cfg)
+    g_new = jax.grad(lambda p: loss_fn(p, cfg, batch, train=False)[0]
+                     )(params)
+    g_ref = jax.grad(lambda p: loss_fn(p, cfg_ref, batch, train=False)[0]
+                     )(params)
+    for k in ("U", "Wc", "W", "U_att", "Wc_att", "Wd_att"):
+        a, b = np.asarray(g_new[k], np.float32), np.asarray(g_ref[k],
+                                                            np.float32)
+        denom = np.maximum(np.abs(b).max(), 1e-6)
+        assert np.abs(a - b).max() / denom < 0.05, k
+
+
+def test_spatial_fwd_kernel_grad_parity_bf16_loose():
+    """Spatial path, both kernels, bfloat16: the full config-2 TPU
+    production candidate."""
+    cfg = _scfg(compute_dtype="bfloat16", train_fwd_kernel="on",
+                spatial_bwd_kernel="on")
+    cfg_ref = dataclasses.replace(cfg, fused_seq_grad=False,
+                                  train_fwd_kernel="off",
+                                  spatial_bwd_kernel="off")
+    params, batch = _setup_spatial(cfg)
+    g_new = jax.grad(lambda p: loss_fn(p, cfg, batch, train=False)[0]
+                     )(params)
+    g_ref = jax.grad(lambda p: loss_fn(p, cfg_ref, batch, train=False)[0]
+                     )(params)
+    for k in ("U", "Wc", "Us_att", "Ws_att", "W_spat_fuse", "U_att"):
+        a, b = np.asarray(g_new[k], np.float32), np.asarray(g_ref[k],
+                                                            np.float32)
+        denom = np.maximum(np.abs(b).max(), 1e-6)
+        assert np.abs(a - b).max() / denom < 0.05, k
