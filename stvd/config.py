@@ -59,7 +59,9 @@ class ModelConfig:
     # teacher-forced train scan (model/seqgrad.py): weight grads become
     # two post-scan GEMMs instead of a 220 MB fp32 accumulator carried
     # through every backward step.  Exact-parity tested vs autodiff;
-    # auto-falls-back for spatial attention / scheduled sampling
+    # covers the temporal AND (since round 3) spatial paths; auto-
+    # falls-back only for scheduled sampling (ss_prob > 0), whose
+    # sampled inputs need the live scan
     wgrad_dtype: str = "float32"    # weight-gradient scan-accumulator
     # dtype: 'float32' (exact) or 'bfloat16' (halves the 220 MB/step
     # dL/d[gates] accumulator traffic — see step._dot_bf16_wgrad).
