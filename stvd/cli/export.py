@@ -22,8 +22,11 @@ def main(argv=None) -> int:
     ap.add_argument("--out", required=True, help="artifact output dir")
     ap.add_argument("--platforms", default="tpu",
                     help="comma list: tpu | cpu | tpu,cpu")
-    ap.add_argument("--batch", type=int, default=0,
-                    help="static decode batch (default: config decode_batch)")
+    ap.add_argument("--batch", default="",
+                    help="static decode batch size(s); a comma list "
+                         "(e.g. '1,64,256') exports one graph per size "
+                         "for bucketed serving (default: config "
+                         "decode_batch)")
     ap.add_argument("--no-kernel", action="store_true",
                     help="force the XLA step (no Pallas) even for tpu-only")
     ap.add_argument("--quant", default=None, choices=["none", "int8"],
@@ -46,13 +49,16 @@ def main(argv=None) -> int:
     cap = Captioner.from_run_dir(args.run_dir, best=args.best,
                                  quant=args.quant)
     use_kernel = False if args.no_kernel else None
+    sizes = ([int(b) for b in args.batch.split(",") if b.strip()]
+             if args.batch else None)
     manifest = save_artifact(args.out, cap.params, cap.cfg, cap.vocab,
                              platforms=platforms,
-                             batch_size=args.batch or None,
+                             batch_sizes=sizes,
                              use_kernel=use_kernel)
     print(f"exported {args.run_dir} -> {args.out} "
           f"(platforms={manifest['platforms']} "
-          f"batch={manifest['decode_batch']} beam={manifest['beam_size']} "
+          f"batch_sizes={manifest['batch_sizes']} "
+          f"beam={manifest['beam_size']} "
           f"kernel={manifest['use_kernel']})")
 
     if args.check:

@@ -12,7 +12,9 @@ cannot silently alter a deployed decoder).
 
 Artifact layout (a directory)::
 
-    decode.jaxexport   serialized jax.export.Exported (StableHLO bytes)
+    decode_b{N}.jaxexport   one serialized jax.export.Exported
+                       (StableHLO bytes) per static batch size N —
+                       bucketed serving (see save_artifact)
     params.npz         checkpoint weights.  Weights are CALL-TIME inputs
                        to the exported graph, so one artifact serves any
                        same-architecture checkpoint (pass ``params=`` to
@@ -41,7 +43,6 @@ import numpy as np
 from .config import Config
 from .data.text import Vocab
 
-_EXPORT_FILE = "decode.jaxexport"
 
 
 def _decode_run_fn(cfg: Config, step_fn):
@@ -126,8 +127,17 @@ def export_decoder(params, cfg: Config,
 def save_artifact(out_dir: str, params, cfg: Config, vocab: Vocab,
                   platforms: Sequence[str] = ("tpu",),
                   batch_size: Optional[int] = None,
-                  use_kernel: Optional[bool] = None) -> Dict:
+                  use_kernel: Optional[bool] = None,
+                  batch_sizes: Optional[Sequence[int]] = None) -> Dict:
     """Export the decoder and write the full serving artifact directory.
+
+    ``batch_sizes`` (e.g. ``(1, 64, 256)``) exports one graph per
+    static batch size — bucketed serving: the loader routes each
+    request to the best-fitting executable (bulk chunks ride the
+    largest size for throughput, the remainder picks the smallest size
+    that fits, so a 1-video request pays the b=1 latency graph, not a
+    padded 256-row batch).  Default: one size (``batch_size`` or the
+    config's decode_batch).
 
     Returns the manifest dict.
     """
@@ -136,34 +146,44 @@ def save_artifact(out_dir: str, params, cfg: Config, vocab: Vocab,
     platforms = tuple(platforms)
     if use_kernel is None:
         use_kernel = platforms == ("tpu",)
-    # one example batch serves trace AND manifest (at spatial reference
-    # scale the zeros region bank is ~720 MB on device — build it once)
-    example = example_batch(cfg, batch_size)
-    exp = export_decoder(params, cfg, platforms=platforms,
-                         use_kernel=use_kernel, _example=example)
-    with open(os.path.join(out_dir, _EXPORT_FILE), "wb") as f:
-        f.write(exp.serialize())
+    if batch_sizes is None:
+        batch_sizes = (batch_size or cfg.decode.decode_batch,)
+    sizes = sorted(set(int(b) for b in batch_sizes))
+    if not sizes or sizes[0] < 1:
+        raise ValueError(f"batch_sizes must be positive ints: {batch_sizes}")
+    inputs = {}
+    for b in sizes:
+        # one example batch per size serves trace AND manifest (at
+        # spatial reference scale the zeros region bank is ~720 MB on
+        # device — build each once)
+        example = example_batch(cfg, b)
+        exp = export_decoder(params, cfg, platforms=platforms,
+                             use_kernel=use_kernel, _example=example)
+        with open(os.path.join(out_dir, f"decode_b{b}.jaxexport"),
+                  "wb") as f:
+            f.write(exp.serialize())
+        inputs[str(b)] = {k: [list(v.shape), str(v.dtype)]
+                          for k, v in example.items()}
     np.savez(os.path.join(out_dir, "params.npz"),
              **{k: np.asarray(v) for k, v in params.items()})
     vocab.save_pickle(os.path.join(out_dir, "vocab.pkl"))
-    if batch_size:
-        cfg = dataclasses.replace(
-            cfg, decode=dataclasses.replace(cfg.decode,
-                                            decode_batch=batch_size))
+    cfg = dataclasses.replace(
+        cfg, decode=dataclasses.replace(cfg.decode,
+                                        decode_batch=sizes[-1]))
     with open(os.path.join(out_dir, "config.json"), "w") as f:
         f.write(cfg.to_json())
     manifest = {
         "format": "stvd-aot-decode-v1",
         "platforms": list(platforms),
         "jax_version": jax.__version__,
-        "decode_batch": cfg.decode.decode_batch,
+        "batch_sizes": sizes,
+        "decode_batch": sizes[-1],
         "beam_size": cfg.decode.beam_size,
         "maxlen": cfg.decode.maxlen,
         "use_kernel": bool(use_kernel),
         "param_count": int(sum(int(np.prod(v.shape))
                                for v in params.values())),
-        "inputs": {k: [list(v.shape), str(v.dtype)]
-                   for k, v in example.items()},
+        "inputs": inputs,
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
@@ -178,18 +198,36 @@ class ExportedCaptioner:
     stochastic sampling need live tracing — use ``Captioner`` for those.
     """
 
-    def __init__(self, exported, params, cfg: Config, vocab: Vocab,
-                 manifest: Optional[Dict] = None):
-        self._exported = exported
+    def __init__(self, exported: Dict[int, object], params, cfg: Config,
+                 vocab: Vocab, manifest: Optional[Dict] = None):
+        self._exported = dict(exported)   # {batch_size: Exported}
         self.params = params
         self.cfg = cfg
         self.vocab = vocab
         self.manifest = manifest or {}
 
     def caption_batch(self, batch: Dict) -> List[str]:
+        """Bucketed routing: bulk chunks ride the largest exported
+        batch size; the remainder uses the smallest size that fits
+        (a 1-video request on a (1, 64, 256) artifact runs the b=1
+        graph, not a 256-row padded batch)."""
         from .api import chunked_caption
-        return chunked_caption(self._exported.call, self.params, batch,
-                               self.cfg.decode.decode_batch, self.vocab)
+        sizes = sorted(self._exported)
+        bmax = sizes[-1]
+        n = int(batch["frames"].shape[0])
+        nbulk = (n // bmax) * bmax
+        out: List[str] = []
+        if nbulk:
+            bulk = {k: v[:nbulk] for k, v in batch.items()}
+            out += chunked_caption(self._exported[bmax].call, self.params,
+                                   bulk, bmax, self.vocab)
+        rem = n - nbulk
+        if rem:
+            bfit = next(b for b in sizes if b >= rem)
+            tail = {k: v[nbulk:] for k, v in batch.items()}
+            out += chunked_caption(self._exported[bfit].call, self.params,
+                                   tail, bfit, self.vocab)
+        return out
 
     def caption(self,
                 features: Union[np.ndarray, Sequence[np.ndarray]],
@@ -222,8 +260,10 @@ def load_artifact(path: str, params=None) -> ExportedCaptioner:
             f"{path}: artifact was exported for {manifest['platforms']} "
             f"but the current backend is {backend!r} — re-export with "
             f"--platforms {backend} (or include it in the list)")
-    with open(os.path.join(path, _EXPORT_FILE), "rb") as f:
-        exported = jexport.deserialize(f.read())
+    exported = {}
+    for b in manifest["batch_sizes"]:
+        with open(os.path.join(path, f"decode_b{b}.jaxexport"), "rb") as f:
+            exported[int(b)] = jexport.deserialize(f.read())
     with open(os.path.join(path, "config.json")) as f:
         cfg = Config.from_json(f.read())
     if params is None:

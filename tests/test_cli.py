@@ -156,7 +156,7 @@ def test_export_cli_roundtrip_check(run_dir, tmp_path, capsys):
     out = str(tmp_path / "aot")
     assert export_main(["--run-dir", run_dir, "--out", out,
                         "--platforms", "cpu", "--check"]) == 0
-    for name in ("decode.jaxexport", "params.npz", "vocab.pkl",
+    for name in ("decode_b256.jaxexport", "params.npz", "vocab.pkl",
                  "config.json", "manifest.json"):
         assert os.path.exists(os.path.join(out, name)), name
     stdout = capsys.readouterr().out

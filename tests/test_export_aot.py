@@ -178,3 +178,25 @@ def test_chunked_caption_size_invariance(n):
     feats, _, _ = _feats(7, MCFG, seed=11)
     full = cap.caption(feats)
     assert cap.caption(feats[:n]) == full[:n]
+
+
+@pytest.mark.parametrize("n", [1, 2, 4, 5, 9])
+def test_bucketed_artifact_routes_and_matches_live(tmp_path, n):
+    """batch_sizes=(2, 4): bulk chunks ride b=4, remainders pick the
+    smallest graph that fits (n=1 -> b=2 graph; n=5 -> 4 + 1-on-b=2).
+    Captions must equal the live Captioner for every request size."""
+    cfg = Config(model=MCFG, decode=DecodeConfig(beam_size=2, maxlen=8,
+                                                 decode_batch=4))
+    params = init_params(jax.random.PRNGKey(0), MCFG)
+    vocab = _vocab()
+    out = str(tmp_path / "artifact")
+    manifest = save_artifact(out, params, cfg, vocab, platforms=("cpu",),
+                             batch_sizes=(4, 2))
+    assert manifest["batch_sizes"] == [2, 4]
+    import os as _os
+    assert _os.path.exists(_os.path.join(out, "decode_b2.jaxexport"))
+    assert _os.path.exists(_os.path.join(out, "decode_b4.jaxexport"))
+    served = load_artifact(out)
+    feats, _, _ = _feats(n, MCFG, seed=n)
+    live = Captioner(params, cfg, vocab)
+    assert served.caption(feats) == live.caption(feats)
