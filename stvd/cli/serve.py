@@ -1,0 +1,254 @@
+"""Local captioning server over an AOT artifact (or a live run dir).
+
+    python -m stvd.cli.serve --artifact artifacts/msvd [--port 8017]
+    python -m stvd.cli.serve --run-dir runs/msvd [--quant int8]
+
+The reference has no serving story at all (decode = re-run metrics.py
+by hand, rebuilding the Theano sampler in-process every time —
+SURVEY.md §3.3).  This closes the production loop around
+``export_aot``: a daemon that deserializes the AOT decode graph once
+and answers caption requests over HTTP, so the model process and the
+request producers are decoupled exactly like a real serving deployment.
+
+Endpoints (all JSON responses):
+
+    GET  /healthz    {"status": "ok", "mode": "aot"|"live",
+                      "requests_served": N}
+    GET  /manifest   artifact manifest (aot) / config summary (live)
+    POST /caption    body is EITHER
+                     - ``application/x-npz``: an .npz with ``features``
+                       (N, F, D) float32 and optional ``regions``
+                       (N, F, R, Dr) / ``motion`` (N, F, Dm), or
+                     - ``application/json``: the same arrays as nested
+                       lists.
+                     -> {"captions": [str, ...], "n": N, "ms": float}
+
+The server is deliberately SINGLE-THREADED: there is one chip, and
+decode requests would only contend on it — serialization at the HTTP
+layer is the honest queue (bucketed AOT artifacts already give small
+requests a small-batch graph, so a b=1 request is never stuck behind
+its own padding, only behind earlier requests).
+
+``request_captions`` is the matching client helper (npz wire format —
+~4x smaller and ~10x faster to parse than JSON for feature tensors).
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import sys
+import time
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+_STREAM_KEYS = ("features", "regions", "motion")
+
+
+def _parse_caption_body(body: bytes, content_type: str) -> Dict:
+    """Decode a /caption request body into {features, regions, motion}
+    numpy arrays (regions/motion may be absent)."""
+    ct = (content_type or "").split(";")[0].strip().lower()
+    if ct == "application/x-npz":
+        with np.load(io.BytesIO(body), allow_pickle=False) as z:
+            arrays = {k: z[k] for k in z.files if k in _STREAM_KEYS}
+    elif ct == "application/json":
+        obj = json.loads(body.decode("utf-8"))
+        arrays = {k: np.asarray(obj[k], dtype=np.float32)
+                  for k in _STREAM_KEYS if obj.get(k) is not None}
+    else:
+        raise ValueError(f"unsupported Content-Type {content_type!r} "
+                         "(use application/x-npz or application/json)")
+    if "features" not in arrays:
+        raise ValueError("request must contain 'features' (N, F, D)")
+    feats = arrays["features"]
+    if feats.ndim != 3:
+        raise ValueError(f"features must be (N, F, D); got {feats.shape}")
+    n = feats.shape[0]
+    for k, want_ndim in (("regions", 4), ("motion", 3)):
+        a = arrays.get(k)
+        if a is None:
+            continue
+        if a.ndim != want_ndim or a.shape[0] != n:
+            raise ValueError(f"{k} must be rank {want_ndim} with leading "
+                             f"dim {n}; got {a.shape}")
+    return arrays
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # the captioner/state ride on the server object, not the handler
+    # (one handler instance per request)
+    server: "CaptionServer"
+
+    def _reply(self, code: int, obj: Dict) -> None:
+        data = json.dumps(obj).encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def log_message(self, fmt, *args):  # stdout noise -> opt-in
+        if self.server.verbose:
+            sys.stderr.write("%s - %s\n" % (self.address_string(),
+                                            fmt % args))
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            self._reply(200, {"status": "ok", "mode": self.server.mode,
+                              "requests_served": self.server.served})
+        elif self.path == "/manifest":
+            self._reply(200, self.server.manifest)
+        else:
+            self._reply(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self):
+        if self.path != "/caption":
+            self._reply(404, {"error": f"unknown path {self.path}"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            body = self.rfile.read(length)
+            arrays = _parse_caption_body(
+                body, self.headers.get("Content-Type", ""))
+            t0 = time.perf_counter()
+            captions = self.server.captioner.caption(
+                arrays["features"],
+                regions=arrays.get("regions"),
+                motion=arrays.get("motion"))
+            ms = (time.perf_counter() - t0) * 1e3
+            self.server.served += 1
+            self._reply(200, {"captions": captions,
+                              "n": len(captions), "ms": round(ms, 3)})
+        except (ValueError, KeyError) as e:
+            self._reply(400, {"error": str(e)})
+        except Exception as e:  # surface, don't kill the daemon
+            self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+
+class CaptionServer(HTTPServer):
+    """HTTP server bound to any object with a
+    ``caption(features, regions=..., motion=...) -> [str]`` method
+    (both ``api.Captioner`` and ``export_aot.ExportedCaptioner``)."""
+
+    def __init__(self, captioner, host: str = "127.0.0.1", port: int = 0,
+                 mode: str = "aot", manifest: Optional[Dict] = None,
+                 verbose: bool = False):
+        super().__init__((host, port), _Handler)
+        self.captioner = captioner
+        self.mode = mode
+        self.manifest = manifest or {}
+        self.verbose = verbose
+        self.served = 0
+
+    def warmup(self) -> float:
+        """One zeros-batch caption per exported size (aot) / one at
+        decode_batch (live) so the first real request never pays
+        first-call costs.  Returns wall seconds."""
+        m = self.captioner.cfg.model
+        sizes = self.manifest.get("batch_sizes") or [
+            self.captioner.cfg.decode.decode_batch]
+        t0 = time.perf_counter()
+        for b in sizes:
+            feats = np.zeros((b, m.n_frames, m.ctx_dim), np.float32)
+            regs = (np.zeros((b, m.n_frames, m.n_regions, m.region_dim),
+                             np.float32) if m.use_spatial else None)
+            mots = (np.zeros((b, m.n_frames, m.motion_dim), np.float32)
+                    if m.use_motion else None)
+            self.captioner.caption(feats, regions=regs, motion=mots)
+        return time.perf_counter() - t0
+
+
+def encode_npz_request(features, regions=None, motion=None) -> bytes:
+    buf = io.BytesIO()
+    arrays = {"features": np.asarray(features, np.float32)}
+    if regions is not None:
+        arrays["regions"] = np.asarray(regions, np.float32)
+    if motion is not None:
+        arrays["motion"] = np.asarray(motion, np.float32)
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+def request_captions(host: str, port: int, features, regions=None,
+                     motion=None, timeout: float = 300.0) -> List[str]:
+    """Client helper: POST /caption with the npz wire format."""
+    import http.client
+    conn = http.client.HTTPConnection(host, port, timeout=timeout)
+    try:
+        body = encode_npz_request(features, regions, motion)
+        conn.request("POST", "/caption", body=body,
+                     headers={"Content-Type": "application/x-npz"})
+        resp = conn.getresponse()
+        obj = json.loads(resp.read().decode("utf-8"))
+        if resp.status != 200:
+            raise RuntimeError(f"server error {resp.status}: "
+                               f"{obj.get('error')}")
+        return obj["captions"]
+    finally:
+        conn.close()
+
+
+def build_server(args) -> CaptionServer:
+    if bool(args.artifact) == bool(args.run_dir):
+        raise ValueError("exactly one of --artifact / --run-dir required")
+    if args.artifact:
+        from ..export_aot import load_artifact
+        params = None
+        if args.params:
+            import jax.numpy as jnp
+            with np.load(args.params) as z:
+                params = {k: jnp.asarray(z[k]) for k in z.files}
+        cap = load_artifact(args.artifact, params=params)
+        return CaptionServer(cap, args.host, args.port, mode="aot",
+                             manifest=cap.manifest, verbose=args.verbose)
+    from ..api import Captioner
+    cap = Captioner.from_run_dir(args.run_dir, quant=args.quant)
+    summary = {"mode": "live", "run_dir": args.run_dir,
+               "beam_size": cap.cfg.decode.beam_size,
+               "decode_batch": cap.cfg.decode.decode_batch,
+               "maxlen": cap.cfg.decode.maxlen}
+    return CaptionServer(cap, args.host, args.port, mode="live",
+                         manifest=summary, verbose=args.verbose)
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--artifact", help="AOT artifact dir (cli/export)")
+    src.add_argument("--run-dir", help="live mode: training run dir")
+    ap.add_argument("--params", default=None,
+                    help="override weights: an .npz of same-architecture "
+                         "params (aot mode; no re-export needed)")
+    ap.add_argument("--quant", default=None, choices=["none", "int8"],
+                    help="live mode: override model.decode_quant")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8017)
+    ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--verbose", action="store_true",
+                    help="log each request to stderr")
+    args = ap.parse_args(argv)
+
+    from ..utils import enable_compile_cache
+    enable_compile_cache()
+    server = build_server(args)
+    if not args.no_warmup:
+        secs = server.warmup()
+        print(f"warmup: {secs:.1f}s "
+              f"(sizes {server.manifest.get('batch_sizes') or 'live'})")
+    print(f"serving {server.mode} on http://{args.host}:"
+          f"{server.server_port}  (POST /caption, GET /healthz)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,198 @@
+"""HTTP serving daemon (stvd/cli/serve.py).
+
+The reference has no serving path at all (SURVEY.md §3.3: per-video,
+per-step host round-trips inside metrics.py); serve.py is the
+production loop around the AOT artifacts.  Pinned here: served
+captions == direct captioner captions over both wire formats, the
+health/manifest endpoints, error handling, and the live-Captioner
+binding.
+"""
+
+import dataclasses
+import json
+import threading
+
+import http.client
+import jax
+import numpy as np
+import pytest
+
+from stvd.api import Captioner
+from stvd.cli.serve import (CaptionServer, build_server,
+                            encode_npz_request, request_captions)
+from stvd.config import Config, DecodeConfig, ModelConfig
+from stvd.data.batching import synthetic_dataset
+from stvd.export_aot import load_artifact, save_artifact
+from stvd.model.decoder import init_params
+
+MCFG = ModelConfig(n_words=48, dim_word=16, dim=24, ctx_dim=32, n_frames=6,
+                   compute_dtype="float32")
+
+
+def _vocab():
+    return synthetic_dataset(n_videos=2, k=6, d=32, maxlen=8, seed=0).vocab
+
+
+def _artifact(tmp_path, beam=2, spatial=False):
+    m = (dataclasses.replace(MCFG, use_spatial=True, n_regions=4,
+                             region_dim=16) if spatial else MCFG)
+    cfg = Config(model=m, decode=DecodeConfig(beam_size=beam, maxlen=8,
+                                              decode_batch=3))
+    params = init_params(jax.random.PRNGKey(0), m)
+    out = str(tmp_path / "artifact")
+    save_artifact(out, params, cfg, _vocab(), platforms=("cpu",))
+    return out, params, cfg
+
+
+class _Srv:
+    """Run a CaptionServer on an ephemeral port in a daemon thread."""
+
+    def __init__(self, server: CaptionServer):
+        self.server = server
+        self.port = server.server_port
+        self.thread = threading.Thread(target=server.serve_forever,
+                                       daemon=True)
+
+    def __enter__(self):
+        self.thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.server.shutdown()
+        self.server.server_close()
+        self.thread.join(timeout=10)
+
+
+def _get(port, path):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    try:
+        conn.request("GET", path)
+        resp = conn.getresponse()
+        return resp.status, json.loads(resp.read().decode())
+    finally:
+        conn.close()
+
+
+def _post(port, path, body, content_type):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+    try:
+        conn.request("POST", path, body=body,
+                     headers={"Content-Type": content_type})
+        resp = conn.getresponse()
+        return resp.status, json.loads(resp.read().decode())
+    finally:
+        conn.close()
+
+
+def test_served_captions_match_direct(tmp_path):
+    """npz wire format end-to-end == direct ExportedCaptioner, including
+    a request larger than decode_batch (exercises chunking/padding
+    through the HTTP layer)."""
+    out, _, cfg = _artifact(tmp_path)
+    cap = load_artifact(out)
+    feats = np.random.RandomState(0).randn(
+        4, MCFG.n_frames, MCFG.ctx_dim).astype(np.float32)
+    with _Srv(CaptionServer(cap, port=0, manifest=cap.manifest)) as s:
+        served = request_captions("127.0.0.1", s.port, feats)
+    assert served == cap.caption(feats)
+    assert len(served) == 4
+
+
+def test_json_wire_format_matches_npz(tmp_path):
+    out, _, _ = _artifact(tmp_path)
+    cap = load_artifact(out)
+    feats = np.random.RandomState(1).randn(
+        2, MCFG.n_frames, MCFG.ctx_dim).astype(np.float32)
+    with _Srv(CaptionServer(cap, port=0)) as s:
+        st1, o1 = _post(s.port, "/caption",
+                        encode_npz_request(feats), "application/x-npz")
+        st2, o2 = _post(s.port, "/caption",
+                        json.dumps({"features": feats.tolist()}),
+                        "application/json")
+    assert st1 == st2 == 200
+    assert o1["captions"] == o2["captions"]
+    assert o1["n"] == 2 and o1["ms"] > 0
+
+
+def test_spatial_streams_over_the_wire(tmp_path):
+    out, _, cfg = _artifact(tmp_path, spatial=True)
+    cap = load_artifact(out)
+    m = cfg.model
+    rng = np.random.RandomState(2)
+    feats = rng.randn(2, m.n_frames, m.ctx_dim).astype(np.float32)
+    regs = rng.randn(2, m.n_frames, m.n_regions,
+                     m.region_dim).astype(np.float32)
+    with _Srv(CaptionServer(cap, port=0)) as s:
+        served = request_captions("127.0.0.1", s.port, feats, regions=regs)
+    assert served == cap.caption(feats, list(regs))
+
+
+def test_health_manifest_and_errors(tmp_path):
+    out, _, _ = _artifact(tmp_path)
+    cap = load_artifact(out)
+    with _Srv(CaptionServer(cap, port=0, manifest=cap.manifest)) as s:
+        st, h = _get(s.port, "/healthz")
+        assert (st, h["status"], h["mode"]) == (200, "ok", "aot")
+        assert h["requests_served"] == 0
+        st, man = _get(s.port, "/manifest")
+        assert st == 200 and man["format"] == "stvd-aot-decode-v1"
+        # bad content type
+        st, err = _post(s.port, "/caption", b"x", "text/plain")
+        assert st == 400 and "Content-Type" in err["error"]
+        # missing features key
+        st, err = _post(s.port, "/caption", json.dumps({"regions": [[1.0]]}),
+                        "application/json")
+        assert st == 400 and "features" in err["error"]
+        # wrong rank
+        st, err = _post(s.port, "/caption",
+                        json.dumps({"features": [[1.0, 2.0]]}),
+                        "application/json")
+        assert st == 400 and "(N, F, D)" in err["error"]
+        # unknown paths
+        assert _get(s.port, "/nope")[0] == 404
+        assert _post(s.port, "/nope", b"", "application/json")[0] == 404
+        # counter advanced only on success
+        feats = np.zeros((1, MCFG.n_frames, MCFG.ctx_dim), np.float32)
+        request_captions("127.0.0.1", s.port, feats)
+        assert _get(s.port, "/healthz")[1]["requests_served"] == 1
+
+
+def test_live_captioner_binding_and_warmup():
+    """CaptionServer binds any object with .caption (live Captioner
+    included); warmup runs without error and returns wall seconds."""
+    cfg = Config(model=MCFG, decode=DecodeConfig(beam_size=1, maxlen=8,
+                                                 decode_batch=2))
+    cap = Captioner(init_params(jax.random.PRNGKey(3), MCFG), cfg, _vocab())
+    srv = CaptionServer(cap, port=0, mode="live")
+    try:
+        assert srv.warmup() > 0
+        feats = np.random.RandomState(4).randn(
+            3, MCFG.n_frames, MCFG.ctx_dim).astype(np.float32)
+        with _Srv(srv) as s:
+            served = request_captions("127.0.0.1", s.port, feats)
+        assert served == cap.caption(feats)
+    finally:
+        pass
+
+
+def test_build_server_requires_exactly_one_source(tmp_path):
+    import argparse
+    ns = argparse.Namespace(artifact=None, run_dir=None, params=None,
+                            quant=None, host="127.0.0.1", port=0,
+                            verbose=False)
+    with pytest.raises(ValueError, match="exactly one"):
+        build_server(ns)
+
+
+def test_build_server_from_artifact_cli_args(tmp_path):
+    out, _, _ = _artifact(tmp_path, beam=1)
+    import argparse
+    ns = argparse.Namespace(artifact=out, run_dir=None, params=None,
+                            quant=None, host="127.0.0.1", port=0,
+                            verbose=False)
+    srv = build_server(ns)
+    try:
+        assert srv.mode == "aot"
+        assert srv.manifest["batch_sizes"] == [3]
+    finally:
+        srv.server_close()
