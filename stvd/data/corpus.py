@@ -62,8 +62,10 @@ def split_ids(ids: Sequence[str], data_dir: str,
     derived from the numbering (the reference hardcodes it —
     ``data_engine.py:§Movie2Caption``, SURVEY.md §2 row 5), so a
     real-data run without explicit lists never silently scores a
-    non-standard split.  Anything else falls back to a deterministic
-    80/10/10 (synthetic corpora).
+    non-standard split.  ``dataset='msrvtt'`` likewise derives the
+    official MSR-VTT 6513/497/2990 split (``video0``..``video9999``).
+    Anything else falls back to a deterministic 80/10/10 (synthetic
+    corpora).
     """
     out = {}
     for split in ("train", "valid", "test"):
@@ -75,6 +77,10 @@ def split_ids(ids: Sequence[str], data_dir: str,
         return out
     if dataset == "youtube2text":
         canon = _youtube2text_split(ids)
+        if canon is not None:
+            return canon
+    if dataset == "msrvtt":
+        canon = _msrvtt_split(ids)
         if canon is not None:
             return canon
     rng = np.random.RandomState(seed)
@@ -104,6 +110,34 @@ def _youtube2text_split(ids: Sequence[str]) -> Optional[Dict[str, List[str]]]:
         if n <= 1200:
             out["train"].append(v)
         elif n <= 1300:
+            out["valid"].append(v)
+        else:
+            out["test"].append(v)
+    if not (out["train"] and out["valid"] and out["test"]):
+        return None   # numbering present but not spanning the canon split
+    return out
+
+
+def _msrvtt_split(ids: Sequence[str]) -> Optional[Dict[str, List[str]]]:
+    """Official MSR-VTT split by video numbering (0-based, unlike
+    MSVD's 1-based vids): train video0-6512, valid video6513-7009,
+    test video7010-9999 (6513/497/2990).  The reference consumes the
+    same hardcoded lists for its msr-vtt recipe
+    (``data_engine.py:§Movie2Caption``, SURVEY.md §2 row 5).  Returns
+    None when ids are not canonically numbered."""
+    import re
+    nums = {}
+    for v in ids:
+        m = re.fullmatch(r"(?:vid|video)?(\d+)", str(v))
+        if m is None:
+            return None
+        nums[v] = int(m.group(1))
+    out: Dict[str, List[str]] = {"train": [], "valid": [], "test": []}
+    for v in sorted(ids, key=lambda x: nums[x]):
+        n = nums[v]
+        if n <= 6512:
+            out["train"].append(v)
+        elif n <= 7009:
             out["valid"].append(v)
         else:
             out["test"].append(v)

@@ -77,6 +77,37 @@ def test_split_ids_youtube2text_canonical(tmp_path):
     assert len(so["train"]) == 16
 
 
+def test_split_ids_msrvtt_canonical(tmp_path):
+    """Official MSR-VTT split derived from 0-based video numbering:
+    6513/497/2990 (SURVEY.md §2 row 5).  No id files present,
+    dataset=msrvtt."""
+    ids = [f"video{i}" for i in range(10000)]
+    s = split_ids(ids, str(tmp_path), dataset="msrvtt")
+    assert len(s["train"]) == 6513
+    assert len(s["valid"]) == 497
+    assert len(s["test"]) == 2990
+    assert s["train"][0] == "video0" and s["train"][-1] == "video6512"
+    assert s["valid"][0] == "video6513" and s["valid"][-1] == "video7009"
+    assert s["test"][0] == "video7010" and s["test"][-1] == "video9999"
+    # partial banks split canonically by number
+    part = [f"video{i}" for i in (5, 6600, 7010, 9999)]
+    sp = split_ids(part, str(tmp_path), dataset="msrvtt")
+    assert sp == {"train": ["video5"], "valid": ["video6600"],
+                  "test": ["video7010", "video9999"]}
+    # the MSVD rule is NOT applied to msrvtt ids (numbering below 6513
+    # only -> no canonical split -> random fallback)
+    trainish = [f"video{i}" for i in range(100)]
+    st = split_ids(trainish, str(tmp_path), dataset="msrvtt")
+    assert len(st["train"]) == 80
+    # explicit id files still win over the canonical derivation
+    for name, members in (("train", ids[:2]), ("valid", ids[2:3]),
+                          ("test", ids[3:5])):
+        with open(os.path.join(str(tmp_path), f"{name}_ids.txt"), "w") as f:
+            f.write("\n".join(members))
+    sf = split_ids(ids, str(tmp_path), dataset="msrvtt")
+    assert sf == {"train": ids[:2], "valid": ids[2:3], "test": ids[3:5]}
+
+
 def test_load_splits_from_legacy_files(tmp_path):
     """Full reference-style data dir: feature pkl + CAP.pkl + worddict
     -> three Datasets ready for training."""
