@@ -10,6 +10,12 @@ dir (config.json + Orbax ckpt/ckpt_best [+ vocab.pkl]) that
 directly; model dims are inferred from the weight shapes:
     python -m stvd.cli.convert --ref-model model_best_so_far.npz \
         [--worddict worddict.pkl] --run-dir runs/imported
+
+Vocabulary — build a reference-format worddict from a caption corpus
+(CAP.pkl or .json), frequency-ranked like the reference's
+preprocessing (ids 0/1 reserved for <eos>/UNK):
+    python -m stvd.cli.convert --build-vocab CAP.pkl \
+        --out worddict.pkl [--max-words 20000]
 """
 
 from __future__ import annotations
@@ -66,8 +72,26 @@ def main(argv=None) -> int:
                     help="output run dir for --ref-model")
     ap.add_argument("--worddict",
                     help="legacy worddict.pkl -> run-dir vocab.pkl")
+    ap.add_argument("--build-vocab",
+                    help="caption corpus (CAP.pkl or .json) -> "
+                         "frequency-ranked worddict at --out")
+    ap.add_argument("--max-words", type=int, default=20000,
+                    help="vocab cap for --build-vocab (incl. <eos>/UNK)")
     args = ap.parse_args(argv)
 
+    if args.build_vocab:
+        if not args.out:
+            ap.error("--build-vocab requires --out")
+        from ..data.corpus import load_captions
+        from ..data.text import Vocab
+        caps = load_captions(args.build_vocab)
+        vocab = Vocab.build((toks for c in caps.values() for toks in c),
+                            max_words=args.max_words)
+        vocab.save_pickle(args.out)
+        print(f"built vocab: {len(vocab)} words from "
+              f"{sum(len(c) for c in caps.values())} captions "
+              f"({len(caps)} videos) -> {args.out}")
+        return 0
     if args.ref_model:
         if not args.run_dir:
             ap.error("--ref-model requires --run-dir")

@@ -306,3 +306,32 @@ def test_synthetic_corpus_tool_end_to_end(tmp_path):
     # every caption decodes to real words through the generated worddict
     text = " ".join(tr.vocab.decode(np.asarray(tr.captions.tokens[0])))
     assert len(text.split()) >= 4
+
+
+def test_build_vocab_cli(tmp_path):
+    """cli/convert --build-vocab: caption corpus -> reference-format
+    worddict.pkl (frequency-ranked, ids 0/1 reserved, Py2-loadable by
+    Vocab.load_pickle)."""
+    import json as _json
+
+    from stvd.cli.convert import main as convert_main
+    from stvd.data.text import Vocab
+
+    caps = {"vid1": ["a man is running fast", "a man runs"],
+            "vid2": ["a dog is running", "the dog barks"]}
+    cpath = str(tmp_path / "caps.json")
+    with open(cpath, "w") as f:
+        _json.dump(caps, f)
+    out = str(tmp_path / "worddict.pkl")
+    assert convert_main(["--build-vocab", cpath, "--out", out]) == 0
+    v = Vocab.load_pickle(out)
+    # 'a' is the most frequent word -> first free id
+    assert v.word_to_id["a"] == 2
+    assert v.word_to_id["<eos>"] == 0
+    for w in ("man", "running", "dog"):
+        assert w in v.word_to_id
+    # cap honors --max-words (2 reserved + 3 content words)
+    out2 = str(tmp_path / "small.pkl")
+    assert convert_main(["--build-vocab", cpath, "--out", out2,
+                         "--max-words", "5"]) == 0
+    assert len(Vocab.load_pickle(out2)) == 5
