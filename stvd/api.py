@@ -67,6 +67,35 @@ def chunked_caption(run, params, batch: Dict, bsz: int, vocab: Vocab,
     return out
 
 
+def pack_request(model_cfg, features, regions=None, motion=None) -> Dict:
+    """Raw per-video feature arrays -> a prepared device batch
+    (frames/frame_mask[/regions/motion]) in the model's compute dtype.
+
+    ``features`` is (N, F, D) or a list of (F_i, D) arrays (variable
+    frame counts are subsampled/padded to the model's K).  Shared by
+    ``Captioner``, ``ExportedCaptioner`` and the serving daemon so all
+    request paths pack identically.
+    """
+    import jax.numpy as jnp
+    if isinstance(features, np.ndarray) and features.ndim == 3:
+        feats = {f"v{i}": features[i] for i in range(features.shape[0])}
+    else:
+        feats = {f"v{i}": np.asarray(f) for i, f in enumerate(features)}
+    ids = [f"v{i}" for i in range(len(feats))]
+    regs = ({v: np.asarray(r) for v, r in zip(ids, regions)}
+            if regions is not None else None)
+    mots = ({v: np.asarray(m) for v, m in zip(ids, motion)}
+            if motion is not None else None)
+    bank = pack_bank(feats, model_cfg.n_frames, ids=ids, regions=regs,
+                     motion=mots)
+    dev = bank.to_device(dtype=jnp.dtype(model_cfg.compute_dtype))
+    batch = {"frames": dev["frames"], "frame_mask": dev["frame_mask"]}
+    for k in ("regions", "motion"):
+        if k in dev:
+            batch[k] = dev[k]
+    return batch
+
+
 class Captioner:
     """Caption pre-extracted video features with a trained model."""
 
@@ -204,21 +233,17 @@ class Captioner:
         ``features`` is (N, F, D) or a list of (F_i, D) arrays (variable
         frame counts are subsampled/padded to the model's K).
         """
-        import jax.numpy as jnp
-        if isinstance(features, np.ndarray) and features.ndim == 3:
-            feats = {f"v{i}": features[i] for i in range(features.shape[0])}
-        else:
-            feats = {f"v{i}": np.asarray(f) for i, f in enumerate(features)}
-        ids = [f"v{i}" for i in range(len(feats))]
-        regs = ({v: np.asarray(r) for v, r in zip(ids, regions)}
-                if regions is not None else None)
-        mots = ({v: np.asarray(m) for v, m in zip(ids, motion)}
-                if motion is not None else None)
-        bank = pack_bank(feats, self.cfg.model.n_frames, ids=ids,
-                         regions=regs, motion=mots)
-        dev = bank.to_device(dtype=jnp.dtype(self.cfg.model.compute_dtype))
-        batch = {"frames": dev["frames"], "frame_mask": dev["frame_mask"]}
-        for k in ("regions", "motion"):
-            if k in dev:
-                batch[k] = dev[k]
-        return self.caption_batch(batch)
+        return self.caption_batch(
+            pack_request(self.cfg.model, features, regions, motion))
+
+    def nbest(self,
+              features: Union[np.ndarray, Sequence[np.ndarray]],
+              regions: Optional[Sequence[np.ndarray]] = None,
+              motion: Optional[Sequence[np.ndarray]] = None,
+              n: Optional[int] = None, norm: bool = True
+              ) -> List[List[tuple]]:
+        """``caption_nbest`` over raw feature arrays (the packing of
+        ``caption``): per video, [(text, logprob), ...] best-first."""
+        return self.caption_nbest(
+            pack_request(self.cfg.model, features, regions, motion),
+            n=n, norm=norm)

@@ -34,6 +34,9 @@ def main(argv=None) -> int:
                          "graph (int8 = W8A8 gates matmul; weights stay "
                          "f32 call-time inputs, quantized inside the "
                          "graph)")
+    ap.add_argument("--nbest", action="store_true",
+                    help="also export the full-beam n-best graph per "
+                         "batch size (requires beam_size > 1)")
     ap.add_argument("--best", action="store_true", default=True)
     ap.add_argument("--check", action="store_true",
                     help="roundtrip-verify vs the live Captioner")
@@ -54,7 +57,8 @@ def main(argv=None) -> int:
     manifest = save_artifact(args.out, cap.params, cap.cfg, cap.vocab,
                              platforms=platforms,
                              batch_sizes=sizes,
-                             use_kernel=use_kernel)
+                             use_kernel=use_kernel,
+                             nbest=args.nbest)
     print(f"exported {args.run_dir} -> {args.out} "
           f"(platforms={manifest['platforms']} "
           f"batch_sizes={manifest['batch_sizes']} "

@@ -22,6 +22,11 @@ Endpoints (all JSON responses):
                      - ``application/json``: the same arrays as nested
                        lists.
                      -> {"captions": [str, ...], "n": N, "ms": float}
+    POST /nbest      same body (+ optional ``?n=K`` query) -> ranked
+                     hypothesis lists per video:
+                     {"nbest": [[[text, logprob], ...], ...], ...}
+                     (aot mode needs an artifact exported with --nbest;
+                     live mode always works)
 
 The server is deliberately SINGLE-THREADED: there is one chip, and
 decode requests would only contend on it — serialization at the HTTP
@@ -106,7 +111,9 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"error": f"unknown path {self.path}"})
 
     def do_POST(self):
-        if self.path != "/caption":
+        from urllib.parse import parse_qs, urlparse
+        url = urlparse(self.path)
+        if url.path not in ("/caption", "/nbest"):
             self._reply(404, {"error": f"unknown path {self.path}"})
             return
         try:
@@ -114,15 +121,23 @@ class _Handler(BaseHTTPRequestHandler):
             body = self.rfile.read(length)
             arrays = _parse_caption_body(
                 body, self.headers.get("Content-Type", ""))
+            kwargs = dict(regions=arrays.get("regions"),
+                          motion=arrays.get("motion"))
             t0 = time.perf_counter()
-            captions = self.server.captioner.caption(
-                arrays["features"],
-                regions=arrays.get("regions"),
-                motion=arrays.get("motion"))
-            ms = (time.perf_counter() - t0) * 1e3
+            if url.path == "/caption":
+                captions = self.server.captioner.caption(
+                    arrays["features"], **kwargs)
+                resp = {"captions": captions, "n": len(captions)}
+            else:
+                q = parse_qs(url.query)
+                n = int(q["n"][0]) if q.get("n") else None
+                hyps = self.server.captioner.nbest(
+                    arrays["features"], n=n, **kwargs)
+                resp = {"nbest": [[[t, s] for t, s in video]
+                                  for video in hyps], "n": len(hyps)}
+            resp["ms"] = round((time.perf_counter() - t0) * 1e3, 3)
             self.server.served += 1
-            self._reply(200, {"captions": captions,
-                              "n": len(captions), "ms": round(ms, 3)})
+            self._reply(200, resp)
         except (ValueError, KeyError) as e:
             self._reply(400, {"error": str(e)})
         except Exception as e:  # surface, don't kill the daemon
@@ -188,6 +203,27 @@ def request_captions(host: str, port: int, features, regions=None,
             raise RuntimeError(f"server error {resp.status}: "
                                f"{obj.get('error')}")
         return obj["captions"]
+    finally:
+        conn.close()
+
+
+def request_nbest(host: str, port: int, features, regions=None,
+                  motion=None, n: Optional[int] = None,
+                  timeout: float = 300.0) -> List[List[tuple]]:
+    """Client helper: POST /nbest -> per-video [(text, logprob), ...]."""
+    import http.client
+    conn = http.client.HTTPConnection(host, port, timeout=timeout)
+    try:
+        body = encode_npz_request(features, regions, motion)
+        path = f"/nbest?n={n}" if n else "/nbest"
+        conn.request("POST", path, body=body,
+                     headers={"Content-Type": "application/x-npz"})
+        resp = conn.getresponse()
+        obj = json.loads(resp.read().decode("utf-8"))
+        if resp.status != 200:
+            raise RuntimeError(f"server error {resp.status}: "
+                               f"{obj.get('error')}")
+        return [[(t, s) for t, s in video] for video in obj["nbest"]]
     finally:
         conn.close()
 

@@ -15,6 +15,9 @@ Artifact layout (a directory)::
     decode_b{N}.jaxexport   one serialized jax.export.Exported
                        (StableHLO bytes) per static batch size N —
                        bucketed serving (see save_artifact)
+    nbest_b{N}.jaxexport    optional (``nbest=True``): the full-beam
+                       hypothesis graph per size (all tokens + both
+                       score variants) for ranked n-best serving
     params.npz         checkpoint weights.  Weights are CALL-TIME inputs
                        to the exported graph, so one artifact serves any
                        same-architecture checkpoint (pass ``params=`` to
@@ -62,6 +65,25 @@ def _decode_run_fn(cfg: Config, step_fn):
                           beam_size=d.beam_size, maxlen=d.maxlen,
                           length_norm=d.length_norm, step_fn=step_fn)
         return out.tokens, out.norm_scores
+
+    return run
+
+
+def _nbest_run_fn(cfg: Config, step_fn):
+    """(params, batch) -> (all_tokens, all_norm_scores, all_scores) —
+    the beam's full hypothesis set, same quantities
+    ``Captioner.caption_nbest`` reads (both score variants ship so the
+    loader can rank raw or length-normalized without re-export)."""
+    from .decode.beam import beam_decode
+    d = cfg.decode
+    if d.beam_size <= 1:
+        raise ValueError("n-best export requires decode.beam_size > 1")
+
+    def run(params, batch):
+        out = beam_decode(params, cfg.model, batch,
+                          beam_size=d.beam_size, maxlen=d.maxlen,
+                          length_norm=d.length_norm, step_fn=step_fn)
+        return out.all_tokens, out.all_norm_scores, out.all_scores
 
     return run
 
@@ -128,7 +150,8 @@ def save_artifact(out_dir: str, params, cfg: Config, vocab: Vocab,
                   platforms: Sequence[str] = ("tpu",),
                   batch_size: Optional[int] = None,
                   use_kernel: Optional[bool] = None,
-                  batch_sizes: Optional[Sequence[int]] = None) -> Dict:
+                  batch_sizes: Optional[Sequence[int]] = None,
+                  nbest: bool = False) -> Dict:
     """Export the decoder and write the full serving artifact directory.
 
     ``batch_sizes`` (e.g. ``(1, 64, 256)``) exports one graph per
@@ -138,6 +161,10 @@ def save_artifact(out_dir: str, params, cfg: Config, vocab: Vocab,
     that fits, so a 1-video request pays the b=1 latency graph, not a
     padded 256-row batch).  Default: one size (``batch_size`` or the
     config's decode_batch).
+
+    ``nbest=True`` additionally exports an n-best graph per size
+    (all beam hypotheses + both score variants) so the loader can
+    serve ranked hypothesis lists; requires beam_size > 1.
 
     Returns the manifest dict.
     """
@@ -164,6 +191,16 @@ def save_artifact(out_dir: str, params, cfg: Config, vocab: Vocab,
             f.write(exp.serialize())
         inputs[str(b)] = {k: [list(v.shape), str(v.dtype)]
                           for k, v in example.items()}
+        if nbest:
+            import jax
+            from jax import export as jexport
+            from .model.kernel import get_step_fn
+            nrun = _nbest_run_fn(cfg, get_step_fn(use_kernel))
+            nexp = jexport.export(jax.jit(nrun),
+                                  platforms=list(platforms))(params, example)
+            with open(os.path.join(out_dir, f"nbest_b{b}.jaxexport"),
+                      "wb") as f:
+                f.write(nexp.serialize())
     np.savez(os.path.join(out_dir, "params.npz"),
              **{k: np.asarray(v) for k, v in params.items()})
     vocab.save_pickle(os.path.join(out_dir, "vocab.pkl"))
@@ -181,6 +218,7 @@ def save_artifact(out_dir: str, params, cfg: Config, vocab: Vocab,
         "beam_size": cfg.decode.beam_size,
         "maxlen": cfg.decode.maxlen,
         "use_kernel": bool(use_kernel),
+        "nbest": bool(nbest),
         "param_count": int(sum(int(np.prod(v.shape))
                                for v in params.values())),
         "inputs": inputs,
@@ -194,13 +232,17 @@ class ExportedCaptioner:
     """Serve captions from an AOT artifact (see module docstring).
 
     Supports ``caption_batch`` / ``caption`` with the exact semantics of
-    the live ``Captioner`` (same chunking helper).  n-best and
-    stochastic sampling need live tracing — use ``Captioner`` for those.
+    the live ``Captioner`` (same chunking helper), and
+    ``caption_nbest`` / ``nbest`` when the artifact was saved with
+    ``nbest=True``.  Stochastic sampling needs live tracing — use
+    ``Captioner`` for that.
     """
 
     def __init__(self, exported: Dict[int, object], params, cfg: Config,
-                 vocab: Vocab, manifest: Optional[Dict] = None):
+                 vocab: Vocab, manifest: Optional[Dict] = None,
+                 nbest_exported: Optional[Dict[int, object]] = None):
         self._exported = dict(exported)   # {batch_size: Exported}
+        self._nbest = dict(nbest_exported or {})
         self.params = params
         self.cfg = cfg
         self.vocab = vocab
@@ -240,6 +282,60 @@ class ExportedCaptioner:
         from .api import Captioner
         return Captioner.caption(self, features, regions, motion)
 
+    def caption_nbest(self, batch: Dict, n: Optional[int] = None,
+                      norm: bool = True) -> List[List[tuple]]:
+        """All beam hypotheses per video from the exported n-best
+        graph, [(text, logprob), ...] best-first — same semantics as
+        ``Captioner.caption_nbest`` (requires an artifact saved with
+        ``nbest=True``).  Requests larger than the exported batch are
+        chunked at the largest n-best size (last chunk zero-padded)."""
+        import jax.numpy as jnp
+        if not self._nbest:
+            raise ValueError(
+                "artifact has no n-best graphs; re-export with "
+                "save_artifact(..., nbest=True) / cli/export --nbest")
+        bsz = sorted(self._nbest)[-1]
+        call = self._nbest[bsz].call
+        total = int(batch["frames"].shape[0])
+        toks_parts, score_parts = [], []
+        for s in range(0, total, bsz):
+            e = min(s + bsz, total)
+            chunk = {k: v[s:e] for k, v in batch.items()}
+            pad = bsz - (e - s)
+            if pad:
+                chunk = {k: jnp.concatenate(
+                    [jnp.asarray(v),
+                     jnp.zeros((pad,) + v.shape[1:], v.dtype)])
+                    for k, v in chunk.items()}
+                chunk["frame_mask"] = chunk["frame_mask"].at[e - s:, 0] \
+                    .set(1.0)
+            all_toks, norm_scores, raw_scores = call(self.params, chunk)
+            toks_parts.append(np.asarray(all_toks)[: e - s])
+            score_parts.append(np.asarray(
+                norm_scores if norm else raw_scores)[: e - s])
+        toks = np.concatenate(toks_parts)
+        scores = np.concatenate(score_parts)
+        n = n or toks.shape[1]
+        out = []
+        for b in range(total):
+            order = np.argsort(-scores[b])[:n]
+            out.append([(" ".join(self.vocab.decode(toks[b, j])),
+                         float(scores[b, j])) for j in order])
+        return out
+
+    def nbest(self,
+              features: Union[np.ndarray, Sequence[np.ndarray]],
+              regions: Optional[Sequence[np.ndarray]] = None,
+              motion: Optional[Sequence[np.ndarray]] = None,
+              n: Optional[int] = None, norm: bool = True
+              ) -> List[List[tuple]]:
+        """``caption_nbest`` over raw feature arrays (same packing as
+        ``caption``; duck-type-compatible with ``Captioner.nbest``)."""
+        from .api import pack_request
+        return self.caption_nbest(
+            pack_request(self.cfg.model, features, regions, motion),
+            n=n, norm=norm)
+
 
 def load_artifact(path: str, params=None) -> ExportedCaptioner:
     """Deserialize a saved artifact.  ``params`` (a flat dict of arrays)
@@ -261,13 +357,19 @@ def load_artifact(path: str, params=None) -> ExportedCaptioner:
             f"but the current backend is {backend!r} — re-export with "
             f"--platforms {backend} (or include it in the list)")
     exported = {}
+    nbest_exported = {}
     for b in manifest["batch_sizes"]:
         with open(os.path.join(path, f"decode_b{b}.jaxexport"), "rb") as f:
             exported[int(b)] = jexport.deserialize(f.read())
+        npath = os.path.join(path, f"nbest_b{b}.jaxexport")
+        if manifest.get("nbest") and os.path.exists(npath):
+            with open(npath, "rb") as f:
+                nbest_exported[int(b)] = jexport.deserialize(f.read())
     with open(os.path.join(path, "config.json")) as f:
         cfg = Config.from_json(f.read())
     if params is None:
         with np.load(os.path.join(path, "params.npz")) as z:
             params = {k: jnp.asarray(z[k]) for k in z.files}
     vocab = Vocab.load_pickle(os.path.join(path, "vocab.pkl"))
-    return ExportedCaptioner(exported, params, cfg, vocab, manifest)
+    return ExportedCaptioner(exported, params, cfg, vocab, manifest,
+                             nbest_exported=nbest_exported)

@@ -200,3 +200,61 @@ def test_bucketed_artifact_routes_and_matches_live(tmp_path, n):
     feats, _, _ = _feats(n, MCFG, seed=n)
     live = Captioner(params, cfg, vocab)
     assert served.caption(feats) == live.caption(feats)
+
+
+def test_nbest_artifact_matches_live(tmp_path):
+    """nbest=True export: ExportedCaptioner.caption_nbest == live
+    Captioner.caption_nbest (texts and scores), both rankings, plus the
+    chunked path (request > exported batch) and the raw-features
+    nbest() wrapper."""
+    cfg = Config(model=MCFG, decode=DecodeConfig(beam_size=3, maxlen=8,
+                                                 decode_batch=2,
+                                                 length_norm=0.6))
+    params = init_params(jax.random.PRNGKey(5), MCFG)
+    vocab = _vocab()
+    out = str(tmp_path / "artifact")
+    manifest = save_artifact(out, params, cfg, vocab, platforms=("cpu",),
+                             nbest=True)
+    assert manifest["nbest"] is True
+    served = load_artifact(out)
+    assert sorted(served._nbest) == [2]
+
+    live = Captioner(params, cfg, vocab)
+    feats, _, _ = _feats(5, MCFG, seed=7)   # 5 > decode_batch=2: chunked
+    from stvd.api import pack_request
+    batch = pack_request(MCFG, feats)
+    for norm in (True, False):
+        got = served.caption_nbest(batch, norm=norm)
+        want = live.caption_nbest(batch, norm=norm)
+        assert [[t for t, _ in v] for v in got] \
+            == [[t for t, _ in v] for v in want]
+        np.testing.assert_allclose(
+            [[s for _, s in v] for v in got],
+            [[s for _, s in v] for v in want], rtol=1e-5, atol=1e-6)
+    # n caps the list; nbest() packs raw features identically
+    top1 = served.nbest(feats, n=1)
+    assert all(len(v) == 1 for v in top1)
+    assert [v[0][0] for v in top1] == [v[0][0] for v in live.nbest(feats, n=1)]
+    # entry 0 under norm ranking == the caption the decode graph picks
+    assert [v[0][0] for v in top1] == served.caption(feats)
+
+
+def test_nbest_absent_raises(tmp_path):
+    cfg = Config(model=MCFG, decode=DecodeConfig(beam_size=2, maxlen=8,
+                                                 decode_batch=2))
+    params = init_params(jax.random.PRNGKey(6), MCFG)
+    out = str(tmp_path / "artifact")
+    save_artifact(out, params, cfg, _vocab(), platforms=("cpu",))
+    served = load_artifact(out)
+    feats, _, _ = _feats(2, MCFG)
+    with pytest.raises(ValueError, match="no n-best graphs"):
+        served.nbest(feats)
+
+
+def test_nbest_export_requires_beam(tmp_path):
+    cfg = Config(model=MCFG, decode=DecodeConfig(beam_size=1, maxlen=8,
+                                                 decode_batch=2))
+    params = init_params(jax.random.PRNGKey(7), MCFG)
+    with pytest.raises(ValueError, match="beam_size > 1"):
+        save_artifact(str(tmp_path / "a"), params, cfg, _vocab(),
+                      platforms=("cpu",), nbest=True)

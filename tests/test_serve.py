@@ -196,3 +196,41 @@ def test_build_server_from_artifact_cli_args(tmp_path):
         assert srv.manifest["batch_sizes"] == [3]
     finally:
         srv.server_close()
+
+
+def test_nbest_endpoint_aot_and_live(tmp_path):
+    """POST /nbest: aot mode (artifact exported with nbest) and live
+    mode return identical ranked hypothesis lists; ?n= caps them;
+    artifacts without nbest graphs 400."""
+    import dataclasses as _dc
+
+    from stvd.cli.serve import request_nbest
+
+    cfg = Config(model=MCFG, decode=DecodeConfig(beam_size=3, maxlen=8,
+                                                 decode_batch=2,
+                                                 length_norm=0.6))
+    params = init_params(jax.random.PRNGKey(9), MCFG)
+    vocab = _vocab()
+    out = str(tmp_path / "artifact")
+    save_artifact(out, params, cfg, vocab, platforms=("cpu",), nbest=True)
+    aot = load_artifact(out)
+    live = Captioner(params, cfg, vocab)
+    feats = np.random.RandomState(9).randn(
+        3, MCFG.n_frames, MCFG.ctx_dim).astype(np.float32)
+
+    with _Srv(CaptionServer(aot, port=0, manifest=aot.manifest)) as s:
+        got_aot = request_nbest("127.0.0.1", s.port, feats, n=2)
+    with _Srv(CaptionServer(live, port=0, mode="live")) as s:
+        got_live = request_nbest("127.0.0.1", s.port, feats, n=2)
+    assert [[t for t, _ in v] for v in got_aot] \
+        == [[t for t, _ in v] for v in got_live]
+    assert all(len(v) == 2 for v in got_aot)
+
+    # artifact without nbest graphs -> 400 with a helpful message
+    out2 = str(tmp_path / "plain")
+    save_artifact(out2, params, cfg, vocab, platforms=("cpu",))
+    with _Srv(CaptionServer(load_artifact(out2), port=0)) as s:
+        st, err = _post(s.port, "/nbest",
+                        json.dumps({"features": feats.tolist()}),
+                        "application/json")
+    assert st == 400 and "no n-best graphs" in err["error"]
