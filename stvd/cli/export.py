@@ -37,6 +37,10 @@ def main(argv=None) -> int:
     ap.add_argument("--nbest", action="store_true",
                     help="also export the full-beam n-best graph per "
                          "batch size (requires beam_size > 1)")
+    ap.add_argument("--data-parallel", type=int, default=0,
+                    help="export sharded over a 1-D data mesh of N "
+                         "devices (multi-chip serving; batch sizes "
+                         "must divide by N; loader needs >= N devices)")
     ap.add_argument("--best", action="store_true", default=True)
     ap.add_argument("--check", action="store_true",
                     help="roundtrip-verify vs the live Captioner")
@@ -58,7 +62,8 @@ def main(argv=None) -> int:
                              platforms=platforms,
                              batch_sizes=sizes,
                              use_kernel=use_kernel,
-                             nbest=args.nbest)
+                             nbest=args.nbest,
+                             data_parallel=args.data_parallel)
     print(f"exported {args.run_dir} -> {args.out} "
           f"(platforms={manifest['platforms']} "
           f"batch_sizes={manifest['batch_sizes']} "

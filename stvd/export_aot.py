@@ -115,11 +115,35 @@ def example_batch(cfg: Config, batch_size: Optional[int] = None) -> Dict:
     return batch
 
 
+def _serving_mesh(data_parallel: int):
+    """A 1-D Mesh(('data',)) over the first N local devices (serving
+    DP: batch sharded on the data axis, params replicated)."""
+    import jax
+    devs = jax.devices()
+    if len(devs) < data_parallel:
+        raise ValueError(
+            f"data_parallel={data_parallel} needs {data_parallel} devices; "
+            f"only {len(devs)} visible")
+    from jax.sharding import Mesh
+    return Mesh(np.array(devs[:data_parallel]), ("data",))
+
+
+def _dp_jit(run, mesh):
+    """jit ``run`` with serving-DP shardings: params replicated, every
+    batch leaf and every output sharded on its leading (batch) dim."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rep = NamedSharding(mesh, P())
+    sh = NamedSharding(mesh, P("data"))
+    return jax.jit(run, in_shardings=(rep, sh), out_shardings=sh)
+
+
 def export_decoder(params, cfg: Config,
                    platforms: Sequence[str] = ("tpu",),
                    batch_size: Optional[int] = None,
                    use_kernel: Optional[bool] = None,
-                   _example: Optional[Dict] = None):
+                   _example: Optional[Dict] = None,
+                   mesh=None):
     """Trace + lower the decode program for the target platform(s) and
     return the ``jax.export.Exported``.
 
@@ -127,6 +151,11 @@ def export_decoder(params, cfg: Config,
     graph cannot re-select per backend): default = Pallas kernels iff
     the export targets TPU only.  Multi-platform exports must use the
     XLA path (Mosaic custom calls only lower for TPU).
+
+    ``mesh`` (a 1-D ``Mesh(('data',))``) exports a data-parallel
+    serving graph: batch sharded over 'data', params replicated,
+    XLA collectives baked into the StableHLO.  The artifact then
+    requires the same device count at load time.
     """
     import jax
     from jax import export as jexport
@@ -142,8 +171,8 @@ def export_decoder(params, cfg: Config,
     run = _decode_run_fn(cfg, get_step_fn(use_kernel))
     batch = _example if _example is not None \
         else example_batch(cfg, batch_size)
-    return jexport.export(jax.jit(run), platforms=list(platforms))(
-        params, batch)
+    jrun = _dp_jit(run, mesh) if mesh is not None else jax.jit(run)
+    return jexport.export(jrun, platforms=list(platforms))(params, batch)
 
 
 def save_artifact(out_dir: str, params, cfg: Config, vocab: Vocab,
@@ -151,7 +180,8 @@ def save_artifact(out_dir: str, params, cfg: Config, vocab: Vocab,
                   batch_size: Optional[int] = None,
                   use_kernel: Optional[bool] = None,
                   batch_sizes: Optional[Sequence[int]] = None,
-                  nbest: bool = False) -> Dict:
+                  nbest: bool = False,
+                  data_parallel: int = 0) -> Dict:
     """Export the decoder and write the full serving artifact directory.
 
     ``batch_sizes`` (e.g. ``(1, 64, 256)``) exports one graph per
@@ -166,6 +196,12 @@ def save_artifact(out_dir: str, params, cfg: Config, vocab: Vocab,
     (all beam hypotheses + both score variants) so the loader can
     serve ranked hypothesis lists; requires beam_size > 1.
 
+    ``data_parallel=N`` exports every graph sharded over a 1-D
+    ``Mesh(('data',))`` of N devices (batch split over 'data', params
+    replicated) — multi-chip serving for a v5e-N slice.  Every batch
+    size must be divisible by N; the loader rebuilds the mesh and
+    requires >= N devices.
+
     Returns the manifest dict.
     """
     import jax
@@ -178,6 +214,14 @@ def save_artifact(out_dir: str, params, cfg: Config, vocab: Vocab,
     sizes = sorted(set(int(b) for b in batch_sizes))
     if not sizes or sizes[0] < 1:
         raise ValueError(f"batch_sizes must be positive ints: {batch_sizes}")
+    mesh = None
+    if data_parallel:
+        bad = [b for b in sizes if b % data_parallel]
+        if bad:
+            raise ValueError(
+                f"data_parallel={data_parallel} requires divisible batch "
+                f"sizes; got {bad}")
+        mesh = _serving_mesh(data_parallel)
     inputs = {}
     for b in sizes:
         # one example batch per size serves trace AND manifest (at
@@ -185,7 +229,8 @@ def save_artifact(out_dir: str, params, cfg: Config, vocab: Vocab,
         # device — build each once)
         example = example_batch(cfg, b)
         exp = export_decoder(params, cfg, platforms=platforms,
-                             use_kernel=use_kernel, _example=example)
+                             use_kernel=use_kernel, _example=example,
+                             mesh=mesh)
         with open(os.path.join(out_dir, f"decode_b{b}.jaxexport"),
                   "wb") as f:
             f.write(exp.serialize())
@@ -196,7 +241,9 @@ def save_artifact(out_dir: str, params, cfg: Config, vocab: Vocab,
             from jax import export as jexport
             from .model.kernel import get_step_fn
             nrun = _nbest_run_fn(cfg, get_step_fn(use_kernel))
-            nexp = jexport.export(jax.jit(nrun),
+            njit = _dp_jit(nrun, mesh) if mesh is not None \
+                else jax.jit(nrun)
+            nexp = jexport.export(njit,
                                   platforms=list(platforms))(params, example)
             with open(os.path.join(out_dir, f"nbest_b{b}.jaxexport"),
                       "wb") as f:
@@ -219,6 +266,7 @@ def save_artifact(out_dir: str, params, cfg: Config, vocab: Vocab,
         "maxlen": cfg.decode.maxlen,
         "use_kernel": bool(use_kernel),
         "nbest": bool(nbest),
+        "data_parallel": int(data_parallel),
         "param_count": int(sum(int(np.prod(v.shape))
                                for v in params.values())),
         "inputs": inputs,
@@ -240,13 +288,38 @@ class ExportedCaptioner:
 
     def __init__(self, exported: Dict[int, object], params, cfg: Config,
                  vocab: Vocab, manifest: Optional[Dict] = None,
-                 nbest_exported: Optional[Dict[int, object]] = None):
+                 nbest_exported: Optional[Dict[int, object]] = None,
+                 mesh=None):
         self._exported = dict(exported)   # {batch_size: Exported}
         self._nbest = dict(nbest_exported or {})
+        self._mesh = mesh
+        if mesh is not None:
+            # replicate the weights across the serving mesh once
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            params = jax.device_put(params, NamedSharding(mesh, P()))
         self.params = params
         self.cfg = cfg
         self.vocab = vocab
         self.manifest = manifest or {}
+
+    def _call_fn(self, exported):
+        """exported.call, wrapped for the serving mesh when the
+        artifact is data-parallel: batch leaves are resharded onto the
+        'data' axis and the call runs under jit in the multi-device
+        context the graph was exported for."""
+        if self._mesh is None:
+            return exported.call
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(self._mesh, P("data"))
+        jcall = jax.jit(exported.call)
+
+        def run(params, batch):
+            batch = {k: jax.device_put(v, sh) for k, v in batch.items()}
+            return jcall(params, batch)
+
+        return run
 
     def caption_batch(self, batch: Dict) -> List[str]:
         """Bucketed routing: bulk chunks ride the largest exported
@@ -261,14 +334,14 @@ class ExportedCaptioner:
         out: List[str] = []
         if nbulk:
             bulk = {k: v[:nbulk] for k, v in batch.items()}
-            out += chunked_caption(self._exported[bmax].call, self.params,
-                                   bulk, bmax, self.vocab)
+            out += chunked_caption(self._call_fn(self._exported[bmax]),
+                                   self.params, bulk, bmax, self.vocab)
         rem = n - nbulk
         if rem:
             bfit = next(b for b in sizes if b >= rem)
             tail = {k: v[nbulk:] for k, v in batch.items()}
-            out += chunked_caption(self._exported[bfit].call, self.params,
-                                   tail, bfit, self.vocab)
+            out += chunked_caption(self._call_fn(self._exported[bfit]),
+                                   self.params, tail, bfit, self.vocab)
         return out
 
     def caption(self,
@@ -295,7 +368,7 @@ class ExportedCaptioner:
                 "artifact has no n-best graphs; re-export with "
                 "save_artifact(..., nbest=True) / cli/export --nbest")
         bsz = sorted(self._nbest)[-1]
-        call = self._nbest[bsz].call
+        call = self._call_fn(self._nbest[bsz])
         total = int(batch["frames"].shape[0])
         toks_parts, score_parts = [], []
         for s in range(0, total, bsz):
@@ -371,5 +444,9 @@ def load_artifact(path: str, params=None) -> ExportedCaptioner:
         with np.load(os.path.join(path, "params.npz")) as z:
             params = {k: jnp.asarray(z[k]) for k in z.files}
     vocab = Vocab.load_pickle(os.path.join(path, "vocab.pkl"))
+    mesh = None
+    dp = int(manifest.get("data_parallel") or 0)
+    if dp:
+        mesh = _serving_mesh(dp)   # raises if < dp devices visible
     return ExportedCaptioner(exported, params, cfg, vocab, manifest,
-                             nbest_exported=nbest_exported)
+                             nbest_exported=nbest_exported, mesh=mesh)

@@ -258,3 +258,45 @@ def test_nbest_export_requires_beam(tmp_path):
     with pytest.raises(ValueError, match="beam_size > 1"):
         save_artifact(str(tmp_path / "a"), params, cfg, _vocab(),
                       platforms=("cpu",), nbest=True)
+
+
+def test_data_parallel_artifact_matches_single_device(tmp_path):
+    """data_parallel=4 export on the virtual CPU mesh: the sharded
+    graph's captions and n-best lists equal the single-device live
+    Captioner's, including the bucketed + chunked request path."""
+    cfg = Config(model=MCFG, decode=DecodeConfig(beam_size=3, maxlen=8,
+                                                 decode_batch=8,
+                                                 length_norm=0.6))
+    params = init_params(jax.random.PRNGKey(11), MCFG)
+    vocab = _vocab()
+    out = str(tmp_path / "artifact")
+    manifest = save_artifact(out, params, cfg, vocab, platforms=("cpu",),
+                             batch_sizes=(4, 8), nbest=True,
+                             data_parallel=4)
+    assert manifest["data_parallel"] == 4
+    served = load_artifact(out)
+    assert served._mesh is not None and served._mesh.shape["data"] == 4
+
+    live = Captioner(params, cfg, vocab)
+    feats, _, _ = _feats(10, MCFG, seed=11)   # bulk 8 + remainder on b=4
+    assert served.caption(feats) == live.caption(feats)
+    got = served.nbest(feats, n=2)
+    want = live.nbest(feats, n=2)
+    assert [[t for t, _ in v] for v in got] \
+        == [[t for t, _ in v] for v in want]
+
+
+def test_data_parallel_batch_divisibility(tmp_path):
+    cfg = Config(model=MCFG, decode=DecodeConfig(beam_size=2, maxlen=8,
+                                                 decode_batch=6))
+    params = init_params(jax.random.PRNGKey(12), MCFG)
+    with pytest.raises(ValueError, match="divisible"):
+        save_artifact(str(tmp_path / "a"), params, cfg, _vocab(),
+                      platforms=("cpu",), batch_sizes=(6,),
+                      data_parallel=4)
+
+
+def test_data_parallel_needs_devices(tmp_path):
+    from stvd.export_aot import _serving_mesh
+    with pytest.raises(ValueError, match="devices"):
+        _serving_mesh(64)
