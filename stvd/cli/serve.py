@@ -113,6 +113,18 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self):
         from urllib.parse import parse_qs, urlparse
         url = urlparse(self.path)
+        if url.path == "/shutdown":
+            # signal-free clean exit (opt-in): on this machine,
+            # SIGTERM/SIGKILL of a process holding the TPU can wedge
+            # the axon tunnel — scripted benches stop the daemon here
+            if not self.server.allow_shutdown:
+                self._reply(403, {"error": "start with --allow-shutdown"})
+                return
+            self._reply(200, {"status": "shutting down"})
+            import threading
+            threading.Thread(target=self.server.shutdown,
+                             daemon=True).start()
+            return
         if url.path not in ("/caption", "/nbest"):
             self._reply(404, {"error": f"unknown path {self.path}"})
             return
@@ -151,12 +163,13 @@ class CaptionServer(HTTPServer):
 
     def __init__(self, captioner, host: str = "127.0.0.1", port: int = 0,
                  mode: str = "aot", manifest: Optional[Dict] = None,
-                 verbose: bool = False):
+                 verbose: bool = False, allow_shutdown: bool = False):
         super().__init__((host, port), _Handler)
         self.captioner = captioner
         self.mode = mode
         self.manifest = manifest or {}
         self.verbose = verbose
+        self.allow_shutdown = allow_shutdown
         self.served = 0
 
     def warmup(self) -> float:
@@ -240,7 +253,9 @@ def build_server(args) -> CaptionServer:
                 params = {k: jnp.asarray(z[k]) for k in z.files}
         cap = load_artifact(args.artifact, params=params)
         return CaptionServer(cap, args.host, args.port, mode="aot",
-                             manifest=cap.manifest, verbose=args.verbose)
+                             manifest=cap.manifest, verbose=args.verbose,
+                             allow_shutdown=getattr(args, "allow_shutdown",
+                                                    False))
     from ..api import Captioner
     cap = Captioner.from_run_dir(args.run_dir, quant=args.quant)
     summary = {"mode": "live", "run_dir": args.run_dir,
@@ -248,7 +263,9 @@ def build_server(args) -> CaptionServer:
                "decode_batch": cap.cfg.decode.decode_batch,
                "maxlen": cap.cfg.decode.maxlen}
     return CaptionServer(cap, args.host, args.port, mode="live",
-                         manifest=summary, verbose=args.verbose)
+                         manifest=summary, verbose=args.verbose,
+                         allow_shutdown=getattr(args, "allow_shutdown",
+                                                False))
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
@@ -264,6 +281,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8017)
     ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--allow-shutdown", action="store_true",
+                    help="enable POST /shutdown (signal-free clean "
+                         "exit for scripted benches; signals can wedge "
+                         "this machine's TPU tunnel)")
     ap.add_argument("--verbose", action="store_true",
                     help="log each request to stderr")
     args = ap.parse_args(argv)

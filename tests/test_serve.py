@@ -234,3 +234,23 @@ def test_nbest_endpoint_aot_and_live(tmp_path):
                         json.dumps({"features": feats.tolist()}),
                         "application/json")
     assert st == 400 and "no n-best graphs" in err["error"]
+
+
+def test_shutdown_endpoint(tmp_path):
+    """POST /shutdown: 403 unless enabled; when enabled, replies then
+    stops serve_forever (the signal-free exit for scripted benches)."""
+    out, _, _ = _artifact(tmp_path, beam=1)
+    cap = load_artifact(out)
+    # disabled by default
+    with _Srv(CaptionServer(cap, port=0)) as s:
+        st, err = _post(s.port, "/shutdown", b"", "application/json")
+        assert st == 403 and "allow-shutdown" in err["error"]
+    # enabled: serve_forever returns on its own after the reply
+    srv = CaptionServer(cap, port=0, allow_shutdown=True)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    st, obj = _post(srv.server_port, "/shutdown", b"", "application/json")
+    assert st == 200 and obj["status"] == "shutting down"
+    t.join(timeout=10)
+    assert not t.is_alive()
+    srv.server_close()
