@@ -254,3 +254,22 @@ def test_shutdown_endpoint(tmp_path):
     t.join(timeout=10)
     assert not t.is_alive()
     srv.server_close()
+
+
+def test_data_parallel_artifact_through_daemon(tmp_path):
+    """A data_parallel=4 artifact served over HTTP: handler-thread
+    mesh calls work and captions match the single-device live path."""
+    cfg = Config(model=MCFG, decode=DecodeConfig(beam_size=2, maxlen=8,
+                                                 decode_batch=4))
+    params = init_params(jax.random.PRNGKey(13), MCFG)
+    vocab = _vocab()
+    out = str(tmp_path / "artifact")
+    save_artifact(out, params, cfg, vocab, platforms=("cpu",),
+                  batch_sizes=(4,), data_parallel=4)
+    aot = load_artifact(out)
+    live = Captioner(params, cfg, vocab)
+    feats = np.random.RandomState(13).randn(
+        6, MCFG.n_frames, MCFG.ctx_dim).astype(np.float32)
+    with _Srv(CaptionServer(aot, port=0, manifest=aot.manifest)) as s:
+        served = request_captions("127.0.0.1", s.port, feats)
+    assert served == live.caption(feats)
