@@ -293,6 +293,7 @@ class ExportedCaptioner:
         self._exported = dict(exported)   # {batch_size: Exported}
         self._nbest = dict(nbest_exported or {})
         self._mesh = mesh
+        self._call_cache = {}             # id(Exported) -> wrapped call
         if mesh is not None:
             # replicate the weights across the serving mesh once
             import jax
@@ -307,18 +308,27 @@ class ExportedCaptioner:
         """exported.call, wrapped for the serving mesh when the
         artifact is data-parallel: batch leaves are resharded onto the
         'data' axis and the call runs under jit in the multi-device
-        context the graph was exported for."""
+        context the graph was exported for.  Wrappers are memoized per
+        Exported — a fresh ``jax.jit`` object per request would
+        retrace on every call."""
+        key = id(exported)
+        cached = self._call_cache.get(key)
+        if cached is not None:
+            return cached
         if self._mesh is None:
-            return exported.call
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        sh = NamedSharding(self._mesh, P("data"))
-        jcall = jax.jit(exported.call)
+            run = exported.call
+        else:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(self._mesh, P("data"))
+            jcall = jax.jit(exported.call)
 
-        def run(params, batch):
-            batch = {k: jax.device_put(v, sh) for k, v in batch.items()}
-            return jcall(params, batch)
+            def run(params, batch, _jcall=jcall, _sh=sh):
+                batch = {k: jax.device_put(v, _sh)
+                         for k, v in batch.items()}
+                return _jcall(params, batch)
 
+        self._call_cache[key] = run
         return run
 
     def caption_batch(self, batch: Dict) -> List[str]:

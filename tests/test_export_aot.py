@@ -300,3 +300,21 @@ def test_data_parallel_needs_devices(tmp_path):
     from stvd.export_aot import _serving_mesh
     with pytest.raises(ValueError, match="devices"):
         _serving_mesh(64)
+
+
+def test_dp_call_wrapper_is_memoized(tmp_path):
+    """Repeated requests reuse one jit wrapper per exported graph (a
+    fresh jax.jit per request would retrace every call)."""
+    cfg = Config(model=MCFG, decode=DecodeConfig(beam_size=2, maxlen=8,
+                                                 decode_batch=4))
+    params = init_params(jax.random.PRNGKey(14), MCFG)
+    out = str(tmp_path / "artifact")
+    save_artifact(out, params, cfg, _vocab(), platforms=("cpu",),
+                  batch_sizes=(4,), data_parallel=4)
+    served = load_artifact(out)
+    exp = served._exported[4]
+    assert served._call_fn(exp) is served._call_fn(exp)
+    feats, _, _ = _feats(4, MCFG, seed=14)
+    a = served.caption(feats)
+    b = served.caption(feats)
+    assert a == b and len(served._call_cache) == 1
