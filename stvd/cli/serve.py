@@ -15,12 +15,15 @@ Endpoints (all JSON responses):
     GET  /healthz    {"status": "ok", "mode": "aot"|"live",
                       "requests_served": N}
     GET  /manifest   artifact manifest (aot) / config summary (live)
-    POST /caption    body is EITHER
-                     - ``application/x-npz``: an .npz with ``features``
-                       (N, F, D) float32 and optional ``regions``
-                       (N, F, R, Dr) / ``motion`` (N, F, Dm), or
-                     - ``application/json``: the same arrays as nested
-                       lists.
+    POST /caption    body is ONE OF
+                     - ``application/x-stvd-raw``: 4-byte header length
+                       + JSON {name: [shape, dtype]} + raw C-order
+                       buffers (``features`` (N, F, D) float32, optional
+                       ``regions`` (N, F, R, Dr) / ``motion`` (N, F,
+                       Dm)) — zero-copy parse, the production format;
+                     - ``application/x-npz``: the same arrays as an
+                       .npz (portable, ~10x slower at spatial scale);
+                     - ``application/json``: nested lists.
                      -> {"captions": [str, ...], "n": N, "ms": float}
     POST /nbest      same body (+ optional ``?n=K`` query) -> ranked
                      hypothesis lists per video:
@@ -34,8 +37,8 @@ layer is the honest queue (bucketed AOT artifacts already give small
 requests a small-batch graph, so a b=1 request is never stuck behind
 its own padding, only behind earlier requests).
 
-``request_captions`` is the matching client helper (npz wire format —
-~4x smaller and ~10x faster to parse than JSON for feature tensors).
+``request_captions`` is the matching client helper (raw wire format by
+default; ``wire='npz'`` for the portable container).
 """
 
 from __future__ import annotations
@@ -53,11 +56,43 @@ import numpy as np
 _STREAM_KEYS = ("features", "regions", "motion")
 
 
+def _parse_raw_body(body: bytes) -> Dict:
+    """``application/x-stvd-raw``: 4-byte big-endian header length, a
+    JSON header {name: [shape, dtype]} in buffer order, then the raw
+    C-order buffers concatenated.  Arrays are ZERO-COPY views into the
+    received body (np.frombuffer) — at spatial reference scale the npz
+    container costs ~10 ms/request (b=1) / ~570 ms (b=32 bulk) in CRC +
+    copy chains that this format skips entirely
+    (tools/probe_http_overhead.py)."""
+    if len(body) < 4:
+        raise ValueError("raw body too short for header length")
+    hlen = int.from_bytes(body[:4], "big")
+    header = json.loads(body[4: 4 + hlen].decode("utf-8"))
+    off = 4 + hlen
+    arrays = {}
+    for name, (shape, dtype) in header.items():
+        if name not in _STREAM_KEYS:
+            raise ValueError(f"unknown stream {name!r}")
+        dt = np.dtype(dtype)
+        if dt.kind not in "fiu":
+            raise ValueError(f"{name}: non-numeric dtype {dtype!r}")
+        count = int(np.prod(shape))
+        need = off + count * dt.itemsize
+        if need > len(body):
+            raise ValueError(f"{name}: body truncated "
+                             f"({need} > {len(body)} bytes)")
+        arrays[name] = np.frombuffer(body, dt, count, off).reshape(shape)
+        off = need
+    return arrays
+
+
 def _parse_caption_body(body: bytes, content_type: str) -> Dict:
     """Decode a /caption request body into {features, regions, motion}
     numpy arrays (regions/motion may be absent)."""
     ct = (content_type or "").split(";")[0].strip().lower()
-    if ct == "application/x-npz":
+    if ct == "application/x-stvd-raw":
+        arrays = _parse_raw_body(body)
+    elif ct == "application/x-npz":
         with np.load(io.BytesIO(body), allow_pickle=False) as z:
             arrays = {k: z[k] for k in z.files if k in _STREAM_KEYS}
     elif ct == "application/json":
@@ -66,7 +101,8 @@ def _parse_caption_body(body: bytes, content_type: str) -> Dict:
                   for k in _STREAM_KEYS if obj.get(k) is not None}
     else:
         raise ValueError(f"unsupported Content-Type {content_type!r} "
-                         "(use application/x-npz or application/json)")
+                         "(use application/x-stvd-raw, application/x-npz "
+                         "or application/json)")
     if "features" not in arrays:
         raise ValueError("request must contain 'features' (N, F, D)")
     feats = arrays["features"]
@@ -190,55 +226,80 @@ class CaptionServer(HTTPServer):
         return time.perf_counter() - t0
 
 
+def _request_arrays(features, regions=None, motion=None) -> Dict:
+    arrays = {"features": np.ascontiguousarray(features, np.float32)}
+    if regions is not None:
+        arrays["regions"] = np.ascontiguousarray(regions, np.float32)
+    if motion is not None:
+        arrays["motion"] = np.ascontiguousarray(motion, np.float32)
+    return arrays
+
+
 def encode_npz_request(features, regions=None, motion=None) -> bytes:
     buf = io.BytesIO()
-    arrays = {"features": np.asarray(features, np.float32)}
-    if regions is not None:
-        arrays["regions"] = np.asarray(regions, np.float32)
-    if motion is not None:
-        arrays["motion"] = np.asarray(motion, np.float32)
-    np.savez(buf, **arrays)
+    np.savez(buf, **_request_arrays(features, regions, motion))
     return buf.getvalue()
 
 
-def request_captions(host: str, port: int, features, regions=None,
-                     motion=None, timeout: float = 300.0) -> List[str]:
-    """Client helper: POST /caption with the npz wire format."""
+def encode_raw_request(features, regions=None, motion=None) -> List:
+    """Encode for ``application/x-stvd-raw`` as a CHUNK LIST (http.client
+    sends each chunk without a concatenating copy; the server parses
+    buffers zero-copy via np.frombuffer).  ~10x cheaper than npz at
+    spatial reference scale (tools/probe_http_overhead.py)."""
+    arrays = _request_arrays(features, regions, motion)
+    header = json.dumps({k: [list(a.shape), str(a.dtype)]
+                         for k, a in arrays.items()}).encode("utf-8")
+    return [len(header).to_bytes(4, "big"), header] \
+        + [memoryview(a).cast("B") for a in arrays.values()]
+
+
+def _post_request(host: str, port: int, path: str, features, regions,
+                  motion, wire: str, timeout: float) -> Dict:
     import http.client
     conn = http.client.HTTPConnection(host, port, timeout=timeout)
     try:
-        body = encode_npz_request(features, regions, motion)
-        conn.request("POST", "/caption", body=body,
-                     headers={"Content-Type": "application/x-npz"})
+        if wire == "raw":
+            chunks = encode_raw_request(features, regions, motion)
+            total = sum(len(c) for c in chunks)
+            # iterable bodies need an explicit Content-Length (the
+            # point of the chunk list: no concatenating client copy)
+            conn.request("POST", path, body=iter(chunks),
+                         headers={"Content-Type": "application/x-stvd-raw",
+                                  "Content-Length": str(total)})
+        elif wire == "npz":
+            conn.request("POST", path,
+                         body=encode_npz_request(features, regions, motion),
+                         headers={"Content-Type": "application/x-npz"})
+        else:
+            raise ValueError(f"wire must be 'raw' or 'npz': {wire!r}")
         resp = conn.getresponse()
         obj = json.loads(resp.read().decode("utf-8"))
         if resp.status != 200:
             raise RuntimeError(f"server error {resp.status}: "
                                f"{obj.get('error')}")
-        return obj["captions"]
+        return obj
     finally:
         conn.close()
+
+
+def request_captions(host: str, port: int, features, regions=None,
+                     motion=None, timeout: float = 300.0,
+                     wire: str = "raw") -> List[str]:
+    """Client helper: POST /caption (default: the zero-copy raw wire
+    format; ``wire='npz'`` for the portable container)."""
+    return _post_request(host, port, "/caption", features, regions,
+                         motion, wire, timeout)["captions"]
 
 
 def request_nbest(host: str, port: int, features, regions=None,
                   motion=None, n: Optional[int] = None,
-                  timeout: float = 300.0) -> List[List[tuple]]:
+                  timeout: float = 300.0,
+                  wire: str = "raw") -> List[List[tuple]]:
     """Client helper: POST /nbest -> per-video [(text, logprob), ...]."""
-    import http.client
-    conn = http.client.HTTPConnection(host, port, timeout=timeout)
-    try:
-        body = encode_npz_request(features, regions, motion)
-        path = f"/nbest?n={n}" if n else "/nbest"
-        conn.request("POST", path, body=body,
-                     headers={"Content-Type": "application/x-npz"})
-        resp = conn.getresponse()
-        obj = json.loads(resp.read().decode("utf-8"))
-        if resp.status != 200:
-            raise RuntimeError(f"server error {resp.status}: "
-                               f"{obj.get('error')}")
-        return [[(t, s) for t, s in video] for video in obj["nbest"]]
-    finally:
-        conn.close()
+    path = f"/nbest?n={n}" if n else "/nbest"
+    obj = _post_request(host, port, path, features, regions, motion,
+                        wire, timeout)
+    return [[(t, s) for t, s in video] for video in obj["nbest"]]
 
 
 def build_server(args) -> CaptionServer:

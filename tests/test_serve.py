@@ -273,3 +273,46 @@ def test_data_parallel_artifact_through_daemon(tmp_path):
     with _Srv(CaptionServer(aot, port=0, manifest=aot.manifest)) as s:
         served = request_captions("127.0.0.1", s.port, feats)
     assert served == live.caption(feats)
+
+
+def test_raw_wire_format_matches_npz_and_errors(tmp_path):
+    """application/x-stvd-raw (zero-copy parse): captions equal the npz
+    wire; malformed raw bodies 400 with specific messages."""
+    from stvd.cli.serve import encode_raw_request
+
+    out, _, cfg = _artifact(tmp_path, spatial=True)
+    cap = load_artifact(out)
+    m = cfg.model
+    rng = np.random.RandomState(21)
+    feats = rng.randn(2, m.n_frames, m.ctx_dim).astype(np.float32)
+    regs = rng.randn(2, m.n_frames, m.n_regions,
+                     m.region_dim).astype(np.float32)
+    with _Srv(CaptionServer(cap, port=0)) as s:
+        raw = request_captions("127.0.0.1", s.port, feats, regions=regs,
+                               wire="raw")
+        npz = request_captions("127.0.0.1", s.port, feats, regions=regs,
+                               wire="npz")
+        assert raw == npz == cap.caption(feats, list(regs))
+
+        # non-contiguous input still encodes correctly (F-order source)
+        f_noncontig = np.asfortranarray(feats)
+        assert request_captions("127.0.0.1", s.port, f_noncontig,
+                                regions=regs, wire="raw") == raw
+
+        # truncated body
+        chunks = encode_raw_request(feats, regs)
+        body = b"".join(bytes(c) for c in chunks)[:-100]
+        st, err = _post(s.port, "/caption", body, "application/x-stvd-raw")
+        assert st == 400 and "truncated" in err["error"]
+        # unknown stream name
+        bad_header = json.dumps(
+            {"weights": [[2, 2], "float32"]}).encode()
+        body = len(bad_header).to_bytes(4, "big") + bad_header + b"\0" * 16
+        st, err = _post(s.port, "/caption", body, "application/x-stvd-raw")
+        assert st == 400 and "unknown stream" in err["error"]
+        # non-numeric dtype rejected before frombuffer
+        bad_header = json.dumps(
+            {"features": [[1, 1, 1], "object"]}).encode()
+        body = len(bad_header).to_bytes(4, "big") + bad_header + b"\0" * 8
+        st, err = _post(s.port, "/caption", body, "application/x-stvd-raw")
+        assert st == 400 and "dtype" in err["error"]

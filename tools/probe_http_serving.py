@@ -23,7 +23,7 @@ import http.client
 import numpy as np
 
 sys.path.insert(0, ".")
-from stvd.cli.serve import encode_npz_request  # noqa: E402
+from stvd.cli.serve import request_captions  # noqa: E402
 
 
 def _manifest(port):
@@ -48,18 +48,6 @@ def _request_arrays(man, batch):
     return out
 
 
-def _post(port, body):
-    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
-    conn.request("POST", "/caption", body=body,
-                 headers={"Content-Type": "application/x-npz"})
-    resp = conn.getresponse()
-    obj = json.loads(resp.read().decode())
-    conn.close()
-    if "error" in obj:
-        raise RuntimeError(obj["error"])
-    return obj
-
-
 def main():
     port = int(sys.argv[1])
     n_lat = int(sys.argv[2]) if len(sys.argv) > 2 else 30
@@ -70,14 +58,14 @@ def main():
           f"dp={man.get('data_parallel', 0)}")
 
     a1 = _request_arrays(man, 1)
-    body1 = encode_npz_request(a1["frames"], a1.get("regions"),
-                               a1.get("motion"))
-    print(f"b=1 request body: {len(body1) / 1e6:.2f} MB npz")
-    _post(port, body1)  # warm the route
+    nbytes = sum(a.nbytes for a in a1.values())
+    print(f"b=1 request payload: {nbytes / 1e6:.2f} MB (raw wire)")
+    kw1 = dict(regions=a1.get("regions"), motion=a1.get("motion"))
+    request_captions("127.0.0.1", port, a1["frames"], **kw1)  # warm
     lat = []
     for _ in range(n_lat):
         t0 = time.perf_counter()
-        _post(port, body1)
+        request_captions("127.0.0.1", port, a1["frames"], **kw1)
         lat.append((time.perf_counter() - t0) * 1e3)
     lat.sort()
     print(f"b=1 client latency over {n_lat}: min {lat[0]:.2f} ms  "
@@ -85,14 +73,14 @@ def main():
           f"p95 {lat[int(len(lat) * 0.95) - 1]:.2f} ms")
 
     ab = _request_arrays(man, bulk)
-    bodyb = encode_npz_request(ab["frames"], ab.get("regions"),
-                               ab.get("motion"))
-    print(f"bulk={bulk} request body: {len(bodyb) / 1e6:.1f} MB npz")
+    nbytes = sum(a.nbytes for a in ab.values())
+    print(f"bulk={bulk} request payload: {nbytes / 1e6:.1f} MB (raw wire)")
+    kwb = dict(regions=ab.get("regions"), motion=ab.get("motion"))
     t0 = time.perf_counter()
-    obj = _post(port, bodyb)
+    caps = request_captions("127.0.0.1", port, ab["frames"], **kwb)
     wall = time.perf_counter() - t0
-    print(f"bulk {bulk} captions: {wall * 1e3:.1f} ms client "
-          f"({obj['ms']:.1f} ms server-side) = "
+    print(f"bulk {bulk} captions ({len(caps)} returned): "
+          f"{wall * 1e3:.1f} ms client = "
           f"{bulk / wall:.1f} captions/s client-observed")
     print("HTTP_PROBE_DONE")
 
