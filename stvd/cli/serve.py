@@ -15,6 +15,8 @@ Endpoints (all JSON responses):
     GET  /healthz    {"status": "ok", "mode": "aot"|"live",
                       "requests_served": N}
     GET  /manifest   artifact manifest (aot) / config summary (live)
+    GET  /stats      per-route serving stats over a sliding window:
+                     {route: {count, min_ms, p50_ms, p95_ms}, ...}
     POST /caption    body is ONE OF
                      - ``application/x-stvd-raw``: 4-byte header length
                        + JSON {name: [shape, dtype]} + raw C-order
@@ -143,6 +145,8 @@ class _Handler(BaseHTTPRequestHandler):
                               "requests_served": self.server.served})
         elif self.path == "/manifest":
             self._reply(200, self.server.manifest)
+        elif self.path == "/stats":
+            self._reply(200, self.server.stats_summary())
         else:
             self._reply(404, {"error": f"unknown path {self.path}"})
 
@@ -183,8 +187,11 @@ class _Handler(BaseHTTPRequestHandler):
                     arrays["features"], n=n, **kwargs)
                 resp = {"nbest": [[[t, s] for t, s in video]
                                   for video in hyps], "n": len(hyps)}
-            resp["ms"] = round((time.perf_counter() - t0) * 1e3, 3)
+            ms = (time.perf_counter() - t0) * 1e3
+            resp["ms"] = round(ms, 3)
             self.server.served += 1
+            self.server.record(url.path.lstrip("/"),
+                               len(arrays["features"]), ms)
             self._reply(200, resp)
         except (ValueError, KeyError) as e:
             self._reply(400, {"error": str(e)})
@@ -207,6 +214,28 @@ class CaptionServer(HTTPServer):
         self.verbose = verbose
         self.allow_shutdown = allow_shutdown
         self.served = 0
+        self._lat = {}       # route -> deque of (n_videos, ms)
+
+    def record(self, route: str, n_videos: int, ms: float) -> None:
+        from collections import deque
+        self._lat.setdefault(route, deque(maxlen=1000)).append(
+            (n_videos, ms))
+
+    def stats_summary(self) -> Dict:
+        """Per-route latency percentiles over the sliding window (the
+        number an operator checks before blaming the model)."""
+        out: Dict = {"requests_served": self.served}
+        for route, samples in self._lat.items():
+            ms = sorted(m for _, m in samples)
+            vids = sum(n for n, _ in samples)
+            out[route] = {
+                "count": len(ms),
+                "videos": vids,
+                "min_ms": round(ms[0], 3),
+                "p50_ms": round(ms[len(ms) // 2], 3),
+                "p95_ms": round(ms[max(0, int(len(ms) * 0.95) - 1)], 3),
+            }
+        return out
 
     def warmup(self) -> float:
         """One zeros-batch caption per exported size (aot) / one at

@@ -316,3 +316,19 @@ def test_raw_wire_format_matches_npz_and_errors(tmp_path):
         body = len(bad_header).to_bytes(4, "big") + bad_header + b"\0" * 8
         st, err = _post(s.port, "/caption", body, "application/x-stvd-raw")
         assert st == 400 and "dtype" in err["error"]
+
+
+def test_stats_endpoint(tmp_path):
+    out, _, _ = _artifact(tmp_path, beam=1)
+    cap = load_artifact(out)
+    feats = np.zeros((2, MCFG.n_frames, MCFG.ctx_dim), np.float32)
+    with _Srv(CaptionServer(cap, port=0)) as s:
+        st, empty = _get(s.port, "/stats")
+        assert st == 200 and empty == {"requests_served": 0}
+        for _ in range(3):
+            request_captions("127.0.0.1", s.port, feats)
+        st, stats = _get(s.port, "/stats")
+    assert stats["requests_served"] == 3
+    c = stats["caption"]
+    assert c["count"] == 3 and c["videos"] == 6
+    assert 0 < c["min_ms"] <= c["p50_ms"] <= c["p95_ms"]
