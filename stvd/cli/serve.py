@@ -78,6 +78,8 @@ def _parse_raw_body(body: bytes) -> Dict:
         dt = np.dtype(dtype)
         if dt.kind not in "fiu":
             raise ValueError(f"{name}: non-numeric dtype {dtype!r}")
+        if not shape or any(int(d) < 1 for d in shape):
+            raise ValueError(f"{name}: invalid shape {shape}")
         count = int(np.prod(shape))
         need = off + count * dt.itemsize
         if need > len(body):

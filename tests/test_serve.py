@@ -332,3 +332,13 @@ def test_stats_endpoint(tmp_path):
     c = stats["caption"]
     assert c["count"] == 3 and c["videos"] == 6
     assert 0 < c["min_ms"] <= c["p50_ms"] <= c["p95_ms"]
+
+
+def test_raw_wire_rejects_nonpositive_dims(tmp_path):
+    out, _, _ = _artifact(tmp_path, beam=1)
+    cap = load_artifact(out)
+    header = json.dumps({"features": [[-1, 6, 32], "float32"]}).encode()
+    body = len(header).to_bytes(4, "big") + header + b"\0" * (6 * 32 * 4)
+    with _Srv(CaptionServer(cap, port=0)) as s:
+        st, err = _post(s.port, "/caption", body, "application/x-stvd-raw")
+    assert st == 400 and "invalid shape" in err["error"]
