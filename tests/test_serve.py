@@ -342,3 +342,25 @@ def test_raw_wire_rejects_nonpositive_dims(tmp_path):
     with _Srv(CaptionServer(cap, port=0)) as s:
         st, err = _post(s.port, "/caption", body, "application/x-stvd-raw")
     assert st == 400 and "invalid shape" in err["error"]
+
+
+def test_raw_wire_fuzz_never_500(tmp_path):
+    """Malformed raw bodies must produce 400s (parse rejection), never
+    500s or handler crashes: random prefixes, garbage headers, and
+    truncations of a valid body."""
+    out, _, _ = _artifact(tmp_path, beam=1)
+    cap = load_artifact(out)
+    from stvd.cli.serve import encode_raw_request
+    feats = np.zeros((1, MCFG.n_frames, MCFG.ctx_dim), np.float32)
+    valid = b"".join(bytes(c) for c in encode_raw_request(feats))
+    rng = np.random.RandomState(0)
+    bodies = [b"", b"\0", b"\xff" * 8, rng.bytes(64), rng.bytes(4096),
+              valid[:3], valid[:20], valid[:-1],
+              (len(valid) * 2).to_bytes(4, "big") + valid[4:]]
+    with _Srv(CaptionServer(cap, port=0)) as s:
+        for body in bodies:
+            st, obj = _post(s.port, "/caption", body,
+                            "application/x-stvd-raw")
+            assert st == 400, (st, obj, body[:16])
+        # the daemon still serves after the fuzz barrage
+        assert request_captions("127.0.0.1", s.port, feats)
