@@ -337,6 +337,11 @@ def build_server(args) -> CaptionServer:
     if bool(args.artifact) == bool(args.run_dir):
         raise ValueError("exactly one of --artifact / --run-dir required")
     if args.artifact:
+        if getattr(args, "quant", None):
+            raise ValueError(
+                "--quant applies to live mode only; quantization is "
+                "baked into an artifact at export time (cli/export "
+                "--quant int8)")
         from ..export_aot import load_artifact
         params = None
         if args.params:

@@ -364,3 +364,13 @@ def test_raw_wire_fuzz_never_500(tmp_path):
             assert st == 400, (st, obj, body[:16])
         # the daemon still serves after the fuzz barrage
         assert request_captions("127.0.0.1", s.port, feats)
+
+
+def test_quant_rejected_in_artifact_mode(tmp_path):
+    out, _, _ = _artifact(tmp_path, beam=1)
+    import argparse
+    ns = argparse.Namespace(artifact=out, run_dir=None, params=None,
+                            quant="int8", host="127.0.0.1", port=0,
+                            verbose=False)
+    with pytest.raises(ValueError, match="live mode only"):
+        build_server(ns)
