@@ -337,7 +337,7 @@ def build_server(args) -> CaptionServer:
     if bool(args.artifact) == bool(args.run_dir):
         raise ValueError("exactly one of --artifact / --run-dir required")
     if args.artifact:
-        if getattr(args, "quant", None):
+        if getattr(args, "quant", None) not in (None, "none"):
             raise ValueError(
                 "--quant applies to live mode only; quantization is "
                 "baked into an artifact at export time (cli/export "
