@@ -318,3 +318,20 @@ def test_dp_call_wrapper_is_memoized(tmp_path):
     a = served.caption(feats)
     b = served.caption(feats)
     assert a == b and len(served._call_cache) == 1
+
+
+def test_dp_artifact_weight_swap(tmp_path):
+    """params= override composes with the serving mesh (weights are
+    re-replicated at load): swapped weights change output, and the
+    swapped DP captions equal the swapped single-device captions."""
+    cfg = Config(model=MCFG, decode=DecodeConfig(beam_size=2, maxlen=8,
+                                                 decode_batch=4))
+    p1 = init_params(jax.random.PRNGKey(21), MCFG)
+    p2 = init_params(jax.random.PRNGKey(22), MCFG)
+    out = str(tmp_path / "artifact")
+    save_artifact(out, p1, cfg, _vocab(), platforms=("cpu",),
+                  batch_sizes=(4,), data_parallel=4)
+    feats, _, _ = _feats(4, MCFG, seed=23)
+    swapped = load_artifact(out, params=p2)
+    live2 = Captioner(p2, cfg, _vocab())
+    assert swapped.caption(feats) == live2.caption(feats)
