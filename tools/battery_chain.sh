@@ -34,4 +34,6 @@ nohup bash tools/battery13.sh /tmp/battery13 /tmp/battery12/summary.txt > /dev/n
 echo $! > /tmp/b13.pid
 nohup bash tools/battery14.sh /tmp/battery14 /tmp/battery13/summary.txt > /dev/null 2>&1 &
 echo $! > /tmp/b14.pid
+nohup bash tools/battery15.sh /tmp/battery15 /tmp/battery14/summary.txt > /dev/null 2>&1 &
+echo $! > /tmp/b15.pid
 echo "batteries launched ($(date))" >> "$OUT/log.txt"
