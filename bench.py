@@ -24,6 +24,10 @@ sys.path.insert(0, ".")
 
 LEGACY_CAPTIONS_PER_SEC = 2.5   # documented estimate, see module docstring
 _LAST_TPU_CACHE = "/tmp/stvd_bench_last_tpu.json"
+# /tmp is wiped on VM reboot (it happened mid-round-3, losing the cache
+# while the tunnel stayed wedged) — a repo-persisted copy survives.
+_LAST_TPU_REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "runs", "last_tpu_bench.json")
 
 # v5e-1 peaks (public spec): 197 TFLOP/s bf16 / 394 TOPS int8, ~820 GB/s
 # HBM.  VPU elementwise rate: 8 sublanes x 128 lanes x ~0.94 GHz ~ 1e12
@@ -720,15 +724,17 @@ def main():
             "platform": "cpu-fallback (1 core)",
             "error": "TPU tunnel unresponsive; CPU lower bound reported",
             "beam": 5, "batch_decode_ms": round(per_batch * 1e3, 1)}
-        try:
-            with open(_LAST_TPU_CACHE) as f:
-                # last known-good chip record from a previous run of
-                # this same script on this machine — informational
-                # only, clearly labeled; the headline stays the
-                # honestly-measured CPU lower bound
-                rec["last_tpu_measurement"] = json.load(f)
-        except (OSError, ValueError):
-            pass
+        for cache in (_LAST_TPU_CACHE, _LAST_TPU_REPO):
+            try:
+                with open(cache) as f:
+                    # last known-good chip record from a previous run of
+                    # this same script on this machine — informational
+                    # only, clearly labeled; the headline stays the
+                    # honestly-measured CPU lower bound
+                    rec["last_tpu_measurement"] = json.load(f)
+                break
+            except (OSError, ValueError):
+                pass
         print(json.dumps(rec))
         return
 
@@ -878,12 +884,14 @@ def main():
         import jax as _jx
         if _jx.default_backend() == "tpu":
             # cache the record so a wedged-tunnel fallback run can
-            # report the last known-good chip measurement (labeled)
-            try:
-                with open(_LAST_TPU_CACHE, "w") as f:
-                    json.dump(out, f)
-            except OSError:
-                pass
+            # report the last known-good chip measurement (labeled);
+            # written to both /tmp and the repo (reboot-proof)
+            for cache in (_LAST_TPU_CACHE, _LAST_TPU_REPO):
+                try:
+                    with open(cache, "w") as f:
+                        json.dump(out, f)
+                except OSError:
+                    pass
     print(json.dumps(out))
 
 

@@ -33,11 +33,22 @@ Endpoints (all JSON responses):
                      (aot mode needs an artifact exported with --nbest;
                      live mode always works)
 
-The server is deliberately SINGLE-THREADED: there is one chip, and
-decode requests would only contend on it — serialization at the HTTP
-layer is the honest queue (bucketed AOT artifacts already give small
-requests a small-batch graph, so a b=1 request is never stuck behind
-its own padding, only behind earlier requests).
+The server is deliberately SINGLE-THREADED by default: there is one
+chip, and decode requests would only contend on it — serialization at
+the HTTP layer is the honest queue (bucketed AOT artifacts already
+give small requests a small-batch graph, so a b=1 request is never
+stuck behind its own padding, only behind earlier requests).
+
+``--coalesce-wait-ms W`` (opt-in) switches to a threaded server with
+CROSS-REQUEST BATCHING: concurrent /caption requests that arrive
+within a W-ms window are concatenated into ONE device call and the
+captions split back per request (the continuous-batching pattern —
+many independent b=1 clients ride the large-batch graph instead of
+serializing b=1 decodes).  The tradeoff is explicit: every request
+pays up to W ms of collection latency; device calls stay serialized
+on an internal lock (one chip).  Requests with different trailing
+shapes or stream sets dispatch as separate groups, so a malformed
+group never poisons an unrelated one.
 
 ``request_captions`` is the matching client helper (raw wire format by
 default; ``wire='npz'`` for the portable container).
@@ -48,7 +59,9 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import socketserver
 import sys
+import threading
 import time
 from http.server import BaseHTTPRequestHandler, HTTPServer
 from typing import Dict, List, Optional, Sequence
@@ -56,6 +69,90 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 _STREAM_KEYS = ("features", "regions", "motion")
+
+
+class _Pending:
+    """One in-flight /caption request parked in the coalescer."""
+
+    __slots__ = ("arrays", "event", "result", "error")
+
+    def __init__(self, arrays: Dict):
+        self.arrays = arrays
+        self.event = threading.Event()
+        self.result: Optional[List[str]] = None
+        self.error: Optional[Exception] = None
+
+
+class _Coalescer:
+    """Cross-request batching for the threaded server: the first
+    request to arrive becomes the LEADER, sleeps ``wait_ms`` collecting
+    followers, then concatenates every compatible request into one
+    ``captioner.caption`` call and splits the captions back.  Device
+    calls are serialized on ``_dev_lock`` (one chip); requests whose
+    trailing shapes / stream sets differ dispatch as separate groups
+    inside the same window."""
+
+    def __init__(self, captioner, wait_ms: float):
+        self.captioner = captioner
+        self.wait_s = wait_ms / 1e3
+        self._lock = threading.Lock()
+        self._queue: List[_Pending] = []
+        self._leader_active = False
+        self._dev_lock = threading.Lock()
+        self.dispatches: List = []   # (n_requests, n_videos, n_groups)
+
+    def submit(self, arrays: Dict) -> List[str]:
+        p = _Pending(arrays)
+        with self._lock:
+            self._queue.append(p)
+            lead = not self._leader_active
+            if lead:
+                self._leader_active = True
+        if lead:
+            time.sleep(self.wait_s)          # collection window
+            with self._lock:
+                batch, self._queue = self._queue, []
+                self._leader_active = False  # next arrival leads anew
+            self._dispatch(batch)
+        # leader's own event is set inside _dispatch; followers park
+        # here until their leader (or the next one) serves them
+        if not p.event.wait(timeout=600.0):
+            raise RuntimeError("coalesced request timed out (600s)")
+        if p.error is not None:
+            raise p.error
+        return p.result
+
+    def _dispatch(self, batch: List[_Pending]) -> None:
+        groups: Dict[tuple, List[_Pending]] = {}
+        for p in batch:
+            key = tuple((k, p.arrays[k].shape[1:]) if k in p.arrays
+                        else (k, None) for k in _STREAM_KEYS)
+            groups.setdefault(key, []).append(p)
+        with self._dev_lock:
+            for members in groups.values():
+                try:
+                    feats = np.concatenate(
+                        [p.arrays["features"] for p in members])
+                    kw = {k: np.concatenate([p.arrays[k] for p in members])
+                          for k in ("regions", "motion")
+                          if k in members[0].arrays}
+                    caps = self.captioner.caption(feats, **kw)
+                    off = 0
+                    for p in members:
+                        n = len(p.arrays["features"])
+                        p.result = caps[off:off + n]
+                        off += n
+                except Exception as e:   # the group fails together;
+                    for p in members:    # other groups are unaffected
+                        if p.result is None:
+                            p.error = e
+                finally:
+                    for p in members:
+                        p.event.set()
+        self.dispatches.append(
+            (len(batch),
+             sum(len(p.arrays["features"]) for p in batch),
+             len(groups)))
 
 
 def _parse_raw_body(body: bytes) -> Dict:
@@ -177,21 +274,32 @@ class _Handler(BaseHTTPRequestHandler):
                 body, self.headers.get("Content-Type", ""))
             kwargs = dict(regions=arrays.get("regions"),
                           motion=arrays.get("motion"))
+            coal = self.server.coalescer
             t0 = time.perf_counter()
             if url.path == "/caption":
-                captions = self.server.captioner.caption(
-                    arrays["features"], **kwargs)
+                if coal is not None:
+                    captions = coal.submit(arrays)
+                else:
+                    captions = self.server.captioner.caption(
+                        arrays["features"], **kwargs)
                 resp = {"captions": captions, "n": len(captions)}
             else:
                 q = parse_qs(url.query)
                 n = int(q["n"][0]) if q.get("n") else None
-                hyps = self.server.captioner.nbest(
-                    arrays["features"], n=n, **kwargs)
+                if coal is not None:
+                    # threaded mode: n-best calls share the device lock
+                    with coal._dev_lock:
+                        hyps = self.server.captioner.nbest(
+                            arrays["features"], n=n, **kwargs)
+                else:
+                    hyps = self.server.captioner.nbest(
+                        arrays["features"], n=n, **kwargs)
                 resp = {"nbest": [[[t, s] for t, s in video]
                                   for video in hyps], "n": len(hyps)}
             ms = (time.perf_counter() - t0) * 1e3
             resp["ms"] = round(ms, 3)
-            self.server.served += 1
+            with self.server.stats_lock:
+                self.server.served += 1
             self.server.record(url.path.lstrip("/"),
                                len(arrays["features"]), ms)
             self._reply(200, resp)
@@ -208,7 +316,8 @@ class CaptionServer(HTTPServer):
 
     def __init__(self, captioner, host: str = "127.0.0.1", port: int = 0,
                  mode: str = "aot", manifest: Optional[Dict] = None,
-                 verbose: bool = False, allow_shutdown: bool = False):
+                 verbose: bool = False, allow_shutdown: bool = False,
+                 coalesce_wait_ms: float = 0.0):
         super().__init__((host, port), _Handler)
         self.captioner = captioner
         self.mode = mode
@@ -216,12 +325,20 @@ class CaptionServer(HTTPServer):
         self.verbose = verbose
         self.allow_shutdown = allow_shutdown
         self.served = 0
+        self.stats_lock = threading.Lock()
         self._lat = {}       # route -> deque of (n_videos, ms)
+        # cross-request batching only makes sense with handler threads;
+        # the base (single-threaded) server leaves it off
+        self.coalescer = (_Coalescer(captioner, coalesce_wait_ms)
+                          if coalesce_wait_ms > 0
+                          and isinstance(self, socketserver.ThreadingMixIn)
+                          else None)
 
     def record(self, route: str, n_videos: int, ms: float) -> None:
         from collections import deque
-        self._lat.setdefault(route, deque(maxlen=1000)).append(
-            (n_videos, ms))
+        with self.stats_lock:
+            self._lat.setdefault(route, deque(maxlen=1000)).append(
+                (n_videos, ms))
 
     def stats_summary(self) -> Dict:
         """Per-route latency percentiles over the sliding window (the
@@ -236,6 +353,14 @@ class CaptionServer(HTTPServer):
                 "min_ms": round(ms[0], 3),
                 "p50_ms": round(ms[len(ms) // 2], 3),
                 "p95_ms": round(ms[max(0, int(len(ms) * 0.95) - 1)], 3),
+            }
+        if self.coalescer is not None and self.coalescer.dispatches:
+            ds = list(self.coalescer.dispatches)
+            out["coalesce"] = {
+                "dispatches": len(ds),
+                "requests": sum(r for r, _, _ in ds),
+                "videos": sum(v for _, v, _ in ds),
+                "max_requests_per_dispatch": max(r for r, _, _ in ds),
             }
         return out
 
@@ -255,6 +380,15 @@ class CaptionServer(HTTPServer):
                     if m.use_motion else None)
             self.captioner.caption(feats, regions=regs, motion=mots)
         return time.perf_counter() - t0
+
+
+class ThreadedCaptionServer(socketserver.ThreadingMixIn, CaptionServer):
+    """Handler-per-thread variant used by ``--coalesce-wait-ms``: HTTP
+    parsing overlaps while the coalescer batches concurrent /caption
+    requests into one device call (device access stays serialized on
+    the coalescer's lock — one chip)."""
+
+    daemon_threads = True
 
 
 def _request_arrays(features, regions=None, motion=None) -> Dict:
@@ -336,6 +470,8 @@ def request_nbest(host: str, port: int, features, regions=None,
 def build_server(args) -> CaptionServer:
     if bool(args.artifact) == bool(args.run_dir):
         raise ValueError("exactly one of --artifact / --run-dir required")
+    wait_ms = float(getattr(args, "coalesce_wait_ms", 0) or 0)
+    cls = ThreadedCaptionServer if wait_ms > 0 else CaptionServer
     if args.artifact:
         if getattr(args, "quant", None) not in (None, "none"):
             raise ValueError(
@@ -349,20 +485,20 @@ def build_server(args) -> CaptionServer:
             with np.load(args.params) as z:
                 params = {k: jnp.asarray(z[k]) for k in z.files}
         cap = load_artifact(args.artifact, params=params)
-        return CaptionServer(cap, args.host, args.port, mode="aot",
-                             manifest=cap.manifest, verbose=args.verbose,
-                             allow_shutdown=getattr(args, "allow_shutdown",
-                                                    False))
+        return cls(cap, args.host, args.port, mode="aot",
+                   manifest=cap.manifest, verbose=args.verbose,
+                   allow_shutdown=getattr(args, "allow_shutdown", False),
+                   coalesce_wait_ms=wait_ms)
     from ..api import Captioner
     cap = Captioner.from_run_dir(args.run_dir, quant=args.quant)
     summary = {"mode": "live", "run_dir": args.run_dir,
                "beam_size": cap.cfg.decode.beam_size,
                "decode_batch": cap.cfg.decode.decode_batch,
                "maxlen": cap.cfg.decode.maxlen}
-    return CaptionServer(cap, args.host, args.port, mode="live",
-                         manifest=summary, verbose=args.verbose,
-                         allow_shutdown=getattr(args, "allow_shutdown",
-                                                False))
+    return cls(cap, args.host, args.port, mode="live",
+               manifest=summary, verbose=args.verbose,
+               allow_shutdown=getattr(args, "allow_shutdown", False),
+               coalesce_wait_ms=wait_ms)
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
@@ -378,6 +514,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8017)
     ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--coalesce-wait-ms", type=float, default=0.0,
+                    help="batch concurrent /caption requests arriving "
+                         "within this window into one device call "
+                         "(threaded server; adds up to this much "
+                         "latency per request; 0 = single-threaded)")
     ap.add_argument("--allow-shutdown", action="store_true",
                     help="enable POST /shutdown (signal-free clean "
                          "exit for scripted benches; signals can wedge "

@@ -374,3 +374,124 @@ def test_quant_rejected_in_artifact_mode(tmp_path):
                             verbose=False)
     with pytest.raises(ValueError, match="live mode only"):
         build_server(ns)
+
+
+# ---- request coalescing (--coalesce-wait-ms) ------------------------------
+
+class _StubCaptioner:
+    """Counts device calls; captions encode (F, sum) so per-request
+    result routing is checkable.  Raises for F == 7 when poisoned."""
+
+    def __init__(self, poison_f=None):
+        self.calls = []          # list of (n_videos, f_dim)
+        self.poison_f = poison_f
+        self._lock = threading.Lock()
+
+    def caption(self, features, regions=None, motion=None):
+        with self._lock:
+            self.calls.append((len(features), features.shape[1]))
+        if self.poison_f is not None and features.shape[1] == self.poison_f:
+            raise ValueError("poisoned group")
+        return [f"f{features.shape[1]}:{float(features[i].sum()):.0f}"
+                for i in range(len(features))]
+
+
+def _concurrent_requests(port, payloads):
+    """POST each (features, regions) payload from its own thread via the
+    raw wire; return results/errors in submission order."""
+    results = [None] * len(payloads)
+    barrier = threading.Barrier(len(payloads))
+
+    def run(i, feats):
+        barrier.wait()
+        try:
+            results[i] = request_captions("127.0.0.1", port, feats)
+        except Exception as e:
+            results[i] = e
+
+    threads = [threading.Thread(target=run, args=(i, f))
+               for i, f in enumerate(payloads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    return results
+
+
+def test_coalescer_batches_concurrent_requests():
+    """Concurrent b=1 requests inside the window ride ONE device call;
+    every client still gets exactly its own caption."""
+    from stvd.cli.serve import ThreadedCaptionServer
+
+    stub = _StubCaptioner()
+    srv = ThreadedCaptionServer(stub, port=0, coalesce_wait_ms=300.0)
+    payloads = [np.full((1, 6, 8), float(i), np.float32) for i in range(4)]
+    with _Srv(srv) as s:
+        results = _concurrent_requests(s.port, payloads)
+        _, stats = _get(s.port, "/stats")
+    for i, got in enumerate(results):
+        assert got == [f"f6:{float(payloads[i].sum()):.0f}"], (i, got)
+    # 4 requests, fewer device calls, at least one genuinely batched
+    assert sum(n for n, _ in stub.calls) == 4
+    assert len(stub.calls) < 4
+    assert max(n for n, _ in stub.calls) >= 2
+    assert stats["coalesce"]["requests"] == 4
+    assert stats["coalesce"]["max_requests_per_dispatch"] >= 2
+
+
+def test_coalescer_groups_by_signature():
+    """Different trailing shapes dispatch as separate device calls in
+    the same window — never concatenated together."""
+    from stvd.cli.serve import ThreadedCaptionServer
+
+    stub = _StubCaptioner()
+    srv = ThreadedCaptionServer(stub, port=0, coalesce_wait_ms=300.0)
+    payloads = [np.full((1, 6, 8), 1.0, np.float32),
+                np.full((1, 7, 8), 2.0, np.float32),
+                np.full((1, 6, 8), 3.0, np.float32)]
+    with _Srv(srv) as s:
+        results = _concurrent_requests(s.port, payloads)
+    assert results[0] == ["f6:48"] and results[2] == ["f6:144"]
+    assert results[1] == ["f7:112"]
+    for n, f in stub.calls:   # no call ever mixed F=6 with F=7
+        assert f in (6, 7)
+    assert sum(n for n, f in stub.calls if f == 6) == 2
+    assert sum(n for n, f in stub.calls if f == 7) == 1
+
+
+def test_coalescer_group_error_is_isolated():
+    """A group that fails on device 500s only its own requests; other
+    groups in the same window succeed and the daemon keeps serving."""
+    from stvd.cli.serve import ThreadedCaptionServer
+
+    stub = _StubCaptioner(poison_f=7)
+    srv = ThreadedCaptionServer(stub, port=0, coalesce_wait_ms=300.0)
+    good = np.full((1, 6, 8), 1.0, np.float32)
+    bad = np.full((1, 7, 8), 2.0, np.float32)
+    with _Srv(srv) as s:
+        results = _concurrent_requests(s.port, [good, bad])
+        # daemon alive and correct after the failed group
+        again = request_captions("127.0.0.1", s.port, good)
+    assert results[0] == ["f6:48"] == again
+    assert isinstance(results[1], RuntimeError)
+    assert "poisoned" in str(results[1])
+
+
+def test_build_server_coalesce_flag(tmp_path):
+    """--coalesce-wait-ms > 0 selects the threaded server + coalescer;
+    0 keeps the single-threaded server with no coalescer."""
+    import argparse
+
+    from stvd.cli.serve import ThreadedCaptionServer
+
+    out, _, _ = _artifact(tmp_path, beam=1)
+    for wait, want_threaded in ((250.0, True), (0.0, False)):
+        ns = argparse.Namespace(artifact=out, run_dir=None, params=None,
+                                quant=None, host="127.0.0.1", port=0,
+                                verbose=False, coalesce_wait_ms=wait)
+        srv = build_server(ns)
+        try:
+            assert isinstance(srv, ThreadedCaptionServer) == want_threaded
+            assert (srv.coalescer is not None) == want_threaded
+        finally:
+            srv.server_close()
