@@ -91,12 +91,10 @@ class ModelConfig:
     # fusions is the remaining lever.  'auto' = on under TPU, off
     # elsewhere; 'on' forces it (interpret mode off-TPU — tests);
     # 'off' keeps the pure-jnp body.  Backward math is unchanged.
-    # DEFAULT 'off': grad parity is test-pinned, but the reference-
-    # scale TPU before/after (battery 11/12) had not landed when this
-    # shipped — the decode-side analogue measured slightly NEGATIVE
-    # (attn_pallas 0.254 vs attn_jnp 0.205 ms/step), so on-by-default
-    # must wait for a measured win.  Flip to 'auto' if battery 11/12
-    # comes back positive.
+    # DEFAULT 'off' — MEASURED NEGATIVE at reference scale (battery
+    # 11/12, round 4): preset-3 35.71 -> 35.39 steps/s, preset-2
+    # 9.91 -> 9.70.  Matches the decode-side analogue (battery 8).
+    # Kept opt-in for A/B probes; see BASELINE.md round-4 section.
     remat: bool = False             # jax.checkpoint the train-scan body:
     # recompute per-step activations in the backward instead of saving
     # them (required for config 2 at full scale+batch 64: the spatial
