@@ -99,7 +99,13 @@ class _Coalescer:
         self._queue: List[_Pending] = []
         self._leader_active = False
         self._dev_lock = threading.Lock()
-        self.dispatches: List = []   # (n_requests, n_videos, n_groups)
+        # running counters, not a per-dispatch list: a long-lived daemon
+        # would grow (and /stats would re-scan) the list forever
+        self._stats_lock = threading.Lock()
+        self.n_dispatches = 0
+        self.n_requests = 0
+        self.n_videos = 0
+        self.max_requests_per_dispatch = 0
 
     def submit(self, arrays: Dict) -> List[str]:
         p = _Pending(arrays)
@@ -143,16 +149,25 @@ class _Coalescer:
                         p.result = caps[off:off + n]
                         off += n
                 except Exception as e:   # the group fails together;
+                    # wrap so a device-side ValueError is not mapped to
+                    # HTTP 400 for innocent coalesced peers — a group
+                    # failure is server-side and must surface as a 500
+                    err = RuntimeError(
+                        f"coalesced group failed "
+                        f"({type(e).__name__}: {e})")
                     for p in members:    # other groups are unaffected
                         if p.result is None:
-                            p.error = e
+                            p.error = err
                 finally:
                     for p in members:
                         p.event.set()
-        self.dispatches.append(
-            (len(batch),
-             sum(len(p.arrays["features"]) for p in batch),
-             len(groups)))
+        with self._stats_lock:
+            self.n_dispatches += 1
+            self.n_requests += len(batch)
+            self.n_videos += sum(len(p.arrays["features"])
+                                 for p in batch)
+            self.max_requests_per_dispatch = max(
+                self.max_requests_per_dispatch, len(batch))
 
 
 def _parse_raw_body(body: bytes) -> Dict:
@@ -343,8 +358,13 @@ class CaptionServer(HTTPServer):
     def stats_summary(self) -> Dict:
         """Per-route latency percentiles over the sliding window (the
         number an operator checks before blaming the model)."""
-        out: Dict = {"requests_served": self.served}
-        for route, samples in self._lat.items():
+        # snapshot under the lock: handler threads mutate _lat (dict
+        # insert in record(), deque append) concurrently with /stats
+        with self.stats_lock:
+            out: Dict = {"requests_served": self.served}
+            snap = {route: list(samples)
+                    for route, samples in self._lat.items()}
+        for route, samples in snap.items():
             ms = sorted(m for _, m in samples)
             vids = sum(n for n, _ in samples)
             out[route] = {
@@ -354,14 +374,17 @@ class CaptionServer(HTTPServer):
                 "p50_ms": round(ms[len(ms) // 2], 3),
                 "p95_ms": round(ms[max(0, int(len(ms) * 0.95) - 1)], 3),
             }
-        if self.coalescer is not None and self.coalescer.dispatches:
-            ds = list(self.coalescer.dispatches)
-            out["coalesce"] = {
-                "dispatches": len(ds),
-                "requests": sum(r for r, _, _ in ds),
-                "videos": sum(v for _, v, _ in ds),
-                "max_requests_per_dispatch": max(r for r, _, _ in ds),
-            }
+        c = self.coalescer
+        if c is not None:
+            with c._stats_lock:
+                if c.n_dispatches:
+                    out["coalesce"] = {
+                        "dispatches": c.n_dispatches,
+                        "requests": c.n_requests,
+                        "videos": c.n_videos,
+                        "max_requests_per_dispatch":
+                            c.max_requests_per_dispatch,
+                    }
         return out
 
     def warmup(self) -> float:
