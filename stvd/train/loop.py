@@ -79,6 +79,59 @@ def _adadelta_slot_dtype(lr: float, slot_dtype, rho: float = 0.9,
     return optax.GradientTransformation(init, update)
 
 
+def graves_rmsprop(step_size: float = 1e-4, momentum: float = 0.9,
+                   decay: float = 0.95, eps: float = 1e-4,
+                   slot_dtype=None) -> optax.GradientTransformation:
+    """The reference's rmsprop (``common.py:§rmsprop``): the Graves-2013
+    CENTERED variant with heavy-ball momentum — NOT ``optax.rmsprop``
+    (uncentered, no momentum by default, decay 0.9, eps 1e-8).
+
+    Reference update equations, per parameter (op order matched):
+
+        rg   <- 0.95*rg  + 0.05*g          (running mean of g)
+        rg2  <- 0.95*rg2 + 0.05*g^2        (running mean of g^2)
+        ud   <- 0.9*ud - (1e-4*g)/sqrt(rg2 - rg^2 + 1e-4)
+        p    <- p + ud
+
+    using the POST-update rg/rg2 (the reference's ``f_grad_shared``
+    writes the accumulators, then ``f_update`` reads the shared vars).
+    NOTE the reference quirk, honored here for trajectory fidelity:
+    ``f_update(lr)`` declares lr as input but never uses it
+    (``on_unused_input='ignore'``) — the 1e-4 step size is HARDCODED,
+    so a reference recipe's configured lr does not change rmsprop
+    trajectories.  Pinned against a NumPy transcription of the update
+    equations in tests/test_train.py.
+
+    ``slot_dtype`` (default f32) stores the three slots like the
+    adadelta bf16-slot variant above; math is always f32."""
+    f32 = jnp.float32
+    sdt = slot_dtype or f32
+
+    def init(params):
+        z = lambda p: jnp.zeros(p.shape, sdt)
+        return (jax.tree.map(z, params), jax.tree.map(z, params),
+                jax.tree.map(z, params))
+
+    def update(grads, state, params=None):
+        del params
+        rg, rg2, ud = state
+
+        def upd(g, a, a2, u):
+            g = g.astype(f32)
+            a_n = decay * a.astype(f32) + (1 - decay) * g
+            a2_n = decay * a2.astype(f32) + (1 - decay) * (g * g)
+            u_n = (momentum * u.astype(f32)
+                   - (step_size * g) / jnp.sqrt(a2_n - a_n * a_n + eps))
+            return u_n, a_n.astype(sdt), a2_n.astype(sdt), u_n.astype(sdt)
+
+        out = jax.tree.map(upd, grads, rg, rg2, ud)
+        pick = lambda i: jax.tree.map(
+            lambda t: t[i], out, is_leaf=lambda t: isinstance(t, tuple))
+        return pick(0), (pick(1), pick(2), pick(3))
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
     """Reference optimizers (common.py:§adadelta/§rmsprop/§sgd) as optax
     transforms, with the reference's global grad clipping (clip_c)."""
@@ -88,8 +141,14 @@ def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
         else:
             opt = optax.adadelta(learning_rate=tcfg.lr)
     elif tcfg.optimizer == "rmsprop":
-        opt = optax.rmsprop(learning_rate=tcfg.lr)
+        # reference-exact Graves variant; deliberately ignores tcfg.lr
+        # (the reference hardcodes 1e-4 — see graves_rmsprop docstring)
+        opt = graves_rmsprop(
+            slot_dtype=(jnp.bfloat16 if tcfg.opt_slot_dtype == "bfloat16"
+                        else None))
     elif tcfg.optimizer == "sgd":
+        # plain p -= lr*g, exactly the reference's common.py:§sgd
+        # (optax.sgd emits -lr*g verbatim; parity pinned in tests)
         opt = optax.sgd(learning_rate=tcfg.lr)
     elif tcfg.optimizer == "adam":
         opt = optax.adam(learning_rate=tcfg.lr)

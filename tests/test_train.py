@@ -153,7 +153,90 @@ def test_adadelta_bf16_slots_trains_close_to_f32():
         losses
 
 
-@pytest.mark.parametrize("opt", ["adadelta", "sgd"])
+def test_graves_rmsprop_pins_reference_math():
+    """graves_rmsprop must match a NumPy transcription of the
+    reference's update equations (common.py:§rmsprop — Graves centered
+    variant, momentum 0.9, decay 0.95, eps 1e-4, hardcoded 1e-4 step)
+    over a multi-step trajectory, bit-for-bit in f32."""
+    import optax
+    from stvd.train.loop import graves_rmsprop
+
+    params = {"a": jnp.linspace(-1.0, 1.0, 64, dtype=jnp.float32
+                                ).reshape(8, 8),
+              "b": jnp.full((16,), 0.3, jnp.float32)}
+    opt = graves_rmsprop()
+    st = opt.init(params)
+    p = params
+    # NumPy reference state (f32 throughout, same op order)
+    ref = {k: np.asarray(v, np.float32) for k, v in params.items()}
+    rg = {k: np.zeros_like(v) for k, v in ref.items()}
+    rg2 = {k: np.zeros_like(v) for k, v in ref.items()}
+    ud = {k: np.zeros_like(v) for k, v in ref.items()}
+    key = jax.random.PRNGKey(7)
+    f32 = np.float32
+    for i in range(5):
+        key, k1 = jax.random.split(key)
+        g = {"a": jax.random.normal(k1, (8, 8), jnp.float32) * 0.1,
+             "b": jnp.full((16,), 0.01 * (i + 1), jnp.float32)}
+        u, st = opt.update(g, st)
+        p = optax.apply_updates(p, u)
+        for name in ref:
+            gn = np.asarray(g[name], np.float32)
+            rg[name] = f32(0.95) * rg[name] + f32(0.05) * gn
+            rg2[name] = f32(0.95) * rg2[name] + f32(0.05) * (gn * gn)
+            ud[name] = (f32(0.9) * ud[name]
+                        - (f32(1e-4) * gn)
+                        / np.sqrt(rg2[name] - rg[name] * rg[name]
+                                  + f32(1e-4)))
+            ref[name] = ref[name] + ud[name]
+    for name in ref:
+        np.testing.assert_array_equal(np.asarray(p[name]), ref[name],
+                                      err_msg=name)
+
+
+def test_rmsprop_ignores_configured_lr():
+    """The reference quirk, pinned: common.py:§rmsprop's f_update takes
+    lr but never uses it (on_unused_input='ignore') — trajectories are
+    identical for any configured lr."""
+    _, batch = _data()
+    states = []
+    for lr in (0.5, 5.0):
+        tcfg = dataclasses.replace(TCFG, optimizer="rmsprop", lr=lr)
+        state = init_train_state(jax.random.PRNGKey(0), MCFG, tcfg)
+        step = make_train_step(MCFG, tcfg)
+        for _ in range(3):
+            state, _ = step(state, batch)
+        states.append(jax.device_get(state["params"]["Wemb"]))
+    np.testing.assert_array_equal(states[0], states[1])
+
+
+def test_sgd_is_reference_exact():
+    """common.py:§sgd is plain p -= lr*g; pin that our optax.sgd
+    mapping emits exactly -lr*g (no momentum/weight-decay surprises)."""
+    from stvd.train.loop import make_optimizer
+    from stvd.config import TrainConfig
+
+    tcfg = TrainConfig(optimizer="sgd", lr=0.25, clip_c=0.0)
+    opt = make_optimizer(tcfg)
+    params = {"w": jnp.linspace(-2.0, 2.0, 32, dtype=jnp.float32)}
+    g = {"w": jnp.linspace(0.5, -0.5, 32, dtype=jnp.float32)}
+    u, _ = opt.update(g, opt.init(params), params)
+    np.testing.assert_array_equal(
+        np.asarray(u["w"]),
+        np.float32(-0.25) * np.asarray(g["w"], np.float32))
+
+
+def test_rmsprop_bf16_slots_storage():
+    """opt_slot_dtype='bfloat16' applies to rmsprop's three slots too
+    (same storage plumbing as the adadelta bf16-slot variant)."""
+    tcfg = dataclasses.replace(TCFG, optimizer="rmsprop",
+                               opt_slot_dtype="bfloat16")
+    state = init_train_state(jax.random.PRNGKey(0), MCFG, tcfg)
+    leaves = jax.tree.leaves(state["opt_state"])
+    assert leaves and all(x.dtype == jnp.bfloat16 for x in leaves)
+
+
+@pytest.mark.parametrize("opt", ["adadelta", "sgd", "rmsprop"])
 def test_optimizers_update_params(opt):
     _, batch = _data()
     tcfg = dataclasses.replace(TCFG, optimizer=opt, lr=0.5)
