@@ -54,6 +54,12 @@ def main(argv=None) -> int:
     ap.add_argument("--nll", action="store_true",
                     help="also report teacher-forced NLL + perplexity "
                          "for the split (reference pred_probs)")
+    ap.add_argument("--synonyms", default=None, metavar="TABLE.json",
+                    help="JSON {word: [synonyms...]} to activate "
+                         "METEOR's stage-2 synonym matching on boxes "
+                         "without WordNet data (metrics/meteor.py "
+                         "jar-delta class 4); scores with a non-jar "
+                         "table are not jar-comparable")
     args = ap.parse_args(argv)
 
     from ..utils import enable_compile_cache
@@ -63,6 +69,12 @@ def main(argv=None) -> int:
     if args.beam is not None:
         cfg = dataclasses.replace(
             cfg, decode=dataclasses.replace(cfg.decode, beam_size=args.beam))
+
+    if args.synonyms:
+        from ..metrics.meteor import load_synonym_table
+        n_syn = load_synonym_table(args.synonyms)
+        print(f"METEOR synonym table: {n_syn} headwords from "
+              f"{args.synonyms} (stage 2 active)")
 
     splits = load_splits(cfg)
     template = init_train_state(jax.random.PRNGKey(0), cfg.model, cfg.train)
@@ -181,9 +193,23 @@ def main(argv=None) -> int:
         print(f"attention maps -> {path}")
     # persist the scores next to the samples artifacts: score claims
     # for a run must be reproducible from a committed file, not from
-    # captured stdout (the repo's BASELINE convention)
+    # captured stdout (the repo's BASELINE convention).  The corpus
+    # provenance rides IN the artifact so a synthetic-corpus score can
+    # never be over-read as paper quality.
+    from ..data.corpus import corpus_provenance
+    if cfg.data.dataset == "synthetic":
+        # the in-memory generator IS the corpus — no marker file needed
+        prov = {"synthetic": True, "generator": "data.batching."
+                "synthetic_dataset (in-memory)",
+                "note": "fabricated corpus — scores are harness pins, "
+                        "NOT paper-comparable quality"}
+    else:
+        prov = corpus_provenance(cfg.data.data_dir)
     meta = {"split": args.split, "beam": cfg.decode.beam_size,
-            "checkpoint": name, "scores": scores}
+            "checkpoint": name, "scores": scores, "corpus": prov}
+    if prov.get("synthetic"):
+        meta["caveat"] = ("synthetic corpus — harness pin, NOT "
+                          "paper-comparable quality")
     score_path = os.path.join(args.run_dir, f"{args.split}_scores.json")
     with open(score_path, "w") as f:
         json.dump(meta, f, indent=2, sort_keys=True)

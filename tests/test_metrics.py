@@ -303,3 +303,101 @@ def test_meteor_synonym_forces_python_path(monkeypatch):
             {"v0": [["a", "puppy", "runs"]]},
             {"v0": [["a", "dog", "runs"]]})
         assert abs(score2 - 1 / 3) < 1e-12
+
+
+def test_load_synonym_table_fixture():
+    """The scoring-time synonym escape hatch (jar-delta class 4):
+    load the committed JSON fixture, verify stage 2 activates and
+    matches through the asymmetric table, then clear it."""
+    import os
+
+    from stvd.metrics import meteor
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "synonyms_en_mini.json")
+    try:
+        n = meteor.load_synonym_table(path)
+        assert n >= 10
+        assert meteor._synonyms_active()
+        # 'big'~'large' matches only through the table; reversed order
+        # exercises the asymmetric lookup ('large' is not a headword)
+        for hyp, ref in ((["a", "big", "dog"], ["a", "large", "dog"]),
+                         (["a", "large", "dog"], ["a", "big", "dog"])):
+            with_syn = meteor.meteor_sentence(hyp, [ref])
+            assert with_syn > 0.9      # 3/3 contiguous matches
+    finally:
+        meteor.set_synonym_table(None)
+    assert meteor.meteor_sentence(["a", "big", "dog"],
+                                  [["a", "large", "dog"]]) < 0.7
+
+
+def test_set_synonym_table_rejects_bad_json(tmp_path):
+    from stvd.metrics import meteor
+    p = tmp_path / "bad.json"
+    p.write_text("[1, 2, 3]")
+    with pytest.raises(ValueError):
+        meteor.load_synonym_table(str(p))
+    assert meteor._synonym_override is None   # nothing half-installed
+
+
+# 60-word fuzz list: regular forms plus known Porter/Snowball
+# divergence classes (-ly adverbs, -ed/-ing, y->i, -ous, short words)
+_STEM_FUZZ_WORDS = (
+    "running jumps easily fairly generously cats dogs sliced slicing "
+    "playing played happily national rational conditional dying lying "
+    "tying agreed disabled sized meetings stating siezing itemization "
+    "sensational traditional referencing colonizer plotted apples "
+    "skies quickly badly universally relational motoring differently "
+    "conflated troubling oscillators willingness generously communism "
+    "capabilities preliminary independently electricity hopefulness "
+    "grows knives feed cement entirely cosmically mule die woman news"
+).split()
+
+
+def test_stemmers_fuzz_pinned_against_nltk():
+    """Both stemmer kinds must agree with NLTK's own implementations
+    over the fuzz list (the memoizing wrapper adds no drift), and the
+    list must actually CONTAIN Porter-vs-Snowball divergences — the
+    documented jar-delta class 3 is real, not hypothetical."""
+    from nltk.stem.porter import PorterStemmer
+    from nltk.stem.snowball import SnowballStemmer
+
+    from stvd.metrics import meteor
+    porter, snow = PorterStemmer(), SnowballStemmer("english")
+    with meteor._stem_kind("porter"):
+        ours_p = [meteor._stem(w) for w in _STEM_FUZZ_WORDS]
+    with meteor._stem_kind("snowball"):
+        ours_s = [meteor._stem(w) for w in _STEM_FUZZ_WORDS]
+    assert ours_p == [porter.stem(w) for w in _STEM_FUZZ_WORDS]
+    assert ours_s == [snow.stem(w) for w in _STEM_FUZZ_WORDS]
+    diverging = [w for w, p, s in zip(_STEM_FUZZ_WORDS, ours_p, ours_s)
+                 if p != s]
+    assert diverging, "fuzz list contains no Porter/Snowball deltas"
+
+
+def test_meteor15_uses_snowball_stemmer():
+    """The 1.5 jar stems with Snowball English, not Porter — pin that
+    the meteor15-en profile actually switches stemmers: find a word
+    pair that shares a Snowball stem but not a Porter stem and check
+    it matches under meteor15-en but not under an otherwise-identical
+    porter-stemmed profile."""
+    from nltk.stem.porter import PorterStemmer
+    from nltk.stem.snowball import SnowballStemmer
+
+    from stvd.metrics.meteor import (PROFILES, meteor_sentence)
+    import dataclasses as dc
+    porter, snow = PorterStemmer(), SnowballStemmer("english")
+    pair = None
+    base = ["fairly", "entirely", "generously", "cosmically", "badly"]
+    for w in base:
+        root = w[:-2]            # strip 'ly'
+        if (snow.stem(w) == snow.stem(root)
+                and porter.stem(w) != porter.stem(root)):
+            pair = (w, root)
+            break
+    assert pair is not None, "no divergent -ly pair found"
+    p15 = PROFILES["meteor15-en"]
+    p15_porter = dc.replace(p15, name="15-porter", stemmer="porter")
+    s_snow = meteor_sentence([pair[0]], [[pair[1]]], profile=p15)
+    s_port = meteor_sentence([pair[0]], [[pair[1]]], profile=p15_porter)
+    assert s_snow > 0            # stem match under snowball
+    assert s_port == 0           # no match under porter
