@@ -11,7 +11,10 @@ throughput (documented in BASELINE.md): beam=5, ~30 steps/video,
 stack => ~0.4 s/video => ~2.5 captions/sec.  vs_baseline = ours / 2.5
 (the BASELINE north-star target is vs_baseline >= 50x... i.e. >=125).
 
-Usage: python bench.py [--what decode|train|all] [--small] [--kernel]
+Usage: python bench.py [--what decode|train|all|quality|dp|latency|serve]
+       [--small] [--kernel]
+(--what serve: daemon-vs-direct E2E over a real exported artifact —
+needs a trained --run-dir; see bench_serve.)
 """
 
 import argparse
@@ -174,7 +177,8 @@ def _batch(mcfg, tcfg, b, seed=0):
 
 
 def bench_decode(small: bool, use_kernel: bool, iters: int = 8,
-                 batch: int = 0, quant: str = "none"):
+                 batch: int = 0, quant: str = "none",
+                 gates_kernel: str = "off"):
     import dataclasses
 
     import jax
@@ -185,6 +189,8 @@ def bench_decode(small: bool, use_kernel: bool, iters: int = 8,
     mcfg, tcfg, dcfg = _cfgs(small)
     if quant != "none":
         mcfg = dataclasses.replace(mcfg, decode_quant=quant)
+    if gates_kernel != "off":
+        mcfg = dataclasses.replace(mcfg, gates_kernel=gates_kernel)
     params = dict(init_params(jax.random.PRNGKey(0), mcfg))
     # random weights emit EOS immediately and the early-exit while_loop
     # finishes in ~1 step (3.6M "captions"/s of empty strings). Suppress
@@ -652,11 +658,255 @@ def bench_dp(small: bool, use_kernel: bool, iters: int = 10):
     return iters / dt, n_dev, b
 
 
+def _free_port() -> int:
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _serve_direct_code(art: str, sizes, n_lat: int) -> str:
+    """Child-process script: load the artifact IN-PROCESS and time
+    caption() per batch size — the no-HTTP baseline the daemon numbers
+    are compared against."""
+    return f"""
+import json, time, sys
+import numpy as np
+sys.path.insert(0, ".")
+from stvd.utils import enable_compile_cache
+enable_compile_cache()
+from stvd.export_aot import load_artifact
+cap = load_artifact({art!r})
+m = cap.cfg.model
+rng = np.random.RandomState(0)
+def arrs(b):
+    out = {{"features":
+            (rng.randn(b, m.n_frames, m.ctx_dim) * 0.3).astype("float32")}}
+    if m.use_spatial:
+        out["regions"] = (rng.randn(b, m.n_frames, m.n_regions,
+                                    m.region_dim) * 0.3).astype("float32")
+    if m.use_motion:
+        out["motion"] = (rng.randn(b, m.n_frames,
+                                   m.motion_dim) * 0.3).astype("float32")
+    return out
+res = {{}}
+for b in {list(sizes)!r}:
+    a = arrs(b)
+    kw = dict(regions=a.get("regions"), motion=a.get("motion"))
+    cap.caption(a["features"], **kw)          # warm (StableHLO compile)
+    reps = {n_lat} if b == 1 else 6
+    lat = []
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        t1 = time.perf_counter()
+        cap.caption(a["features"], **kw)      # strings out = real sync
+        lat.append((time.perf_counter() - t1) * 1e3)
+    wall = time.perf_counter() - t0
+    lat.sort()
+    res[str(b)] = {{
+        "min_ms": round(lat[0], 2),
+        "p50_ms": round(lat[len(lat) // 2], 2),
+        "p95_ms": round(lat[max(0, int(len(lat) * 0.95) - 1)], 2),
+        "captions_per_sec": round(b * reps / wall, 1)}}
+print("DIRECT_JSON:" + json.dumps(res))
+"""
+
+
+def _daemon_measure(port: int, sizes, n_lat: int, mcfg_like=None,
+                    concurrency: int = 0):
+    """Drive a running cli/serve daemon over HTTP (raw wire) and return
+    per-size client latency/throughput.  With ``concurrency`` > 0, run
+    that many b=1 client threads against the coalescer instead."""
+    import http.client
+    import threading
+
+    import numpy as np
+
+    from stvd.cli.serve import request_captions
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request("GET", "/manifest")
+    man = json.loads(conn.getresponse().read().decode())
+    conn.close()
+    spec = man["inputs"][str(man["batch_sizes"][0])]
+    rng = np.random.RandomState(0)
+
+    def arrs(b):
+        out = {}
+        for name in ("frames", "regions", "motion"):
+            if name in spec:
+                shape = [b] + [int(d) for d in spec[name][0][1:]]
+                out[name] = (rng.randn(*shape) * 0.3).astype(np.float32)
+        return out
+
+    if concurrency > 0:
+        a1 = arrs(1)
+        kw = dict(regions=a1.get("regions"), motion=a1.get("motion"))
+        request_captions("127.0.0.1", port, a1["frames"], **kw)  # warm
+        per_thread = max(4, n_lat // concurrency)
+        lat_all, lock = [], threading.Lock()
+
+        def client():
+            mine = []
+            for _ in range(per_thread):
+                t0 = time.perf_counter()
+                request_captions("127.0.0.1", port, a1["frames"], **kw)
+                mine.append((time.perf_counter() - t0) * 1e3)
+            with lock:
+                lat_all.extend(mine)
+
+        threads = [threading.Thread(target=client)
+                   for _ in range(concurrency)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        lat_all.sort()
+        n = len(lat_all)
+        return {"clients": concurrency, "requests": n,
+                "p50_ms": round(lat_all[n // 2], 2),
+                "p95_ms": round(lat_all[max(0, int(n * 0.95) - 1)], 2),
+                "captions_per_sec": round(n / wall, 1)}
+
+    res = {}
+    for b in sizes:
+        a = arrs(b)
+        kw = dict(regions=a.get("regions"), motion=a.get("motion"))
+        request_captions("127.0.0.1", port, a["frames"], **kw)   # warm
+        reps = n_lat if b == 1 else 6
+        lat = []
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            t1 = time.perf_counter()
+            request_captions("127.0.0.1", port, a["frames"], **kw)
+            lat.append((time.perf_counter() - t1) * 1e3)
+        wall = time.perf_counter() - t0
+        lat.sort()
+        res[str(b)] = {
+            "min_ms": round(lat[0], 2),
+            "p50_ms": round(lat[len(lat) // 2], 2),
+            "p95_ms": round(lat[max(0, int(len(lat) * 0.95) - 1)], 2),
+            "captions_per_sec": round(b * reps / wall, 1)}
+    return res
+
+
+def _daemon_shutdown(port: int, proc) -> None:
+    """Stop the daemon via POST /shutdown — NEVER signals: a SIGKILLed
+    (or mid-compile SIGTERMed) TPU client wedges the axon tunnel for
+    hours (machine rule)."""
+    import http.client
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("POST", "/shutdown")
+        conn.getresponse().read()
+        conn.close()
+    except OSError:
+        pass
+    try:
+        proc.wait(timeout=60)
+    except Exception:
+        pass   # leave it be — do not signal a TPU client
+
+
+def bench_serve(run_dir: str, platform: str, sizes=(1, 32, 256),
+                n_lat: int = 30, coalesce_ms: float = 4.0):
+    """Serving E2E benchmark (``--what serve``): export a REAL artifact
+    from ``run_dir``, then measure (a) direct in-process artifact
+    captions/s + latency, (b) the HTTP daemon end-to-end over the raw
+    wire format, (c) the request coalescer under concurrent b=1
+    clients, on and off.  This is battery 15's repeatable form — the
+    number a serving user sees, not a stub-captioner overhead table.
+
+    Machine rules by construction: every JAX phase (export, direct
+    timing, each daemon) is its OWN child process run strictly one at a
+    time (one CPU core, one chip); the parent never initializes JAX;
+    daemons exit via POST /shutdown, never signals."""
+    import subprocess
+
+    art = "/tmp/stvd_bench_serve_art"
+    out = {"metric": "serve_captions_per_sec",
+           "unit": "captions/s", "vs_baseline": None,
+           "run_dir": run_dir, "platform": platform,
+           "batch_sizes": list(sizes), "wire": "raw"}
+
+    t0 = time.perf_counter()
+    r = subprocess.run(
+        [sys.executable, "-m", "stvd.cli.export", "--run-dir", run_dir,
+         "--out", art, "--platforms", platform,
+         "--batch", ",".join(str(s) for s in sizes)],
+        capture_output=True, text=True)
+    if r.returncode != 0:
+        raise RuntimeError(f"export failed:\n{r.stdout}\n{r.stderr}")
+    out["export_s"] = round(time.perf_counter() - t0, 1)
+
+    r = subprocess.run(
+        [sys.executable, "-c", _serve_direct_code(art, sizes, n_lat)],
+        capture_output=True, text=True)
+    for line in r.stdout.splitlines():
+        if line.startswith("DIRECT_JSON:"):
+            out["direct"] = json.loads(line[len("DIRECT_JSON:"):])
+            break
+    else:
+        raise RuntimeError(f"direct probe failed:\n{r.stdout}\n{r.stderr}")
+
+    def start_daemon(extra):
+        port = _free_port()
+        log = open(f"/tmp/stvd_bench_serve_daemon_{port}.log", "w")
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "stvd.cli.serve", "--artifact", art,
+             "--port", str(port), "--allow-shutdown"] + extra,
+            stdout=log, stderr=subprocess.STDOUT)
+        import http.client
+        deadline = time.time() + 600     # warmup compiles all sizes
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                raise RuntimeError(
+                    f"daemon exited early; see {log.name}")
+            try:
+                conn = http.client.HTTPConnection(
+                    "127.0.0.1", port, timeout=5)
+                conn.request("GET", "/healthz")
+                conn.getresponse().read()
+                conn.close()
+                return port, proc
+            except OSError:
+                time.sleep(1.0)
+        raise RuntimeError(f"daemon never became healthy; see {log.name}")
+
+    port, proc = start_daemon([])
+    try:
+        out["daemon"] = _daemon_measure(port, sizes, n_lat)
+    finally:
+        _daemon_shutdown(port, proc)
+
+    port, proc = start_daemon(
+        ["--coalesce-wait-ms", str(coalesce_ms)])
+    try:
+        out["coalesce"] = _daemon_measure(port, sizes, n_lat,
+                                          concurrency=8)
+        out["coalesce"]["wait_ms"] = coalesce_ms
+    finally:
+        _daemon_shutdown(port, proc)
+
+    bulk = str(sizes[-1])
+    out["value"] = out["daemon"][bulk]["captions_per_sec"]
+    out["daemon_overhead_b1_ms"] = round(
+        out["daemon"]["1"]["p50_ms"] - out["direct"]["1"]["p50_ms"], 2)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", default="decode",
                     choices=["decode", "train", "all", "quality", "dp",
-                             "latency"])
+                             "latency", "serve"])
+    ap.add_argument("--run-dir", default="runs/msvd_r4_flagship",
+                    help="--what serve: trained run dir to export the "
+                         "served artifact from")
+    ap.add_argument("--coalesce-ms", type=float, default=4.0,
+                    help="--what serve: coalescer collection window")
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--kernel", action="store_true", default=None,
                     help="force the Pallas fused kernels (default: auto "
@@ -692,12 +942,37 @@ def main():
     ap.add_argument("--grad-accum", type=int, default=1,
                     help="train.grad_accum microbatches for --what "
                          "train presets")
+    ap.add_argument("--gates-kernel", default="off",
+                    choices=["off", "on", "auto"],
+                    help="with --what decode: toggle the fused Pallas "
+                         "gates+LSTM kernel (model.gates_kernel) for "
+                         "before/after evidence")
+    ap.add_argument("--pin-repo-cache", action="store_true",
+                    help="also write the TPU headline record to the "
+                         "committed runs/last_tpu_bench.json (the "
+                         "reboot-proof wedge-fallback copy); without "
+                         "this flag only /tmp is updated, so routine "
+                         "runs never dirty the working tree")
     ap.add_argument("--fwd-kernel", default="auto",
                     choices=["auto", "on", "off"],
                     help="with --what train --preset: toggle the Pallas "
                          "attention core inside the fused-VJP forward "
                          "scan (before/after evidence)")
     args = ap.parse_args()
+
+    if args.what == "serve":
+        # orchestrator only — the parent must stay JAX-free (export,
+        # direct timing and the daemons are child processes; one CPU
+        # core, one chip, strictly one JAX process at a time)
+        if args.cpu or os.environ.get("STVD_FORCE_CPU"):
+            plat = "cpu"
+        else:
+            plat = "tpu" if (args.no_probe or _probe_with_retries()) \
+                else "cpu"
+        sizes = (1, 8) if args.small else (1, 32, 256)
+        print(json.dumps(bench_serve(args.run_dir, plat, sizes=sizes,
+                                     coalesce_ms=args.coalesce_ms)))
+        return
 
     # persistent compile cache: repeated bench invocations (driver runs,
     # kernel/batch variants) reuse executables instead of recompiling;
@@ -800,7 +1075,8 @@ def main():
                 "metric": "train_steps_per_sec", "value": round(sps, 3),
                 "unit": "steps/s", "vs_baseline": None, **extras}))
             return
-    cps, per_batch = bench_decode(args.small, args.kernel, args.iters)
+    cps, per_batch = bench_decode(args.small, args.kernel, args.iters,
+                                  gates_kernel=args.gates_kernel)
     out = {
         "metric": "decode_captions_per_sec_per_chip",
         "value": round(cps, 2),
@@ -817,7 +1093,8 @@ def main():
         # sweet spot measured at 384 (round 2), 256 kept for history
         for b in (256, 384):
             cps_b, pb = bench_decode(False, args.kernel, args.iters,
-                                     batch=b)
+                                     batch=b,
+                                     gates_kernel=args.gates_kernel)
             out[f"captions_per_sec_batch{b}"] = round(cps_b, 2)
             if cps_b > out["value"]:
                 out["value"] = round(cps_b, 2)
@@ -869,7 +1146,8 @@ def main():
         # separate field, not the headline: it is a quality tradeoff
         # (greedy token agreement >=90% pinned in tests/test_decode.py).
         q_cps, q_pb = bench_decode(False, True, args.iters,
-                                   batch=384, quant="int8")
+                                   batch=384, quant="int8",
+                                   gates_kernel=args.gates_kernel)
         out["captions_per_sec_int8"] = round(q_cps, 2)
         mxu_q, vpu_q, hbm_q = decode_cost_model(mcfg, 384, dcfg.beam_size,
                                                 quant="int8")
@@ -885,8 +1163,11 @@ def main():
         if _jx.default_backend() == "tpu":
             # cache the record so a wedged-tunnel fallback run can
             # report the last known-good chip measurement (labeled);
-            # written to both /tmp and the repo (reboot-proof)
-            for cache in (_LAST_TPU_CACHE, _LAST_TPU_REPO):
+            # /tmp always, the repo copy (reboot-proof) only on
+            # --pin-repo-cache so routine runs don't dirty the tree
+            caches = [_LAST_TPU_CACHE] + (
+                [_LAST_TPU_REPO] if args.pin_repo_cache else [])
+            for cache in caches:
                 try:
                     with open(cache, "w") as f:
                         json.dump(out, f)

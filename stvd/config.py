@@ -95,6 +95,17 @@ class ModelConfig:
     # 11/12, round 4): preset-3 35.71 -> 35.39 steps/s, preset-2
     # 9.91 -> 9.70.  Matches the decode-side analogue (battery 8).
     # Kept opt-in for A/B probes; see BASELINE.md round-4 section.
+    gates_kernel: str = "off"       # fused Pallas gates+LSTM decode
+    # kernel (kernel.gates_lstm_pallas): the combined [emb|h|ctx] @
+    # [W;U;Wc] matmul PLUS dequant/bias/sigmoid/tanh/c-h update as one
+    # kernel — the (rows, 4*dim) preactivation never touches HBM, and
+    # the weight stack is streamed from HBM exactly once per step
+    # (gate-interleaved layout; int8 W8A8 when decode_quant='int8').
+    # Targets the round-3 quantified headroom: XLA's int8 gates GEMM at
+    # 273 of 394 TOPS + the un-fused pointwise glue (VERDICT r3 Next
+    # #2/#3).  'auto' = on under TPU; 'on' forces (interpret off-TPU —
+    # tests); 'off' keeps the XLA path.  Decode only (no backward);
+    # opt-in until the chip measurement lands.
     remat: bool = False             # jax.checkpoint the train-scan body:
     # recompute per-step activations in the backward instead of saving
     # them (required for config 2 at full scale+batch 64: the spatial
@@ -272,6 +283,8 @@ def validate(cfg: Config) -> Config:
     if m.train_fwd_kernel not in ("auto", "on", "off"):
         raise ValueError(
             f"unknown train_fwd_kernel {m.train_fwd_kernel!r}")
+    if m.gates_kernel not in ("auto", "on", "off"):
+        raise ValueError(f"unknown gates_kernel {m.gates_kernel!r}")
     if not 0.0 <= cfg.train.ss_prob <= 1.0:
         raise ValueError("ss_prob must be in [0, 1]")
     if cfg.train.grad_accum < 1:

@@ -825,14 +825,195 @@ def make_logit_tail(w, b, k_sel: int, tv: int = 0, tr_cap: int = 128):
     return tail
 
 
+# ---------------------------------------------------------------------------
+# Fused gates+LSTM decode kernel (model.gates_kernel; VERDICT r3 #2/#3).
+#
+# The decode step's combined LSTM matmul [emb|h|ctx_t] @ [W;U;Wc] is its
+# single largest island (bf16 1.52 ms corrected vs a 1.43 ms MXU floor;
+# int8 0.81 vs 0.72 — XLA delivers ~273 of 394 int8 TOPS at the
+# (1920, 5120, 14336) reference shape, BASELINE.md round-2 "Decode
+# roofline, corrected"), and the sigmoid/tanh/c/h pointwise downstream
+# of it is separate XLA fusion glue.  This kernel computes matmul +
+# dequant + bias + all four gate nonlinearities + the c/h state update
+# in ONE pass:
+#   * the (rows, 4*dim) preactivation never exists in HBM,
+#   * the weight stack streams from HBM exactly once per step
+#     (dim-strip-outer grid; the full-rows accumulator lives in VMEM
+#     scratch, sliced per row tile — the logit-tail kernel's pattern),
+#   * weights are gate-INTERLEAVED per dim strip (step.py:
+#     _gates_kernel_operands), so each strip carries the i/f/o/g
+#     columns its epilogue needs,
+#   * W8A8 (decode_quant='int8') shares the jnp path's exact
+#     quantization grid — parity is bit-tight, not approximate.
+# Decode only (the backward never runs through it).  Reference
+# semantics: the LSTM preactivation/gate order of
+# ``model_attention.py:§lstm_cond_layer`` (SURVEY.md §3.2).
+# ---------------------------------------------------------------------------
+
+
+def _make_gates_kernel(quant: bool, nk: int, tm: int, tnd: int):
+    acc_neutral = 0 if quant else 0.0
+
+    def kernel(x_ref, w_ref, scale_ref, bias_ref, rscale_ref, c_ref,
+               h_ref, c_out_ref, acc_scr):
+        kt = pl.program_id(1)
+        m = pl.program_id(2)
+        sl = pl.ds(m * tm, tm)
+        tk = x_ref.shape[1]
+
+        w = w_ref[:, 0].reshape(tk, 4 * tnd)
+        if quant:
+            part = jnp.dot(x_ref[:], w,
+                           preferred_element_type=jnp.int32)
+        else:
+            part = jnp.dot(x_ref[:], w,
+                           preferred_element_type=jnp.float32)
+        acc = jnp.where(kt == 0, acc_neutral, acc_scr[sl, :]) + part
+        acc_scr[sl, :] = acc
+
+        @pl.when(kt == nk - 1)
+        def _():
+            accf = acc.astype(jnp.float32)
+            if quant:
+                col = scale_ref[0].reshape(1, 4 * tnd)
+                accf = accf * (rscale_ref[:] * col)
+            pre = accf + bias_ref[0].reshape(1, 4 * tnd)
+            i_g = jax.nn.sigmoid(pre[:, 0 * tnd: 1 * tnd])
+            f_g = jax.nn.sigmoid(pre[:, 1 * tnd: 2 * tnd])
+            o_g = jax.nn.sigmoid(pre[:, 2 * tnd: 3 * tnd])
+            g_g = jnp.tanh(pre[:, 3 * tnd: 4 * tnd])
+            c_new = f_g * c_ref[sl, 0, :] + i_g * g_g
+            h_ref[sl, 0, :] = o_g * jnp.tanh(c_new)
+            c_out_ref[sl, 0, :] = c_new
+
+    return kernel
+
+
+_GK_TM = 128
+
+
+def _gates_vmem_ok(mp: int, tk: int, tnd: int, wb: int, xb: int) -> bool:
+    """Working-set estimate vs the ~16 MB Mosaic budget: double-buffered
+    w/x tiles + the full-rows accumulator scratch + three resident
+    column strips (c_prev, h_out, c_out)."""
+    est = (2 * tk * 4 * tnd * wb + 2 * _GK_TM * tk * xb
+           + mp * 4 * tnd * 4 + 3 * mp * tnd * 4)
+    return est <= int(15.3 * 2 ** 20)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("quant", "tk", "interpret"))
+def _gates_pallas_call(x, w, scale, bias, rscale, c_prev,
+                       quant: bool, tk: int, interpret: bool):
+    mp, kp = x.shape
+    tn, tnd = w.shape[1], w.shape[3]
+    nk = kp // tk
+    tm = _GK_TM
+    grid = (tn, nk, mp // tm)
+    f32 = jnp.float32
+    h, c = pl.pallas_call(
+        _make_gates_kernel(quant, nk, tm, tnd),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tk), lambda n, kt, m: (m, kt),
+                         memory_space=pltpu.VMEM),              # x
+            pl.BlockSpec((tk, 1, 4, tnd), lambda n, kt, m: (kt, n, 0, 0),
+                         memory_space=pltpu.VMEM),              # w
+            pl.BlockSpec((1, 4, tnd), lambda n, kt, m: (n, 0, 0),
+                         memory_space=pltpu.VMEM),              # col scale
+            pl.BlockSpec((1, 4, tnd), lambda n, kt, m: (n, 0, 0),
+                         memory_space=pltpu.VMEM),              # bias
+            pl.BlockSpec((tm, 1), lambda n, kt, m: (m, 0),
+                         memory_space=pltpu.VMEM),              # row scale
+            pl.BlockSpec((mp, 1, tnd), lambda n, kt, m: (0, n, 0),
+                         memory_space=pltpu.VMEM),              # c_prev
+        ],
+        out_specs=(
+            pl.BlockSpec((mp, 1, tnd), lambda n, kt, m: (0, n, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, 1, tnd), lambda n, kt, m: (0, n, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((mp, tn, tnd), f32),
+                   jax.ShapeDtypeStruct((mp, tn, tnd), f32)),
+        scratch_shapes=[
+            pltpu.VMEM((mp, 4 * tnd), jnp.int32 if quant else f32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * kp * 4 * tnd * tn,
+            bytes_accessed=(kp * tn * 4 * tnd * w.dtype.itemsize
+                            + tn * mp * kp * x.dtype.itemsize
+                            + 3 * mp * tn * tnd * 4),
+            transcendentals=5 * mp * tn * tnd,
+        ),
+        interpret=interpret,
+    )(x, w, scale, bias, rscale, c_prev)
+    return h.reshape(mp, tn * tnd), c.reshape(mp, tn * tnd)
+
+
+def gates_lstm_pallas(emb_t, h, ctx_t, c, sc, cfg: ModelConfig):
+    """Fused gates+LSTM step core: (h_t, c_t) from the attention's
+    ``ctx_t`` plus the carried state, or None to decline (caller keeps
+    the XLA path).  Drop-in for step_with_core's ``gates_core`` hook —
+    exact-parity contract with the jnp gates branch (same quantization
+    grid, same fp32 pointwise math) pinned in tests/test_kernel.py."""
+    lay = step_mod.gates_kernel_layout(cfg)
+    if lay is None or sc.gk_w is None:
+        return None
+    if cfg.gates_kernel == "auto" and jax.default_backend() != "tpu":
+        return None                  # interpret mode is for tests only
+    dwp, kp, tn, tnd = lay
+    quant = sc.gk_scale is not None
+    rows = h.shape[0]
+    mp = -(-rows // _GK_TM) * _GK_TM
+    tk = next((t for t in (512, 256, 128) if kp % t == 0), None)
+    if tk is None or not _gates_vmem_ok(
+            mp, tk, tnd, sc.gk_w.dtype.itemsize,
+            1 if quant else jnp.dtype(cfg.compute_dtype).itemsize):
+        return None
+
+    cdtype = jnp.dtype(cfg.compute_dtype)
+    dw0 = cfg.dim_word
+    pad_cols = jnp.zeros((rows, dwp - dw0), cdtype)
+    x_cat = jnp.concatenate(
+        [emb_t.astype(cdtype), pad_cols, h.astype(cdtype),
+         ctx_t.astype(cdtype)], axis=1)                   # (rows, Kp)
+    if quant:
+        # the jnp int8 branch's exact dynamic-quant math (zero pad
+        # columns cannot change the row max)
+        x32 = x_cat.astype(jnp.float32)
+        s_r = jnp.maximum(jnp.max(jnp.abs(x32), axis=1,
+                                  keepdims=True), 1e-8) / 127.0
+        x_k = jnp.clip(jnp.round(x32 / s_r), -127, 127).astype(jnp.int8)
+        scale = sc.gk_scale
+    else:
+        s_r = jnp.ones((rows, 1), jnp.float32)
+        x_k = x_cat
+        scale = jnp.ones((tn, 4, tnd), jnp.float32)   # unused in kernel
+    c32 = c.astype(jnp.float32)
+    if mp != rows:
+        x_k = jnp.pad(x_k, ((0, mp - rows), (0, 0)))
+        s_r = jnp.pad(s_r, ((0, mp - rows), (0, 0)),
+                      constant_values=1.0)
+        c32 = jnp.pad(c32, ((0, mp - rows), (0, 0)))
+    interpret = jax.default_backend() != "tpu"
+    h_t, c_t = _gates_pallas_call(
+        x_k, sc.gk_w, scale, sc.gk_bias, s_r,
+        c32.reshape(mp, tn, tnd), quant, tk, interpret)
+    return h_t[:rows], c_t[:rows]
+
+
 def step_pallas(params, cfg: ModelConfig, state, sc, emb_t, x_pre=None):
     """Decoder step using the fused Pallas TEMPORAL attention core +
     logit tail (drop-in for ``step.step``, used by train scan AND
     decode).  The spatial stage stays on XLA's fusion — measured
     1.5-2.4x faster than the Pallas spatial kernel at every TPU shape
-    (see spatial_core_pallas docstring)."""
+    (see spatial_core_pallas docstring).  The fused gates+LSTM kernel
+    engages when ``cfg.gates_kernel`` enables it (precompute builds its
+    operands; ``gates_lstm_pallas`` declines incompatible shapes)."""
     return step_mod.step_with_core(params, cfg, state, sc, emb_t, x_pre,
-                                   attention_core=attention_core_pallas)
+                                   attention_core=attention_core_pallas,
+                                   gates_core=gates_lstm_pallas)
 
 
 def step_pallas_spatial(params, cfg: ModelConfig, state, sc, emb_t,
@@ -841,7 +1022,8 @@ def step_pallas_spatial(params, cfg: ModelConfig, state, sc, emb_t,
     verification / future retuning; slower than step_pallas on v5e)."""
     return step_mod.step_with_core(params, cfg, state, sc, emb_t, x_pre,
                                    attention_core=attention_core_pallas,
-                                   spatial_core=spatial_core_pallas)
+                                   spatial_core=spatial_core_pallas,
+                                   gates_core=gates_lstm_pallas)
 
 
 # decode loops pick the fused logit tail up from the step function (the

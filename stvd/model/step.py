@@ -75,6 +75,12 @@ class StepContext(NamedTuple):
     gates_w: Optional[jax.Array] = None    # (dw+dim+ctx, 4d) = [W; U; Wc]
     gates_w_q: Optional[jax.Array] = None  # int8 gates stack (decode_quant)
     gates_scale: Optional[jax.Array] = None  # (4d,) per-column dequant scale
+    # fused gates+LSTM Pallas kernel operands (model.gates_kernel):
+    # gate-interleaved, row-padded layouts built once per decode program
+    # so the kernel streams the weight stack from HBM exactly once/step
+    gk_w: Optional[jax.Array] = None       # (Kp, Tn, 4, TNd) int8|cdtype
+    gk_scale: Optional[jax.Array] = None   # (Tn, 4, TNd) f32 (int8 only)
+    gk_bias: Optional[jax.Array] = None    # (Tn, 4, TNd) f32
 
 
 class StepOut(NamedTuple):
@@ -192,13 +198,18 @@ def precompute(params: Params, cfg: ModelConfig, ctx: jax.Array,
                                   1e-8) / 127.0
         gates_w_q = jnp.clip(jnp.round(w32 / gates_scale[None, :]),
                              -127, 127).astype(jnp.int8)
+    gk_w = gk_scale = gk_bias = None
+    if cfg.gates_kernel != "off" and gates_kernel_layout(cfg) is not None:
+        gk_w, gk_scale, gk_bias = _gates_kernel_operands(
+            params, cfg, gates_w, gates_w_q, gates_scale)
     return StepContext(ctx=ctx, pctx=pctx, ctx_mask=ctx_mask,
                        mean_ctx=mean_ctx, regions=regions, pregion=pregion,
                        w_sf_att=w_sf_att,
                        h_proj_w=_h_projection_weights(params, cfg),
                        h_att_w=_h_att_weights(params, cfg),
                        gates_w=gates_w, gates_w_q=gates_w_q,
-                       gates_scale=gates_scale)
+                       gates_scale=gates_scale,
+                       gk_w=gk_w, gk_scale=gk_scale, gk_bias=gk_bias)
 
 
 def init_state(params: Params, cfg: ModelConfig, sc: StepContext) -> StepState:
@@ -242,6 +253,57 @@ def _gates_weights(params: Params) -> jax.Array:
     as ONE matmul over [emb_t | h_{t-1} | ctx_t] (fewer HBM round-trips
     than three matmuls + two adds; same fp32-accumulated math)."""
     return jnp.concatenate([params["W"], params["U"], params["Wc"]], axis=0)
+
+
+_GK_TND = 128   # dim-strip width of the fused gates+LSTM kernel
+
+
+def gates_kernel_layout(cfg: ModelConfig):
+    """Static layout of the fused gates+LSTM kernel's operands, or None
+    when the model shape doesn't tile (caller keeps the XLA path).
+
+    Returns (dwp, kp, tn, tnd): the padded embedding width, padded
+    contraction length [emb_pad | h | ctx], number of dim strips, and
+    strip width.  dim and ctx_dim must be lane-aligned; the embedding
+    rows pad to 128 (zero rows in the weights, zero columns in x_cat —
+    exact no-ops in the matmul)."""
+    tnd = _GK_TND
+    if cfg.dim % tnd or cfg.ctx_dim % 128:
+        return None
+    dwp = -(-cfg.dim_word // 128) * 128
+    kp = dwp + cfg.dim + cfg.ctx_dim
+    return dwp, kp, cfg.dim // tnd, tnd
+
+
+def _gates_kernel_operands(params: Params, cfg: ModelConfig,
+                           gates_w: jax.Array,
+                           gates_w_q: Optional[jax.Array],
+                           gates_scale: Optional[jax.Array]):
+    """Row-pad and gate-interleave the gates stack for the Pallas
+    kernel (kernel.gates_lstm_pallas): (Kp, Tn, 4, TNd) where strip t
+    carries the i/f/o/g columns of dim slice [t*TNd, (t+1)*TNd) — so a
+    single N-strip holds everything the LSTM pointwise epilogue needs.
+    Built once per decode program; int8 weights (decode_quant) reuse
+    the already-quantized stack so kernel and jnp paths share the exact
+    same quantization grid."""
+    dwp, kp, tn, tnd = gates_kernel_layout(cfg)
+    dim = cfg.dim
+    dw0 = cfg.dim_word
+
+    def reorder(w):
+        pad = jnp.zeros((dwp - dw0, w.shape[1]), w.dtype)
+        wp = jnp.concatenate([w[:dw0], pad, w[dw0:]], axis=0)  # (Kp, 4d)
+        return wp.reshape(kp, 4, tn, tnd).transpose(0, 2, 1, 3)
+
+    if gates_w_q is not None:
+        gk_w = reorder(gates_w_q)
+        gk_scale = gates_scale.reshape(4, tn, tnd).transpose(1, 0, 2)
+    else:
+        gk_w = reorder(gates_w.astype(jnp.dtype(cfg.compute_dtype)))
+        gk_scale = None
+    gk_bias = params["b"].astype(jnp.float32).reshape(
+        4, tn, tnd).transpose(1, 0, 2)
+    return gk_w, gk_scale, gk_bias
 
 
 def _attention_core_jnp(h_att, beta_logit, pctx_k, ctx_k, ctx_mask, u_att,
@@ -312,7 +374,8 @@ def step_with_core(params: Params, cfg: ModelConfig, state: StepState,
                    sc: StepContext, emb_t: jax.Array,
                    x_pre: Optional[jax.Array] = None,
                    attention_core=_attention_core_jnp,
-                   spatial_core=_spatial_core_jnp) -> StepOut:
+                   spatial_core=_spatial_core_jnp,
+                   gates_core=None) -> StepOut:
     """One decoder step.  ``emb_t`` is the (B, dim_word) previous-word
     embedding (teacher-forced in training, model-fed in decoding).
     ``x_pre`` optionally carries the precomputed input projection
@@ -378,6 +441,16 @@ def step_with_core(params: Params, cfg: ModelConfig, state: StepState,
 
     # --- LSTM gates ---
     if fused_gates:
+        if gates_core is not None and sc.gk_w is not None:
+            # fused Pallas gates+LSTM kernel: matmul + dequant + bias +
+            # pointwise + c/h update in one pass (the preactivation
+            # never exists in HBM); falls through to the XLA path when
+            # the kernel declines the shape
+            out = gates_core(emb_t, h, ctx_t, c, sc, cfg)
+            if out is not None:
+                h_t, c_t = out
+                return StepOut(h=h_t, c=c_t, ctx_t=ctx_t, alpha=alpha,
+                               alpha_s=alpha_s)
         x_cat = jnp.concatenate(
             [emb_t.astype(cdtype), h.astype(cdtype),
              ctx_t.astype(cdtype)], axis=1)

@@ -374,3 +374,116 @@ def test_tail_tv_shrinks_for_large_row_counts():
     # tiny shapes never shrink
     assert kmod._shrink_tail_tv(1000, vp=1000, rp=64, tr=8, dw=128,
                                 w_bytes=4, x_bytes=4, k_sel=5) == 1000
+
+
+# ---- fused gates+LSTM kernel (model.gates_kernel) --------------------------
+
+def _gk_cfg(**kw):
+    """Lane-aligned dims (the gates kernel's tiling needs dim and
+    ctx_dim % 128; dim_word pads to 128 inside the kernel)."""
+    from stvd.config import ModelConfig
+    base = dict(n_words=48, dim_word=16, dim=128, ctx_dim=128, n_frames=6,
+                compute_dtype="float32", use_dropout=False,
+                gates_kernel="on")
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def _gk_setup(cfg, b=4, seed=0):
+    rng = np.random.RandomState(seed)
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    ctx = jnp.asarray(rng.randn(b, cfg.n_frames, cfg.ctx_dim) * 0.5,
+                      jnp.float32)
+    mask = jnp.ones((b, cfg.n_frames), jnp.float32)
+    sc = precompute(params, cfg, ctx, mask)
+    state = init_state(params, cfg, sc)
+    emb = jnp.asarray(rng.randn(b, cfg.dim_word) * 0.5, jnp.float32)
+    return params, sc, state, emb
+
+
+@pytest.mark.parametrize("quant", ["none", "int8"])
+def test_gates_kernel_step_parity(quant):
+    """step with the fused gates+LSTM Pallas core == the jnp gates
+    branch (shared quantization grid in int8: the kernel consumes the
+    SAME per-column scales precompute built for the jnp path)."""
+    cfg = _gk_cfg(decode_quant=quant)
+    params, sc, state, emb = _gk_setup(cfg)
+    assert sc.gk_w is not None            # precompute built the operands
+    ref = smod.step(params, cfg, state, sc, emb)
+    got = smod.step_with_core(params, cfg, state, sc, emb,
+                              gates_core=kmod.gates_lstm_pallas)
+    np.testing.assert_allclose(np.asarray(got.h), np.asarray(ref.h),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.c), np.asarray(ref.c),
+                               rtol=1e-5, atol=1e-6)
+    # the attention half of the step is untouched by the gates core
+    np.testing.assert_array_equal(np.asarray(got.ctx_t),
+                                  np.asarray(ref.ctx_t))
+
+
+def test_gates_kernel_row_padding_parity():
+    """Row counts off the 128 tile (beam remnants, b=1 serving) pad
+    with neutral rows and slice back exactly."""
+    cfg = _gk_cfg(decode_quant="int8")
+    for b in (1, 3, 5):
+        params, sc, state, emb = _gk_setup(cfg, b=b, seed=b)
+        ref = smod.step(params, cfg, state, sc, emb)
+        got = smod.step_with_core(params, cfg, state, sc, emb,
+                                  gates_core=kmod.gates_lstm_pallas)
+        np.testing.assert_allclose(np.asarray(got.h), np.asarray(ref.h),
+                                   rtol=1e-5, atol=1e-6, err_msg=f"b={b}")
+
+
+def test_gates_kernel_declines_unaligned_dim(cfg):
+    """Default test dims (24/32) don't tile: layout is None, precompute
+    builds no operands, and the hooked step falls through to the exact
+    XLA path."""
+    gcfg = small_cfg(gates_kernel="on")
+    assert smod.gates_kernel_layout(gcfg) is None
+    params, batch = _setup(gcfg)
+    dev_ctx = batch["frames"]
+    mask = batch["frame_mask"]
+    from stvd.model.decoder import encode_context
+    ctx = encode_context(params, gcfg, dev_ctx, batch.get("motion"))
+    sc = precompute(params, gcfg, ctx, mask)
+    assert sc.gk_w is None
+    state = init_state(params, gcfg, sc)
+    emb = jnp.zeros((4, gcfg.dim_word), jnp.float32)
+    ref = smod.step(params, gcfg, state, sc, emb)
+    got = smod.step_with_core(params, gcfg, state, sc, emb,
+                              gates_core=kmod.gates_lstm_pallas)
+    np.testing.assert_array_equal(np.asarray(got.h), np.asarray(ref.h))
+
+
+def test_greedy_decode_with_gates_kernel_matches():
+    """E2E: greedy decode through step_pallas with the gates kernel on
+    produces the oracle's exact token sequences."""
+    cfg_on = _gk_cfg()
+    cfg_off = _gk_cfg(gates_kernel="off")
+    ds = synthetic_dataset(n_videos=4, k=cfg_on.n_frames, d=cfg_on.ctx_dim,
+                           maxlen=10, seed=2)
+    dev = ds.bank.to_device()
+    batch = gather_batch(dev, ds.captions, np.arange(4, dtype=np.int32))
+    params = init_params(jax.random.PRNGKey(7), cfg_off)
+    ref = greedy_decode(params, cfg_off, batch, maxlen=8)
+    got = greedy_decode(params, cfg_on, batch, maxlen=8,
+                        step_fn=kmod.step_pallas)
+    np.testing.assert_array_equal(np.asarray(ref.tokens),
+                                  np.asarray(got.tokens))
+
+
+def test_beam_decode_with_gates_kernel_matches():
+    """Beam-broadcast rows (Bs = Bc * k) ride the gates kernel too."""
+    from stvd.decode.beam import beam_decode
+    cfg_on = _gk_cfg(decode_quant="int8")
+    cfg_off = _gk_cfg(gates_kernel="off", decode_quant="int8")
+    ds = synthetic_dataset(n_videos=4, k=cfg_on.n_frames, d=cfg_on.ctx_dim,
+                           maxlen=10, seed=3)
+    dev = ds.bank.to_device()
+    batch = gather_batch(dev, ds.captions, np.arange(4, dtype=np.int32))
+    params = init_params(jax.random.PRNGKey(9), cfg_off)
+    ref = beam_decode(params, cfg_off, batch, beam_size=3, maxlen=8)
+    got = beam_decode(params, cfg_on, batch, beam_size=3, maxlen=8,
+                      step_fn=kmod.step_pallas)
+    np.testing.assert_array_equal(np.asarray(ref.tokens),
+                                  np.asarray(got.tokens))
