@@ -482,6 +482,7 @@ def bench_preset_train(name: str, use_kernel: bool, iters: int = 10,
                        spatial_bwd: str = "auto",
                        opt_slots: str = "float32",
                        fwd_kernel: str = "auto",
+                       tail_kernel: str = "auto",
                        grad_accum: int = 1):
     """Teacher-forced train-step throughput at a preset's reference
     scale (presets 1-4; preset 5 is the DP path in bench_preset).
@@ -504,6 +505,8 @@ def bench_preset_train(name: str, use_kernel: bool, iters: int = 10,
         mcfg = dataclasses.replace(mcfg, spatial_bwd_kernel=spatial_bwd)
     if fwd_kernel != "auto":
         mcfg = dataclasses.replace(mcfg, train_fwd_kernel=fwd_kernel)
+    if tail_kernel != "auto":
+        mcfg = dataclasses.replace(mcfg, train_tail_kernel=tail_kernel)
     if opt_slots != "float32":
         tcfg = dataclasses.replace(tcfg, opt_slot_dtype=opt_slots)
     if grad_accum > 1:
@@ -540,6 +543,7 @@ def bench_preset_train(name: str, use_kernel: bool, iters: int = 10,
                      "autodiff" + ("+remat" if mcfg.remat else "")),
             "spatial_bwd_kernel": mcfg.spatial_bwd_kernel,
             "train_fwd_kernel": mcfg.train_fwd_kernel,
+            "train_tail_kernel": mcfg.train_tail_kernel,
             "opt_slot_dtype": tcfg.opt_slot_dtype,
             "grad_accum": tcfg.grad_accum}
 
@@ -942,6 +946,11 @@ def main():
     ap.add_argument("--grad-accum", type=int, default=1,
                     help="train.grad_accum microbatches for --what "
                          "train presets")
+    ap.add_argument("--tail-kernel", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="with --what train --preset: toggle the fused "
+                         "Pallas train-scan tail (model.train_tail_"
+                         "kernel) for before/after evidence")
     ap.add_argument("--gates-kernel", default="off",
                     choices=["off", "on", "auto"],
                     help="with --what decode: toggle the fused Pallas "
@@ -1022,6 +1031,7 @@ def main():
                                                 spatial_bwd=args.spatial_bwd,
                                                 opt_slots=args.opt_slots,
                                                 fwd_kernel=args.fwd_kernel,
+                                                tail_kernel=args.tail_kernel,
                                                 grad_accum=args.grad_accum)))
         else:
             print(json.dumps(bench_preset(args.preset, args.kernel,

@@ -95,6 +95,14 @@ class ModelConfig:
     # 11/12, round 4): preset-3 35.71 -> 35.39 steps/s, preset-2
     # 9.91 -> 9.70.  Matches the decode-side analogue (battery 8).
     # Kept opt-in for A/B probes; see BASELINE.md round-4 section.
+    train_tail_kernel: str = "off"  # fused Pallas TRAIN-scan tail
+    # (kernel.train_tail_pallas): the forward body's Wc matmul + adds +
+    # LSTM pointwise as ONE launch per step, residuals identical so the
+    # hand-derived backward is untouched.  The VERDICT-r3 whole-step
+    # experiment against the forward's 1.8x-over-streaming dependency-
+    # latency gap.  'auto' = on under TPU; 'on' forces (interpret
+    # off-TPU — tests); 'off' keeps the inline jnp tail.  Opt-in until
+    # the chip A/B lands (see BASELINE.md round-4).
     gates_kernel: str = "off"       # fused Pallas gates+LSTM decode
     # kernel (kernel.gates_lstm_pallas): the combined [emb|h|ctx] @
     # [W;U;Wc] matmul PLUS dequant/bias/sigmoid/tanh/c-h update as one
@@ -285,6 +293,9 @@ def validate(cfg: Config) -> Config:
             f"unknown train_fwd_kernel {m.train_fwd_kernel!r}")
     if m.gates_kernel not in ("auto", "on", "off"):
         raise ValueError(f"unknown gates_kernel {m.gates_kernel!r}")
+    if m.train_tail_kernel not in ("auto", "on", "off"):
+        raise ValueError(
+            f"unknown train_tail_kernel {m.train_tail_kernel!r}")
     if not 0.0 <= cfg.train.ss_prob <= 1.0:
         raise ValueError("ss_prob must be in [0, 1]")
     if cfg.train.grad_accum < 1:

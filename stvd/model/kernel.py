@@ -1003,6 +1003,127 @@ def gates_lstm_pallas(emb_t, h, ctx_t, c, sc, cfg: ModelConfig):
     return h_t[:rows], c_t[:rows]
 
 
+# ---------------------------------------------------------------------------
+# Fused TRAIN-scan tail (model.train_tail_kernel; VERDICT r3 Next #3).
+#
+# The teacher-forced forward scan body (seqgrad._fwd) ends in
+#     preact = x_pre_t + h_gates + ctx_t @ Wc ;  i,f,o,g -> c_t, h_t
+# — one (B, ctx)x(ctx, 4d) matmul plus ~6 dependent elementwise
+# fusions.  BASELINE.md's forward decomposition attributes the scan's
+# 1.8x-over-streaming gap to per-fusion dependency latency that batch
+# size amortizes but depth cannot; this kernel collapses the whole tail
+# into ONE launch per step.  The backward is untouched: the kernel
+# emits the exact same residuals (h, c, preact) the hand-derived
+# sequence VJP consumes, so gradient parity is automatic.
+# Per-gate dots (no in-kernel reshape of the weight block): each
+# program computes one (TM, ctx)@(ctx, TNd) dot per gate for its dim
+# strip — Wc is consumed through a free (ctx, 4, dim) view, no weight
+# reorder or copy exists anywhere.
+# ---------------------------------------------------------------------------
+
+
+def _make_train_tail_kernel(tnd: int):
+    def kernel(x_ref, w_ref, xp_ref, hg_ref, c_ref,
+               h_ref, c_out_ref, pre_ref):
+        x = x_ref[:]
+        # addition order matches the jnp tail exactly:
+        # (x_pre + h_gates) + dot — keeps residuals bit-comparable
+        pre = [xp_ref[:, g, :] + hg_ref[:, g, :]
+               + jnp.dot(x, w_ref[:, g, :],
+                         preferred_element_type=jnp.float32)
+               for g in range(4)]
+        for g in range(4):
+            pre_ref[:, g, :] = pre[g]
+        i_g = jax.nn.sigmoid(pre[0])
+        f_g = jax.nn.sigmoid(pre[1])
+        o_g = jax.nn.sigmoid(pre[2])
+        g_g = jnp.tanh(pre[3])
+        c_new = f_g * c_ref[:] + i_g * g_g
+        h_ref[:] = o_g * jnp.tanh(c_new)
+        c_out_ref[:] = c_new
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _train_tail_pallas_call(x, w4, x_pre, h_gates, c_prev,
+                            interpret: bool):
+    mp, dc = x.shape
+    dim = w4.shape[2]
+    tnd = 128
+    tn = dim // tnd
+    f32 = jnp.float32
+    grid = (tn,)
+    h, c, pre = pl.pallas_call(
+        _make_train_tail_kernel(tnd),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((mp, dc), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),              # ctx_t
+            pl.BlockSpec((dc, 4, tnd), lambda n: (0, 0, n),
+                         memory_space=pltpu.VMEM),              # Wc view
+            pl.BlockSpec((mp, 4, tnd), lambda n: (0, 0, n),
+                         memory_space=pltpu.VMEM),              # x_pre_t
+            pl.BlockSpec((mp, 4, tnd), lambda n: (0, 0, n),
+                         memory_space=pltpu.VMEM),              # h_gates
+            pl.BlockSpec((mp, tnd), lambda n: (0, n),
+                         memory_space=pltpu.VMEM),              # c_prev
+        ],
+        out_specs=(
+            pl.BlockSpec((mp, tnd), lambda n: (0, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, tnd), lambda n: (0, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, 4, tnd), lambda n: (0, 0, n),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((mp, dim), f32),
+                   jax.ShapeDtypeStruct((mp, dim), f32),
+                   jax.ShapeDtypeStruct((mp, 4, dim), f32)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * dc * 4 * dim,
+            bytes_accessed=(dc * 4 * dim * w4.dtype.itemsize
+                            + mp * (dc * x.dtype.itemsize
+                                    + 4 * dim * 4 * 3 + dim * 4 * 3)),
+            transcendentals=5 * mp * dim,
+        ),
+        interpret=interpret,
+    )(x, w4, x_pre, h_gates, c_prev)
+    return h, c, pre
+
+
+def train_tail_pallas(ctx_t, x_pre_t, h_gates, c_prev, wc, cd: str):
+    """Fused scan-tail for seqgrad._fwd: (h_t, c_t, preact) — exact
+    residual contract with the inline jnp tail — or None to decline
+    (caller keeps the XLA path).  ``wc`` is the raw (ctx, 4*dim) weight;
+    consumed through a free (ctx, 4, dim) view."""
+    dc, d4 = wc.shape
+    dim = d4 // 4
+    rows = ctx_t.shape[0]
+    if dim % 128 or dc % 128:
+        return None
+    mp = -(-rows // 8) * 8
+    # the whole x/addend working set rides per program: keep it modest
+    est = (dc * 4 * 128 * wc.dtype.itemsize * 2
+           + mp * (dc * 4 + 4 * 128 * 4 * 2 * 2 + 128 * 4 * 3))
+    if est > int(15.3 * 2 ** 20):
+        return None
+    cdtype = jnp.dtype(cd)
+    x = ctx_t.astype(cdtype)
+    xp = x_pre_t.astype(jnp.float32).reshape(rows, 4, dim)
+    hg = h_gates.astype(jnp.float32).reshape(rows, 4, dim)
+    c32 = c_prev.astype(jnp.float32)
+    if mp != rows:
+        x = jnp.pad(x, ((0, mp - rows), (0, 0)))
+        xp = jnp.pad(xp, ((0, mp - rows), (0, 0), (0, 0)))
+        hg = jnp.pad(hg, ((0, mp - rows), (0, 0), (0, 0)))
+        c32 = jnp.pad(c32, ((0, mp - rows), (0, 0)))
+    interpret = jax.default_backend() != "tpu"
+    h, c, pre = _train_tail_pallas_call(
+        x, wc.astype(cdtype).reshape(dc, 4, dim), xp, hg, c32, interpret)
+    return (h[:rows], c[:rows], pre[:rows].reshape(rows, 4 * dim))
+
+
 def step_pallas(params, cfg: ModelConfig, state, sc, emb_t, x_pre=None):
     """Decoder step using the fused Pallas TEMPORAL attention core +
     logit tail (drop-in for ``step.step``, used by train scan AND

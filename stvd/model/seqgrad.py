@@ -57,8 +57,8 @@ import jax.numpy as jnp
 
 from .step import _attention_core_jnp, _dot, masked_softmax
 
-# (dim, attn, selector, unroll, cd, use_attn_kernel)
-Static = Tuple[int, int, bool, int, str, bool]
+# (dim, attn, selector, unroll, cd, use_attn_kernel[, use_tail_kernel])
+Static = Tuple[int, int, bool, int, str, bool, bool]
 
 
 def _gates(preact, dim):
@@ -84,7 +84,8 @@ def fused_sequence(static: Static, hw, wc, u_att, c_att, b_sel, ctx, pctx,
 
 def _fwd(static, hw, wc, u_att, c_att, b_sel, ctx, pctx, ctx_mask, h0, c0,
          x_pre_all):
-    dim, attn, selector, unroll, cd, use_attn_kernel = static
+    dim, attn, selector, unroll, cd, use_attn_kernel = static[:6]
+    use_tail_kernel = static[6] if len(static) > 6 else False
     cdtype = jnp.dtype(cd)
     if use_attn_kernel:
         # Pallas temporal-attention core (tanh-score + masked softmax +
@@ -106,10 +107,21 @@ def _fwd(static, hw, wc, u_att, c_att, b_sel, ctx, pctx, ctx_mask, h0, c0,
         blogit = hp[:, 4 * dim + attn]
         ctx_t, alpha = attention_core(h_att, blogit, pctx, ctx, ctx_mask,
                                       u_att, c_att, b_sel, selector)
-        preact = x_pre_t + h_gates + _dot(ctx_t, wc, cdtype)
-        i, f, o, g = _gates(preact, dim)
-        c_t = f * c + i * g
-        h_t = o * jnp.tanh(c_t)
+        out = None
+        if use_tail_kernel:
+            # fused Wc-matmul + adds + LSTM pointwise in ONE launch
+            # (cfg.train_tail_kernel — the whole-step-tail experiment);
+            # residual contract identical, backward untouched
+            from . import kernel as kernel_mod
+            out = kernel_mod.train_tail_pallas(ctx_t, x_pre_t, h_gates,
+                                               c, wc, cd)
+        if out is not None:
+            h_t, c_t, preact = out
+        else:
+            preact = x_pre_t + h_gates + _dot(ctx_t, wc, cdtype)
+            i, f, o, g = _gates(preact, dim)
+            c_t = f * c + i * g
+            h_t = o * jnp.tanh(c_t)
         return ((h_t, c_t),
                 (h_t, c_t, ctx_t, alpha, preact, h_att, blogit))
 
@@ -284,12 +296,14 @@ def _fwd_spatial(static, hw, wc, u_att, c_att, b_sel, u_s, c_s, w_sf,
                  x_pre_all):
     dim, attn, s_attn, selector, unroll, cd = static[:6]
     use_attn_kernel = static[8] if len(static) > 8 else False
+    use_tail_kernel = static[9] if len(static) > 9 else False
     cdtype = jnp.dtype(cd)
     u32 = u_att.astype(pctx.dtype)
     pregion_c = pregion.astype(cdtype)
     regions_c = regions.astype(cdtype)
-    if use_attn_kernel:
-        from . import kernel as kernel_mod
+    # imported at FUNCTION scope: body's branches reference kernel_mod
+    # (a local import inside body would shadow it per-branch)
+    from . import kernel as kernel_mod
 
     def body(carry, x_pre_t):
         h, c = carry
@@ -322,10 +336,17 @@ def _fwd_spatial(static, hw, wc, u_att, c_att, b_sel, u_s, c_s, w_sf,
             if selector:
                 beta = jax.nn.sigmoid(blogit.astype(jnp.float32) + b_sel)
                 ctx_t = ctx_t * beta[:, None]
-        preact = x_pre_t + h_gates + _dot(ctx_t, wc, cdtype)
-        i, f, o, g = _gates(preact, dim)
-        c_t = f * c + i * g
-        h_t = o * jnp.tanh(c_t)
+        out = None
+        if use_tail_kernel:
+            out = kernel_mod.train_tail_pallas(ctx_t, x_pre_t, h_gates,
+                                               c, wc, cd)
+        if out is not None:
+            h_t, c_t, preact = out
+        else:
+            preact = x_pre_t + h_gates + _dot(ctx_t, wc, cdtype)
+            i, f, o, g = _gates(preact, dim)
+            c_t = f * c + i * g
+            h_t = o * jnp.tanh(c_t)
         return ((h_t, c_t),
                 (h_t, c_t, ctx_t, alpha, preact, h_att, blogit, h_satt,
                  alpha_s))
@@ -563,8 +584,12 @@ def run(params, cfg, sc, state0, x_pre_all_tm):
     use_attn_kernel = (cfg.train_fwd_kernel == "on"
                        or (cfg.train_fwd_kernel == "auto"
                            and jax.default_backend() == "tpu"))
+    use_tail_kernel = (cfg.train_tail_kernel == "on"
+                       or (cfg.train_tail_kernel == "auto"
+                           and jax.default_backend() == "tpu"))
     static = (cfg.dim, cfg.attn_dim, bool(cfg.selector),
-              int(cfg.scan_unroll), cfg.compute_dtype, use_attn_kernel)
+              int(cfg.scan_unroll), cfg.compute_dtype, use_attn_kernel,
+              use_tail_kernel)
     return fused_sequence(static, hw, params["Wc"], params["U_att"],
                           params["c_att"], params["b_sel"], sc.ctx,
                           sc.pctx, sc.ctx_mask, state0.h, state0.c,
@@ -593,9 +618,12 @@ def run_spatial(params, cfg, sc, state0, x_pre_all_tm):
     use_attn_kernel = (cfg.train_fwd_kernel == "on"
                        or (cfg.train_fwd_kernel == "auto"
                            and jax.default_backend() == "tpu"))
+    use_tail_kernel = (cfg.train_tail_kernel == "on"
+                       or (cfg.train_tail_kernel == "auto"
+                           and jax.default_backend() == "tpu"))
     static = (cfg.dim, cfg.attn_dim, int(cfg.region_dim),
               bool(cfg.selector), int(cfg.scan_unroll), cfg.compute_dtype,
-              acc_dt, use_kernel, use_attn_kernel)
+              acc_dt, use_kernel, use_attn_kernel, use_tail_kernel)
     return fused_sequence_spatial(
         static, hw, params["Wc"], params["U_att"], params["c_att"],
         params["b_sel"], params["Us_att"], params["cs_att"],

@@ -438,3 +438,87 @@ def test_spatial_fwd_kernel_grad_parity_bf16_loose():
                                                             np.float32)
         denom = np.maximum(np.abs(b).max(), 1e-6)
         assert np.abs(a - b).max() / denom < 0.05, k
+
+
+# ---- fused train-scan tail (model.train_tail_kernel) -----------------------
+
+def _tcfg(**kw):
+    """Lane-aligned dims — the tail kernel needs dim/ctx_dim % 128
+    (default test dims decline to the inline path by design)."""
+    base = dict(compute_dtype="float32", fused_seq_grad=True,
+                dim=128, ctx_dim=128, train_tail_kernel="on")
+    base.update(kw)
+    return small_cfg(**base)
+
+
+@pytest.mark.parametrize("selector", [True, False])
+def test_tail_kernel_forward_parity_f32(selector):
+    """Fused Wc+pointwise tail == the inline jnp tail (identical
+    residual contract), temporal path."""
+    cfg = _tcfg(selector=selector)
+    cfg_ref = dataclasses.replace(cfg, train_tail_kernel="off")
+    params, batch = _setup(cfg, ragged_mask=True)
+    a = forward_train(params, cfg, batch, train=False)
+    b = forward_train(params, cfg_ref, batch, train=False)
+    np.testing.assert_allclose(np.asarray(a.logits), np.asarray(b.logits),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.alphas), np.asarray(b.alphas),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_tail_kernel_grad_parity_f32():
+    """The kernel emits the exact residuals the hand-derived backward
+    consumes — gradients must match plain autodiff for every param."""
+    cfg = _tcfg()
+    cfg_ref = dataclasses.replace(cfg, fused_seq_grad=False,
+                                  train_tail_kernel="off")
+    params, batch = _setup(cfg, ragged_mask=True)
+    g_new = jax.grad(lambda p: loss_fn(p, cfg, batch, train=False)[0]
+                     )(params)
+    g_ref = jax.grad(lambda p: loss_fn(p, cfg_ref, batch, train=False)[0]
+                     )(params)
+    assert set(g_new) == set(g_ref)
+    for k in sorted(g_ref):
+        np.testing.assert_allclose(np.asarray(g_new[k]),
+                                   np.asarray(g_ref[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_tail_kernel_spatial_grad_parity_f32():
+    cfg = small_cfg(compute_dtype="float32", fused_seq_grad=True,
+                    dim=128, ctx_dim=128, use_spatial=True, n_regions=4,
+                    region_dim=16, train_tail_kernel="on")
+    cfg_ref = dataclasses.replace(cfg, fused_seq_grad=False,
+                                  train_tail_kernel="off", remat=True)
+    ds = synthetic_dataset(n_videos=4, k=cfg.n_frames, d=cfg.ctx_dim,
+                           n_regions=4, region_dim=16, maxlen=10, seed=5)
+    dev = ds.bank.to_device()
+    batch = gather_batch(dev, ds.captions, np.arange(4, dtype=np.int32))
+    params = init_params(jax.random.PRNGKey(11), cfg)
+    g_new = jax.grad(lambda p: loss_fn(p, cfg, batch, train=False)[0]
+                     )(params)
+    g_ref = jax.grad(lambda p: loss_fn(p, cfg_ref, batch, train=False)[0]
+                     )(params)
+    for k in sorted(g_ref):
+        np.testing.assert_allclose(np.asarray(g_new[k]),
+                                   np.asarray(g_ref[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_tail_kernel_declines_unaligned_dims():
+    """Default test dims (24/32) don't tile: the kernel declines and
+    the fused path still matches autodiff exactly."""
+    from stvd.model.kernel import train_tail_pallas
+    cfg = _cfg(train_tail_kernel="on")     # dim=24, ctx=32
+    params, batch = _setup(cfg)
+    wc = params["Wc"]
+    assert train_tail_pallas(jnp.zeros((4, cfg.ctx_dim)),
+                             jnp.zeros((4, 4 * cfg.dim)),
+                             jnp.zeros((4, 4 * cfg.dim)),
+                             jnp.zeros((4, cfg.dim)), wc,
+                             "float32") is None
+    a = forward_train(params, cfg, batch, train=False)
+    b = forward_train(params, dataclasses.replace(
+        cfg, train_tail_kernel="off"), batch, train=False)
+    np.testing.assert_array_equal(np.asarray(a.logits),
+                                  np.asarray(b.logits))
