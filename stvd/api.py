@@ -96,7 +96,62 @@ def pack_request(model_cfg, features, regions=None, motion=None) -> Dict:
     return batch
 
 
-class Captioner:
+class BankResident:
+    """Mixin: device-resident feature bank + id-addressed captioning.
+
+    Production video captioning serves PRE-EXTRACTED features (the
+    reference's own data model — features are offline artifacts,
+    SURVEY.md §2 row 12), so the bank belongs WITH the model: attach it
+    once, then a caption request names video ids and moves bytes of
+    text, not megabytes of floats.  Measured motivation (BASELINE.md
+    round-4): through this machine's ~35 MB/s relay, per-request
+    feature upload capped spatial serving at ~7 captions/s while the
+    chip idled; id-addressed requests remove the input transfer from
+    the serving path entirely (the gather runs on device against the
+    resident bank).
+    """
+
+    _bank_dev = None
+    _bank_index: Optional[Dict[str, int]] = None
+
+    def attach_bank(self, bank, dtype=None) -> int:
+        """device_put a FeatureBank once (cast to compute dtype);
+        returns the number of resident videos."""
+        import jax.numpy as jnp
+        dt = jnp.dtype(dtype or self.cfg.model.compute_dtype)
+        self._bank_index = bank.index()
+        self._bank_dev = bank.to_device(dtype=dt)
+        return bank.n_videos
+
+    @property
+    def bank_ids(self) -> List[str]:
+        if self._bank_index is None:
+            return []
+        return sorted(self._bank_index, key=self._bank_index.__getitem__)
+
+    def _gather_ids(self, ids: Sequence[str]) -> Dict:
+        import jax.numpy as jnp
+        if self._bank_dev is None:
+            raise ValueError("no feature bank attached "
+                             "(attach_bank / cli/serve --bank)")
+        idx = self._bank_index
+        missing = [v for v in ids if v not in idx]
+        if missing:
+            raise ValueError(f"unknown video ids: {missing[:5]}"
+                             + ("..." if len(missing) > 5 else ""))
+        rows = jnp.asarray([idx[v] for v in ids], jnp.int32)
+        return {k: v[rows] for k, v in self._bank_dev.items()}
+
+    def caption_ids(self, ids: Sequence[str]) -> List[str]:
+        """Caption resident-bank videos by id (zero feature transfer)."""
+        return self.caption_batch(self._gather_ids(ids))
+
+    def nbest_ids(self, ids: Sequence[str], n: Optional[int] = None,
+                  norm: bool = True) -> List[List[tuple]]:
+        return self.caption_nbest(self._gather_ids(ids), n=n, norm=norm)
+
+
+class Captioner(BankResident):
     """Caption pre-extracted video features with a trained model."""
 
     def __init__(self, params, cfg: Config, vocab: Vocab,

@@ -32,6 +32,12 @@ Endpoints (all JSON responses):
                      {"nbest": [[[text, logprob], ...], ...], ...}
                      (aot mode needs an artifact exported with --nbest;
                      live mode always works)
+    POST /caption_ids  (with ``--bank``) body {"ids": [video_id, ...]}
+                     -> captions for DEVICE-RESIDENT bank videos: the
+                     request carries ids, not features — zero feature
+                     transfer (BASELINE.md round-4: per-request feature
+                     upload was the serving bottleneck at ~35 MB/s
+                     wire).  /nbest_ids is the n-best analogue.
 
 The server is deliberately SINGLE-THREADED by default: there is one
 chip, and decode requests would only contend on it — serialization at
@@ -279,6 +285,53 @@ class _Handler(BaseHTTPRequestHandler):
             threading.Thread(target=self.server.shutdown,
                              daemon=True).start()
             return
+        if url.path in ("/caption_ids", "/nbest_ids"):
+            # bank-resident mode: the request names videos whose
+            # features already live on device (serve --bank) — bytes of
+            # ids in, bytes of text out, zero feature transfer.  The
+            # production-shaped fix for link-bandwidth-bound serving
+            # (BASELINE.md round-4: per-request feature upload capped
+            # spatial serving at ~35 MB/s wire == ~7 captions/s while
+            # the chip idled).
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                obj = json.loads(self.rfile.read(length).decode("utf-8"))
+                ids = obj.get("ids")
+                if not isinstance(ids, list) or not ids \
+                        or not all(isinstance(v, str) for v in ids):
+                    raise ValueError(
+                        "body must be {\"ids\": [video_id, ...]}")
+                coal = self.server.coalescer
+                t0 = time.perf_counter()
+                if url.path == "/caption_ids":
+                    if coal is not None:
+                        with coal._dev_lock:   # one chip
+                            caps = self.server.captioner.caption_ids(ids)
+                    else:
+                        caps = self.server.captioner.caption_ids(ids)
+                    resp = {"captions": caps, "n": len(caps)}
+                else:
+                    q = parse_qs(url.query)
+                    n = int(q["n"][0]) if q.get("n") else None
+                    if coal is not None:
+                        with coal._dev_lock:
+                            hyps = self.server.captioner.nbest_ids(
+                                ids, n=n)
+                    else:
+                        hyps = self.server.captioner.nbest_ids(ids, n=n)
+                    resp = {"nbest": [[[t, s] for t, s in video]
+                                      for video in hyps], "n": len(hyps)}
+                ms = (time.perf_counter() - t0) * 1e3
+                resp["ms"] = round(ms, 3)
+                with self.server.stats_lock:
+                    self.server.served += 1
+                self.server.record(url.path.lstrip("/"), len(ids), ms)
+                self._reply(200, resp)
+            except (ValueError, KeyError) as e:
+                self._reply(400, {"error": str(e)})
+            except Exception as e:
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+            return
         if url.path not in ("/caption", "/nbest"):
             self._reply(404, {"error": f"unknown path {self.path}"})
             return
@@ -490,6 +543,35 @@ def request_nbest(host: str, port: int, features, regions=None,
     return [[(t, s) for t, s in video] for video in obj["nbest"]]
 
 
+def request_caption_ids(host: str, port: int, ids: Sequence[str],
+                        timeout: float = 300.0) -> List[str]:
+    """Client helper: POST /caption_ids (bank-resident serving — the
+    request is a JSON id list, no feature payload)."""
+    import http.client
+    conn = http.client.HTTPConnection(host, port, timeout=timeout)
+    try:
+        body = json.dumps({"ids": list(ids)}).encode("utf-8")
+        conn.request("POST", "/caption_ids", body=body,
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        obj = json.loads(resp.read().decode("utf-8"))
+        if resp.status != 200:
+            raise RuntimeError(f"server error {resp.status}: "
+                               f"{obj.get('error')}")
+        return obj["captions"]
+    finally:
+        conn.close()
+
+
+def _attach_bank(cap, bank_path: str, manifest: Dict) -> None:
+    from ..data.bank import FeatureBank
+    n = cap.attach_bank(FeatureBank.load(bank_path))
+    manifest["bank_videos"] = n
+    manifest["bank_ids"] = cap.bank_ids
+    print(f"bank resident: {n} videos from {bank_path} "
+          f"(POST /caption_ids)")
+
+
 def build_server(args) -> CaptionServer:
     if bool(args.artifact) == bool(args.run_dir):
         raise ValueError("exactly one of --artifact / --run-dir required")
@@ -508,8 +590,11 @@ def build_server(args) -> CaptionServer:
             with np.load(args.params) as z:
                 params = {k: jnp.asarray(z[k]) for k in z.files}
         cap = load_artifact(args.artifact, params=params)
+        manifest = dict(cap.manifest)
+        if getattr(args, "bank", None):
+            _attach_bank(cap, args.bank, manifest)
         return cls(cap, args.host, args.port, mode="aot",
-                   manifest=cap.manifest, verbose=args.verbose,
+                   manifest=manifest, verbose=args.verbose,
                    allow_shutdown=getattr(args, "allow_shutdown", False),
                    coalesce_wait_ms=wait_ms)
     from ..api import Captioner
@@ -518,6 +603,8 @@ def build_server(args) -> CaptionServer:
                "beam_size": cap.cfg.decode.beam_size,
                "decode_batch": cap.cfg.decode.decode_batch,
                "maxlen": cap.cfg.decode.maxlen}
+    if getattr(args, "bank", None):
+        _attach_bank(cap, args.bank, summary)
     return cls(cap, args.host, args.port, mode="live",
                manifest=summary, verbose=args.verbose,
                allow_shutdown=getattr(args, "allow_shutdown", False),
@@ -529,6 +616,13 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--artifact", help="AOT artifact dir (cli/export)")
     src.add_argument("--run-dir", help="live mode: training run dir")
+    ap.add_argument("--bank", default=None, metavar="BANK.npz",
+                    help="make a packed feature bank device-resident "
+                         "and enable id-addressed captioning (POST "
+                         "/caption_ids {\"ids\": [...]}) — zero "
+                         "feature transfer per request; the "
+                         "production-shaped serving mode for "
+                         "pre-extracted features")
     ap.add_argument("--params", default=None,
                     help="override weights: an .npz of same-architecture "
                          "params (aot mode; no re-export needed)")

@@ -43,6 +43,7 @@ from typing import Dict, List, Optional, Sequence, Union
 
 import numpy as np
 
+from . import api as _api
 from .config import Config
 from .data.text import Vocab
 
@@ -276,7 +277,7 @@ def save_artifact(out_dir: str, params, cfg: Config, vocab: Vocab,
     return manifest
 
 
-class ExportedCaptioner:
+class ExportedCaptioner(_api.BankResident):
     """Serve captions from an AOT artifact (see module docstring).
 
     Supports ``caption_batch`` / ``caption`` with the exact semantics of

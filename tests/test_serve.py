@@ -495,3 +495,98 @@ def test_build_server_coalesce_flag(tmp_path):
             assert (srv.coalescer is not None) == want_threaded
         finally:
             srv.server_close()
+
+
+# ---- bank-resident serving (--bank / POST /caption_ids) --------------------
+
+def _bank_file(tmp_path, spatial=False):
+    ds = synthetic_dataset(n_videos=5, k=6, d=32,
+                           n_regions=4 if spatial else 0, region_dim=16,
+                           maxlen=8, seed=4)
+    # full masks so the HTTP test can compare the id path against a
+    # plain feature-payload request (which carries no mask);
+    # true-ragged-mask exactness is pinned by the live-API test below
+    ds.bank.frame_mask[:] = 1.0
+    path = str(tmp_path / "bank.npz")
+    ds.bank.save(path)
+    return path, list(ds.bank.ids)
+
+
+def test_caption_ids_matches_feature_request(tmp_path):
+    """Id-addressed captions == feature-payload captions for the same
+    resident videos (the gather is exact, not approximate)."""
+    import argparse
+
+    from stvd.cli.serve import request_caption_ids
+    from stvd.data.bank import FeatureBank
+
+    out, params, cfg = _artifact(tmp_path, beam=2)
+    bank_path, ids = _bank_file(tmp_path)
+    ns = argparse.Namespace(artifact=out, run_dir=None, params=None,
+                            quant=None, host="127.0.0.1", port=0,
+                            verbose=False, coalesce_wait_ms=0.0,
+                            bank=bank_path)
+    srv = build_server(ns)
+    assert srv.manifest["bank_videos"] == 5
+    assert srv.manifest["bank_ids"] == ids
+    bank = FeatureBank.load(bank_path)
+    with _Srv(srv) as s:
+        got = request_caption_ids("127.0.0.1", s.port, [ids[2], ids[0]])
+        ref = request_captions("127.0.0.1", s.port,
+                               bank.frames[[2, 0]].astype(np.float32))
+    assert got == ref and len(got) == 2
+
+
+def test_caption_ids_unknown_id_is_400(tmp_path):
+    import argparse
+
+    from stvd.cli.serve import request_caption_ids
+
+    out, _, _ = _artifact(tmp_path, beam=1)
+    bank_path, ids = _bank_file(tmp_path)
+    ns = argparse.Namespace(artifact=out, run_dir=None, params=None,
+                            quant=None, host="127.0.0.1", port=0,
+                            verbose=False, coalesce_wait_ms=0.0,
+                            bank=bank_path)
+    with _Srv(build_server(ns)) as s:
+        with pytest.raises(RuntimeError, match="unknown video ids"):
+            request_caption_ids("127.0.0.1", s.port, ["nope"])
+        # daemon still serves after the rejected request
+        assert request_caption_ids("127.0.0.1", s.port, [ids[0]])
+
+
+def test_caption_ids_without_bank_is_400(tmp_path):
+    import argparse
+
+    from stvd.cli.serve import request_caption_ids
+
+    out, _, _ = _artifact(tmp_path, beam=1)
+    ns = argparse.Namespace(artifact=out, run_dir=None, params=None,
+                            quant=None, host="127.0.0.1", port=0,
+                            verbose=False, coalesce_wait_ms=0.0, bank=None)
+    with _Srv(build_server(ns)) as s:
+        with pytest.raises(RuntimeError, match="no feature bank"):
+            request_caption_ids("127.0.0.1", s.port, ["v0"])
+
+
+def test_live_captioner_caption_ids():
+    """The live Captioner's BankResident path works standalone (API
+    surface, no HTTP): ids -> captions equal to raw-feature calls."""
+    from stvd.data.batching import synthetic_dataset as synth
+
+    ds = synth(n_videos=4, k=6, d=32, maxlen=8, seed=9)
+    cfg = Config(model=MCFG, decode=DecodeConfig(beam_size=2, maxlen=8,
+                                                 decode_batch=4))
+    params = init_params(jax.random.PRNGKey(3), MCFG)
+    cap = Captioner(params, cfg, _vocab())
+    n = cap.attach_bank(ds.bank)
+    assert n == 4
+    ids = cap.bank_ids
+    got = cap.caption_ids([ids[3], ids[1]])
+    # exact-contract reference: host-gathered bank rows INCLUDING the
+    # bank's true (possibly ragged) frame masks — the id path must
+    # reproduce them exactly
+    dev = ds.bank.to_device(dtype=np.float32)
+    ref = cap.caption_batch({k: np.asarray(v)[[3, 1]]
+                             for k, v in dev.items()})
+    assert got == ref

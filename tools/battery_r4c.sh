@@ -1,0 +1,28 @@
+#!/bin/bash
+# Battery r4c (round 4): train-tail-kernel A/B (model.train_tail_kernel)
+# at presets 3 (temporal) and 2 (spatial) — the whole-step-tail
+# experiment's chip numbers (VERDICT r3 Next #3).  Run AFTER r4b.
+set -u
+OUT=${1:-/tmp/battery_r4c}
+mkdir -p "$OUT"
+cd /root/repo
+
+for i in $(seq 1 20); do
+  if bash tools/tpu_probe.sh 110 > /dev/null 2>&1; then
+    echo "healthy at attempt $i" >> "$OUT/summary.txt"
+    break
+  fi
+  echo "wedged at attempt $i; sleeping 600s" >> "$OUT/summary.txt"
+  sleep 600
+done
+
+for preset in 3 2; do
+  for tk in off on; do
+    echo "=== preset $preset tail_kernel=$tk ===" >> "$OUT/summary.txt"
+    python bench.py --what train --preset $preset --tail-kernel $tk \
+      --iters 10 > "$OUT/p${preset}_${tk}.json" 2> "$OUT/p${preset}_${tk}.err"
+    tail -1 "$OUT/p${preset}_${tk}.json" >> "$OUT/summary.txt"
+  done
+done
+
+echo "BATTERY_R4C_DONE" >> "$OUT/summary.txt"
