@@ -882,9 +882,12 @@ def _make_gates_kernel(quant: bool, nk: int, tm: int, tnd: int):
             f_g = jax.nn.sigmoid(pre[:, 1 * tnd: 2 * tnd])
             o_g = jax.nn.sigmoid(pre[:, 2 * tnd: 3 * tnd])
             g_g = jnp.tanh(pre[:, 3 * tnd: 4 * tnd])
-            c_new = f_g * c_ref[sl, 0, :] + i_g * g_g
-            h_ref[sl, 0, :] = o_g * jnp.tanh(c_new)
-            c_out_ref[sl, 0, :] = c_new
+            # c/h ride as (Mp, Tn, 1, TNd): the singleton second-to-
+            # last dim satisfies Mosaic's block-tiling rule (a 3-D
+            # (Mp, 1, TNd) strip block fails to lower — battery r4b)
+            c_new = f_g * c_ref[sl, 0, 0, :] + i_g * g_g
+            h_ref[sl, 0, 0, :] = o_g * jnp.tanh(c_new)
+            c_out_ref[sl, 0, 0, :] = c_new
 
     return kernel
 
@@ -925,17 +928,17 @@ def _gates_pallas_call(x, w, scale, bias, rscale, c_prev,
                          memory_space=pltpu.VMEM),              # bias
             pl.BlockSpec((tm, 1), lambda n, kt, m: (m, 0),
                          memory_space=pltpu.VMEM),              # row scale
-            pl.BlockSpec((mp, 1, tnd), lambda n, kt, m: (0, n, 0),
+            pl.BlockSpec((mp, 1, 1, tnd), lambda n, kt, m: (0, n, 0, 0),
                          memory_space=pltpu.VMEM),              # c_prev
         ],
         out_specs=(
-            pl.BlockSpec((mp, 1, tnd), lambda n, kt, m: (0, n, 0),
+            pl.BlockSpec((mp, 1, 1, tnd), lambda n, kt, m: (0, n, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((mp, 1, tnd), lambda n, kt, m: (0, n, 0),
+            pl.BlockSpec((mp, 1, 1, tnd), lambda n, kt, m: (0, n, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        out_shape=(jax.ShapeDtypeStruct((mp, tn, tnd), f32),
-                   jax.ShapeDtypeStruct((mp, tn, tnd), f32)),
+        out_shape=(jax.ShapeDtypeStruct((mp, tn, 1, tnd), f32),
+                   jax.ShapeDtypeStruct((mp, tn, 1, tnd), f32)),
         scratch_shapes=[
             pltpu.VMEM((mp, 4 * tnd), jnp.int32 if quant else f32),
         ],
@@ -949,6 +952,10 @@ def _gates_pallas_call(x, w, scale, bias, rscale, c_prev,
         interpret=interpret,
     )(x, w, scale, bias, rscale, c_prev)
     return h.reshape(mp, tn * tnd), c.reshape(mp, tn * tnd)
+
+
+# the scale/bias (1, 4, tnd) and w (tk, 1, 4, tnd) blocks pass the rule
+# because their last-two dims EQUAL the array dims (4, tnd)
 
 
 def gates_lstm_pallas(emb_t, h, ctx_t, c, sc, cfg: ModelConfig):
@@ -999,7 +1006,7 @@ def gates_lstm_pallas(emb_t, h, ctx_t, c, sc, cfg: ModelConfig):
     interpret = jax.default_backend() != "tpu"
     h_t, c_t = _gates_pallas_call(
         x_k, sc.gk_w, scale, sc.gk_bias, s_r,
-        c32.reshape(mp, tn, tnd), quant, tk, interpret)
+        c32.reshape(mp, tn, 1, tnd), quant, tk, interpret)
     return h_t[:rows], c_t[:rows]
 
 

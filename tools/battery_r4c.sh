@@ -16,6 +16,11 @@ for i in $(seq 1 20); do
   sleep 600
 done
 
+echo "=== c1: gates-kernel A/B retry (4-D strip-block Mosaic fix) ===" >> "$OUT/summary.txt"
+python tools/probe_gates_kernel.py 8 > "$OUT/gates.txt" 2> "$OUT/gates.err"
+grep -E "tiny_parity|gates_kernel=|delta|DONE" "$OUT/gates.txt" >> "$OUT/summary.txt" || \
+  tail -3 "$OUT/gates.err" >> "$OUT/summary.txt"
+
 for preset in 3 2; do
   for tk in off on; do
     echo "=== preset $preset tail_kernel=$tk ===" >> "$OUT/summary.txt"
