@@ -814,8 +814,43 @@ def _daemon_shutdown(port: int, proc) -> None:
         pass   # leave it be — do not signal a TPU client
 
 
+def _ids_measure(port: int, n_lat: int, bulk: int):
+    """Drive POST /caption_ids against a --bank daemon: b=1 latency and
+    a bulk burst over the resident ids (cycled if the bank is smaller
+    than the burst)."""
+    import http.client
+
+    from stvd.cli.serve import request_caption_ids
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request("GET", "/manifest")
+    man = json.loads(conn.getresponse().read().decode())
+    conn.close()
+    ids = man.get("bank_ids") or []
+    if not ids:
+        return {"error": "daemon has no resident bank"}
+    request_caption_ids("127.0.0.1", port, ids[:1])          # warm
+    lat = []
+    for _ in range(n_lat):
+        t0 = time.perf_counter()
+        request_caption_ids("127.0.0.1", port, ids[:1])
+        lat.append((time.perf_counter() - t0) * 1e3)
+    lat.sort()
+    burst = [ids[i % len(ids)] for i in range(bulk)]
+    t0 = time.perf_counter()
+    caps = request_caption_ids("127.0.0.1", port, burst)
+    wall = time.perf_counter() - t0
+    return {"bank_videos": man.get("bank_videos"),
+            "b1_p50_ms": round(lat[len(lat) // 2], 2),
+            "b1_p95_ms": round(lat[max(0, int(len(lat) * 0.95) - 1)], 2),
+            "bulk": bulk,
+            "bulk_captions_per_sec": round(len(caps) / wall, 1),
+            "request_bytes_per_video": "~16 (an id string)"}
+
+
 def bench_serve(run_dir: str, platform: str, sizes=(1, 32, 256),
-                n_lat: int = 30, coalesce_ms: float = 4.0):
+                n_lat: int = 30, coalesce_ms: float = 4.0,
+                bank: str = ""):
     """Serving E2E benchmark (``--what serve``): export a REAL artifact
     from ``run_dir``, then measure (a) direct in-process artifact
     captions/s + latency, (b) the HTTP daemon end-to-end over the raw
@@ -894,6 +929,18 @@ def bench_serve(run_dir: str, platform: str, sizes=(1, 32, 256),
     finally:
         _daemon_shutdown(port, proc)
 
+    if bank:
+        # bank-resident phase: requests carry video ids, zero feature
+        # payload — isolates decode from the wire/transfer bandwidth
+        # that bounds the feature-payload numbers above (BASELINE.md
+        # round-4 bandwidth table)
+        port, proc = start_daemon(["--bank", bank])
+        try:
+            out["bank_resident"] = _ids_measure(port, n_lat,
+                                                bulk=sizes[-1])
+        finally:
+            _daemon_shutdown(port, proc)
+
     bulk = str(sizes[-1])
     out["value"] = out["daemon"][bulk]["captions_per_sec"]
     out["daemon_overhead_b1_ms"] = round(
@@ -911,6 +958,9 @@ def main():
                          "served artifact from")
     ap.add_argument("--coalesce-ms", type=float, default=4.0,
                     help="--what serve: coalescer collection window")
+    ap.add_argument("--serve-bank", default="",
+                    help="--what serve: packed bank .npz for the "
+                         "bank-resident (id-addressed) phase")
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--kernel", action="store_true", default=None,
                     help="force the Pallas fused kernels (default: auto "
@@ -980,7 +1030,8 @@ def main():
                 else "cpu"
         sizes = (1, 8) if args.small else (1, 32, 256)
         print(json.dumps(bench_serve(args.run_dir, plat, sizes=sizes,
-                                     coalesce_ms=args.coalesce_ms)))
+                                     coalesce_ms=args.coalesce_ms,
+                                     bank=args.serve_bank)))
         return
 
     # persistent compile cache: repeated bench invocations (driver runs,

@@ -30,4 +30,9 @@ for preset in 3 2; do
   done
 done
 
+echo "=== c3: serve bench WITH the bank-resident phase ===" >> "$OUT/summary.txt"
+python bench.py --what serve --run-dir runs/msvd_r4_temporal --no-probe \
+  --serve-bank data/msvd/bank.npz > "$OUT/serve_bank.json" 2> "$OUT/serve_bank.err"
+tail -1 "$OUT/serve_bank.json" >> "$OUT/summary.txt"
+
 echo "BATTERY_R4C_DONE" >> "$OUT/summary.txt"
