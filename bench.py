@@ -898,7 +898,11 @@ def bench_serve(run_dir: str, platform: str, sizes=(1, 32, 256),
              "--port", str(port), "--allow-shutdown"] + extra,
             stdout=log, stderr=subprocess.STDOUT)
         import http.client
-        deadline = time.time() + 600     # warmup compiles all sizes
+        # 1500 s: warmup of three deserialized graphs through the relay
+        # measured 784 s (battery r4c) — the old 600 s deadline gave up
+        # while the daemon was still warming, ORPHANING a TPU-holding
+        # process that wedged everything after it
+        deadline = time.time() + 1500
         while time.time() < deadline:
             if proc.poll() is not None:
                 raise RuntimeError(
@@ -912,7 +916,13 @@ def bench_serve(run_dir: str, platform: str, sizes=(1, 32, 256),
                 return port, proc
             except OSError:
                 time.sleep(1.0)
-        raise RuntimeError(f"daemon never became healthy; see {log.name}")
+        # best-effort cleanup — NEVER signal a TPU client; if it is
+        # still warming the shutdown lands once it starts serving
+        _daemon_shutdown(port, proc)
+        raise RuntimeError(
+            f"daemon never became healthy in 1500s; see {log.name}. "
+            f"If a 'python -m stvd.cli.serve' process lingers, stop it "
+            f"with: curl -X POST localhost:{port}/shutdown")
 
     port, proc = start_daemon([])
     try:

@@ -101,8 +101,13 @@ class ModelConfig:
     # hand-derived backward is untouched.  The VERDICT-r3 whole-step
     # experiment against the forward's 1.8x-over-streaming dependency-
     # latency gap.  'auto' = on under TPU; 'on' forces (interpret
-    # off-TPU — tests); 'off' keeps the inline jnp tail.  Opt-in until
-    # the chip A/B lands (see BASELINE.md round-4).
+    # off-TPU — tests); 'off' keeps the inline jnp tail.
+    # DEFAULT 'off' — MEASURED NEGATIVE at reference scale (battery
+    # r4c): preset-3 35.20 -> 23.01 steps/s (-35%), preset-2
+    # 9.99 -> 8.55 (-14%).  Same verdict class as train_fwd_kernel:
+    # Mosaic's lowering of the fused body loses more than the saved
+    # launches gain; the forward gap is the dependency CHAIN, not
+    # launch count.  Kept opt-in, parity-pinned.
     gates_kernel: str = "off"       # fused Pallas gates+LSTM decode
     # kernel (kernel.gates_lstm_pallas): the combined [emb|h|ctx] @
     # [W;U;Wc] matmul PLUS dequant/bias/sigmoid/tanh/c-h update as one
@@ -112,8 +117,13 @@ class ModelConfig:
     # Targets the round-3 quantified headroom: XLA's int8 gates GEMM at
     # 273 of 394 TOPS + the un-fused pointwise glue (VERDICT r3 Next
     # #2/#3).  'auto' = on under TPU; 'on' forces (interpret off-TPU —
-    # tests); 'off' keeps the XLA path.  Decode only (no backward);
-    # opt-in until the chip measurement lands.
+    # tests); 'off' keeps the XLA path.  Decode only (no backward).
+    # DEFAULT 'off' — MEASURED STRONGLY NEGATIVE at reference scale
+    # (battery r4c): beam-5 b=384 bf16 4203 -> 1036 captions/s (-75%),
+    # int8 5333 -> 1095 (-79%), despite bit-exact parity on chip.
+    # Mosaic's small-tile dot pipeline cannot touch XLA's monolithic
+    # GEMM at this shape; the 273-of-394-TOPS gap is XLA-internal
+    # headroom, not harvestable via Pallas here.  Kept opt-in.
     remat: bool = False             # jax.checkpoint the train-scan body:
     # recompute per-step activations in the backward instead of saving
     # them (required for config 2 at full scale+batch 64: the spatial
