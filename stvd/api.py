@@ -140,7 +140,19 @@ class BankResident:
             raise ValueError(f"unknown video ids: {missing[:5]}"
                              + ("..." if len(missing) > 5 else ""))
         rows = jnp.asarray([idx[v] for v in ids], jnp.int32)
-        return {k: v[rows] for k, v in self._bank_dev.items()}
+        # only the streams THIS model consumes: a bank may carry more
+        # (e.g. regions for a temporal model) and AOT graphs reject
+        # extra pytree keys (battery r4d caught this live)
+        m = self.cfg.model
+        keys = ["frames", "frame_mask"]
+        if m.use_spatial:
+            keys.append("regions")
+        if m.use_motion:
+            keys.append("motion")
+        bad = [k for k in keys if k not in self._bank_dev]
+        if bad:
+            raise ValueError(f"bank lacks streams the model needs: {bad}")
+        return {k: self._bank_dev[k][rows] for k in keys}
 
     def caption_ids(self, ids: Sequence[str]) -> List[str]:
         """Caption resident-bank videos by id (zero feature transfer)."""

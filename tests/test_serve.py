@@ -521,7 +521,10 @@ def test_caption_ids_matches_feature_request(tmp_path):
     from stvd.data.bank import FeatureBank
 
     out, params, cfg = _artifact(tmp_path, beam=2)
-    bank_path, ids = _bank_file(tmp_path)
+    # a SPATIAL bank against a temporal artifact: _gather_ids must
+    # filter to the model's streams (an AOT graph rejects extra pytree
+    # keys — battery r4d caught this against the real msvd bank)
+    bank_path, ids = _bank_file(tmp_path, spatial=True)
     ns = argparse.Namespace(artifact=out, run_dir=None, params=None,
                             quant=None, host="127.0.0.1", port=0,
                             verbose=False, coalesce_wait_ms=0.0,
