@@ -67,6 +67,47 @@ def chunked_caption(run, params, batch: Dict, bsz: int, vocab: Vocab,
     return out
 
 
+def chunked_caption_ids(run_ids, params, bank: Dict, rows: np.ndarray,
+                        bsz: int, vocab: Vocab, window: int = 4
+                        ) -> List[str]:
+    """Drive ``run_ids(params, bank, rows) -> (tokens, scores)`` — a
+    FUSED gather+decode executable — over an arbitrary id list in fixed
+    ``bsz`` chunks.  The bank-resident analogue of ``chunked_caption``:
+    the host moves only int32 row indices per chunk; the feature gather
+    happens inside the same dispatch as the decode (one relay
+    round-trip per chunk instead of one per stream plus one per call —
+    each unjitted dispatch costs ~6.5 ms through this machine's relay,
+    BASELINE.md measurement-overhead calibration).
+
+    Short chunks are padded by REPEATING row 0 (a valid bank row, so
+    masks stay sane with no edge-case plumbing); padded outputs are
+    dropped on drain.
+    """
+    import jax.numpy as jnp
+    n = int(rows.shape[0])
+    pending: List = []
+    out: List[str] = []
+
+    def drain_one():
+        count, toks = pending.pop(0)
+        toks = np.asarray(toks)
+        out.extend(" ".join(vocab.decode(toks[i])) for i in range(count))
+
+    for s in range(0, n, bsz):
+        e = min(s + bsz, n)
+        chunk = rows[s:e]
+        if e - s < bsz:
+            chunk = np.concatenate(
+                [chunk, np.zeros(bsz - (e - s), np.int32)])
+        toks, _ = run_ids(params, bank, jnp.asarray(chunk))
+        pending.append((e - s, toks))
+        if len(pending) >= window:
+            drain_one()
+    while pending:
+        drain_one()
+    return out
+
+
 def pack_request(model_cfg, features, regions=None, motion=None) -> Dict:
     """Raw per-video feature arrays -> a prepared device batch
     (frames/frame_mask[/regions/motion]) in the model's compute dtype.
@@ -121,6 +162,13 @@ class BankResident:
         dt = jnp.dtype(dtype or self.cfg.model.compute_dtype)
         self._bank_index = bank.index()
         self._bank_dev = bank.to_device(dtype=dt)
+        # fused gather+decode executables close over the previous
+        # bank's stream-key set — rebuild on re-attach
+        self._ids_jit = None
+        if hasattr(self, "_call_cache"):
+            self._call_cache = {k: v for k, v in self._call_cache.items()
+                                if not (isinstance(k, tuple)
+                                        and k and k[0] == "ids")}
         return bank.n_videos
 
     @property
@@ -129,20 +177,10 @@ class BankResident:
             return []
         return sorted(self._bank_index, key=self._bank_index.__getitem__)
 
-    def _gather_ids(self, ids: Sequence[str]) -> Dict:
-        import jax.numpy as jnp
-        if self._bank_dev is None:
-            raise ValueError("no feature bank attached "
-                             "(attach_bank / cli/serve --bank)")
-        idx = self._bank_index
-        missing = [v for v in ids if v not in idx]
-        if missing:
-            raise ValueError(f"unknown video ids: {missing[:5]}"
-                             + ("..." if len(missing) > 5 else ""))
-        rows = jnp.asarray([idx[v] for v in ids], jnp.int32)
-        # only the streams THIS model consumes: a bank may carry more
-        # (e.g. regions for a temporal model) and AOT graphs reject
-        # extra pytree keys (battery r4d caught this live)
+    def _bank_keys(self) -> List[str]:
+        """Only the streams THIS model consumes: a bank may carry more
+        (e.g. regions for a temporal model) and AOT graphs reject
+        extra pytree keys (battery r4d caught this live)."""
         m = self.cfg.model
         keys = ["frames", "frame_mask"]
         if m.use_spatial:
@@ -152,11 +190,32 @@ class BankResident:
         bad = [k for k in keys if k not in self._bank_dev]
         if bad:
             raise ValueError(f"bank lacks streams the model needs: {bad}")
-        return {k: self._bank_dev[k][rows] for k in keys}
+        return keys
+
+    def _rows_for(self, ids: Sequence[str]) -> np.ndarray:
+        if self._bank_dev is None:
+            raise ValueError("no feature bank attached "
+                             "(attach_bank / cli/serve --bank)")
+        idx = self._bank_index
+        missing = [v for v in ids if v not in idx]
+        if missing:
+            raise ValueError(f"unknown video ids: {missing[:5]}"
+                             + ("..." if len(missing) > 5 else ""))
+        return np.asarray([idx[v] for v in ids], np.int32)
+
+    def _gather_ids(self, ids: Sequence[str]) -> Dict:
+        import jax.numpy as jnp
+        rows = jnp.asarray(self._rows_for(ids))
+        return {k: self._bank_dev[k][rows] for k in self._bank_keys()}
 
     def caption_ids(self, ids: Sequence[str]) -> List[str]:
-        """Caption resident-bank videos by id (zero feature transfer)."""
-        return self.caption_batch(self._gather_ids(ids))
+        """Caption resident-bank videos by id (zero feature transfer —
+        the on-device gather is FUSED into the decode executable, so a
+        request costs one dispatch per chunk; see chunked_caption_ids)."""
+        return self._caption_rows(self._rows_for(ids))
+
+    def _caption_rows(self, rows: np.ndarray) -> List[str]:
+        raise NotImplementedError  # Captioner / ExportedCaptioner
 
     def nbest_ids(self, ids: Sequence[str], n: Optional[int] = None,
                   norm: bool = True) -> List[List[tuple]]:
@@ -189,7 +248,9 @@ class Captioner(BankResident):
                               length_norm=d.length_norm, step_fn=step_fn)
             return out.tokens, out.norm_scores
 
-        self._run = jax.jit(run)
+        self._run_fn = run            # unjitted: composed by the fused
+        self._run = jax.jit(run)      # ids path (_caption_rows)
+        self._ids_jit = None
 
     @staticmethod
     def from_run_dir(run_dir: str, best: bool = True,
@@ -235,6 +296,25 @@ class Captioner(BankResident):
         """
         return chunked_caption(self._run, self.params, batch,
                                self.cfg.decode.decode_batch, self.vocab)
+
+    def _caption_rows(self, rows: np.ndarray) -> List[str]:
+        """Fused gather+decode over resident-bank row indices: the
+        bank lookup traces INTO the decode jit, so an id request is one
+        dispatch per chunk (separate gather ops cost ~6.5 ms each
+        through the relay — measured +17 ms/request, battery r4e)."""
+        import jax
+        if self._ids_jit is None:
+            keys = self._bank_keys()
+
+            def run_ids(params, bank, rows):
+                return self._run_fn(params, {k: bank[k][rows]
+                                             for k in keys})
+
+            self._ids_jit = jax.jit(run_ids)
+        bank = {k: self._bank_dev[k] for k in self._bank_keys()}
+        return chunked_caption_ids(self._ids_jit, self.params, bank,
+                                   rows, self.cfg.decode.decode_batch,
+                                   self.vocab)
 
     def caption_nbest(self, batch: Dict, n: Optional[int] = None,
                       norm: bool = True) -> List[List[tuple]]:

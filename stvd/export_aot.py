@@ -355,6 +355,51 @@ class ExportedCaptioner(_api.BankResident):
                                    self.params, tail, bfit, self.vocab)
         return out
 
+    def _ids_call_fn(self, exported):
+        """Fused gather+decode for the bank-resident path: the resident
+        bank's row gather traces INTO the AOT graph's call under one
+        jit, so an id request is ONE dispatch per chunk (battery r4e
+        measured separate gather dispatches at ~6.5 ms each through the
+        relay).  Memoized per exported graph; invalidated by
+        attach_bank on re-attach."""
+        key = ("ids", id(exported))
+        cached = self._call_cache.get(key)
+        if cached is not None:
+            return cached
+        import jax
+        keys = self._bank_keys()
+        inner = self._call_fn(exported)
+
+        def run_ids(params, bank, rows, _inner=inner, _keys=tuple(keys)):
+            return _inner(params, {k: bank[k][rows] for k in _keys})
+
+        run = jax.jit(run_ids)
+        self._call_cache[key] = run
+        return run
+
+    def _caption_rows(self, rows: np.ndarray) -> List[str]:
+        """Bucketed routing over resident-bank row indices — the id
+        analogue of caption_batch: bulk chunks ride the largest
+        exported batch size, the remainder the smallest that fits."""
+        from .api import chunked_caption_ids
+        bank = {k: self._bank_dev[k] for k in self._bank_keys()}
+        sizes = sorted(self._exported)
+        bmax = sizes[-1]
+        n = int(rows.shape[0])
+        nbulk = (n // bmax) * bmax
+        out: List[str] = []
+        if nbulk:
+            out += chunked_caption_ids(
+                self._ids_call_fn(self._exported[bmax]), self.params,
+                bank, rows[:nbulk], bmax, self.vocab)
+        rem = n - nbulk
+        if rem:
+            bfit = next(b for b in sizes if b >= rem)
+            out += chunked_caption_ids(
+                self._ids_call_fn(self._exported[bfit]), self.params,
+                bank, rows[nbulk:], bfit, self.vocab)
+        return out
+
     def caption(self,
                 features: Union[np.ndarray, Sequence[np.ndarray]],
                 regions: Optional[Sequence[np.ndarray]] = None,

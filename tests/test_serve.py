@@ -572,6 +572,39 @@ def test_caption_ids_without_bank_is_400(tmp_path):
             request_caption_ids("127.0.0.1", s.port, ["v0"])
 
 
+def test_caption_ids_chunking_and_bucket_routing(tmp_path):
+    """The FUSED gather+decode ids path (one dispatch per chunk) is
+    exact across chunk boundaries: live Captioner with a ragged
+    remainder (6 ids over decode_batch=4 -> one padded chunk), and a
+    bucketed artifact (sizes 2,4) where 5 ids split bulk-4 + rem-1
+    routed to the b=2 graph."""
+    from stvd.data.batching import synthetic_dataset as synth
+
+    ds = synth(n_videos=6, k=6, d=32, maxlen=8, seed=11)
+    cfg = Config(model=MCFG, decode=DecodeConfig(beam_size=2, maxlen=8,
+                                                 decode_batch=4))
+    params = init_params(jax.random.PRNGKey(5), MCFG)
+    cap = Captioner(params, cfg, _vocab())
+    cap.attach_bank(ds.bank)
+    ids = cap.bank_ids
+    order = [5, 0, 3, 1, 4, 2]
+    got = cap.caption_ids([ids[i] for i in order])
+    dev = ds.bank.to_device(dtype=np.float32)
+    ref = cap.caption_batch({k: np.asarray(v)[order]
+                             for k, v in dev.items()})
+    assert got == ref and len(got) == 6
+
+    out = str(tmp_path / "bucketed")
+    save_artifact(out, params, cfg, _vocab(), platforms=("cpu",),
+                  batch_sizes=(2, 4))
+    exp = load_artifact(out)
+    exp.attach_bank(ds.bank)
+    got = exp.caption_ids([ids[i] for i in order[:5]])
+    ref = exp.caption_batch({k: np.asarray(v)[order[:5]]
+                             for k, v in dev.items()})
+    assert got == ref and len(got) == 5
+
+
 def test_live_captioner_caption_ids():
     """The live Captioner's BankResident path works standalone (API
     surface, no HTTP): ids -> captions equal to raw-feature calls."""
