@@ -134,24 +134,40 @@ class _Coalescer:
             raise p.error
         return p.result
 
+    @staticmethod
+    def _n_videos(p: _Pending) -> int:
+        a = p.arrays
+        return len(a["ids"]) if "ids" in a else len(a["features"])
+
     def _dispatch(self, batch: List[_Pending]) -> None:
         groups: Dict[tuple, List[_Pending]] = {}
         for p in batch:
-            key = tuple((k, p.arrays[k].shape[1:]) if k in p.arrays
-                        else (k, None) for k in _STREAM_KEYS)
+            # bank-resident requests ({"ids": [...]}) are homogeneous —
+            # one group; feature requests group by stream/shape key
+            key = ("ids",) if "ids" in p.arrays else tuple(
+                (k, p.arrays[k].shape[1:]) if k in p.arrays
+                else (k, None) for k in _STREAM_KEYS)
             groups.setdefault(key, []).append(p)
         with self._dev_lock:
-            for members in groups.values():
+            for key, members in groups.items():
                 try:
-                    feats = np.concatenate(
-                        [p.arrays["features"] for p in members])
-                    kw = {k: np.concatenate([p.arrays[k] for p in members])
-                          for k in ("regions", "motion")
-                          if k in members[0].arrays}
-                    caps = self.captioner.caption(feats, **kw)
+                    if key == ("ids",):
+                        # ids are pre-validated by the handler (unknown
+                        # ids 400 the requester before coalescing, so a
+                        # bad id can never 500 innocent peers)
+                        ids = [v for p in members for v in p.arrays["ids"]]
+                        caps = self.captioner.caption_ids(ids)
+                    else:
+                        feats = np.concatenate(
+                            [p.arrays["features"] for p in members])
+                        kw = {k: np.concatenate([p.arrays[k]
+                                                 for p in members])
+                              for k in ("regions", "motion")
+                              if k in members[0].arrays}
+                        caps = self.captioner.caption(feats, **kw)
                     off = 0
                     for p in members:
-                        n = len(p.arrays["features"])
+                        n = self._n_videos(p)
                         p.result = caps[off:off + n]
                         off += n
                 except Exception as e:   # the group fails together;
@@ -170,8 +186,7 @@ class _Coalescer:
         with self._stats_lock:
             self.n_dispatches += 1
             self.n_requests += len(batch)
-            self.n_videos += sum(len(p.arrays["features"])
-                                 for p in batch)
+            self.n_videos += sum(self._n_videos(p) for p in batch)
             self.max_requests_per_dispatch = max(
                 self.max_requests_per_dispatch, len(batch))
 
@@ -305,8 +320,11 @@ class _Handler(BaseHTTPRequestHandler):
                 t0 = time.perf_counter()
                 if url.path == "/caption_ids":
                     if coal is not None:
-                        with coal._dev_lock:   # one chip
-                            caps = self.server.captioner.caption_ids(ids)
+                        # validate BEFORE coalescing: an unknown id is
+                        # THIS client's 400, and must never surface as
+                        # a group failure to coalesced peers
+                        self.server.captioner._rows_for(ids)
+                        caps = coal.submit({"ids": ids})
                     else:
                         caps = self.server.captioner.caption_ids(ids)
                     resp = {"captions": caps, "n": len(caps)}

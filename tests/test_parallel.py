@@ -206,6 +206,68 @@ def test_data_parallel_decode_matches_single_device():
     assert toks1 == toksN
 
 
+def test_tp_decode_matches_single_device():
+    """Tensor-parallel beam decode over the (2 data x 4 model) mesh —
+    gates weights row-sharded, vocab logits column-sharded — must emit
+    the single-device beam_decode tokens and scores exactly, and the
+    params must actually be sharded (not silently replicated)."""
+    from stvd.decode.beam import beam_decode
+    from stvd.decode.parallel import make_tp_beam_decode, \
+        shard_decode_params
+
+    ds = synthetic_dataset(n_videos=8, captions_per_video=1,
+                           k=MCFG.n_frames, d=MCFG.ctx_dim, maxlen=10,
+                           seed=7)
+    dev = ds.bank.to_device()
+    batch = {k: dev[k] for k in ("frames", "frame_mask")}
+    params = init_params(jax.random.PRNGKey(2), MCFG)
+
+    ref = beam_decode(params, MCFG, batch, beam_size=3, maxlen=10,
+                      length_norm=0.6)
+
+    mesh = parallel.make_mesh_2d(model_parallel=4)
+    p_sh = shard_decode_params(jax.device_get(params), mesh)
+    assert p_sh["U"].sharding.spec == P("model", None)
+    assert p_sh["ff_logit_W"].sharding.spec == P(None, "model")
+    run = make_tp_beam_decode(MCFG, mesh, beam_size=3, maxlen=10,
+                              length_norm=0.6)
+    got = run(p_sh, parallel.shard_batch(batch, mesh))
+
+    np.testing.assert_array_equal(np.asarray(got.tokens),
+                                  np.asarray(ref.tokens))
+    np.testing.assert_allclose(np.asarray(got.norm_scores),
+                               np.asarray(ref.norm_scores),
+                               rtol=1e-5, atol=1e-6)
+    # outputs land batch-sharded over 'data' (the declared contract)
+    assert got.tokens.sharding.spec == P("data")
+
+
+def test_tp_decode_spatial_config():
+    """TP decode over the spatial (config-2) model: the spatial mirror
+    weights shard and the tokens match single-device decode."""
+    from stvd.decode.beam import beam_decode
+    from stvd.decode.parallel import make_tp_beam_decode, \
+        shard_decode_params
+
+    mcfg = dataclasses.replace(MCFG, use_spatial=True, n_regions=4,
+                               region_dim=32)
+    ds = synthetic_dataset(n_videos=8, captions_per_video=1, k=6, d=32,
+                           maxlen=10, seed=9, n_regions=4, region_dim=32)
+    dev = ds.bank.to_device()
+    batch = {k: dev[k] for k in ("frames", "frame_mask", "regions")}
+    params = init_params(jax.random.PRNGKey(4), mcfg)
+
+    ref = beam_decode(params, mcfg, batch, beam_size=3, maxlen=10)
+
+    mesh = parallel.make_mesh_2d(model_parallel=2)
+    p_sh = shard_decode_params(jax.device_get(params), mesh)
+    assert p_sh["Ws_att"].sharding.spec == P("model", None)
+    run = make_tp_beam_decode(mcfg, mesh, beam_size=3, maxlen=10)
+    got = run(p_sh, parallel.shard_batch(batch, mesh))
+    np.testing.assert_array_equal(np.asarray(got.tokens),
+                                  np.asarray(ref.tokens))
+
+
 def test_dryrun_multichip():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge

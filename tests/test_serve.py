@@ -395,6 +395,18 @@ class _StubCaptioner:
         return [f"f{features.shape[1]}:{float(features[i].sum()):.0f}"
                 for i in range(len(features))]
 
+    # bank-resident surface (ids coalescing)
+    def _rows_for(self, ids):
+        bad = [v for v in ids if not v.startswith("vid")]
+        if bad:
+            raise ValueError(f"unknown video ids: {bad}")
+
+    def caption_ids(self, ids):
+        self._rows_for(ids)
+        with self._lock:
+            self.calls.append((len(ids), "ids"))
+        return [f"id:{v}" for v in ids]
+
 
 def _concurrent_requests(port, payloads):
     """POST each (features, regions) payload from its own thread via the
@@ -475,6 +487,47 @@ def test_coalescer_group_error_is_isolated():
     assert results[0] == ["f6:48"] == again
     assert isinstance(results[1], RuntimeError)
     assert "poisoned" in str(results[1])
+
+
+def test_coalescer_batches_concurrent_id_requests():
+    """Concurrent /caption_ids requests in the window ride ONE fused
+    gather+decode dispatch; each client gets exactly its own captions,
+    and an unknown id 400s its OWN requester pre-coalesce while peers
+    in the same window succeed."""
+    from stvd.cli.serve import ThreadedCaptionServer, request_caption_ids
+
+    stub = _StubCaptioner()
+    srv = ThreadedCaptionServer(stub, port=0, coalesce_wait_ms=300.0)
+    payloads = [["vid0"], ["vid1", "vid2"], ["bogus"], ["vid3"]]
+    results = [None] * len(payloads)
+    barrier = threading.Barrier(len(payloads))
+
+    def run(i, ids):
+        barrier.wait()
+        try:
+            results[i] = request_caption_ids("127.0.0.1", srv_port, ids)
+        except Exception as e:
+            results[i] = e
+
+    with _Srv(srv) as s:
+        srv_port = s.port
+        threads = [threading.Thread(target=run, args=(i, p))
+                   for i, p in enumerate(payloads)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        _, stats = _get(s.port, "/stats")
+    assert results[0] == ["id:vid0"]
+    assert results[1] == ["id:vid1", "id:vid2"]
+    assert isinstance(results[2], RuntimeError)
+    assert "400" in str(results[2]) and "bogus" in str(results[2])
+    assert results[3] == ["id:vid3"]
+    id_calls = [n for n, f in stub.calls if f == "ids"]
+    assert sum(id_calls) == 4           # all valid ids served
+    assert len(id_calls) < 3            # genuinely coalesced
+    assert max(id_calls) >= 2
+    assert stats["coalesce"]["videos"] >= 4
 
 
 def test_build_server_coalesce_flag(tmp_path):
