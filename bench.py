@@ -669,10 +669,13 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _serve_direct_code(art: str, sizes, n_lat: int) -> str:
+def _serve_direct_code(art: str, sizes, n_lat: int, bank: str = "") -> str:
     """Child-process script: load the artifact IN-PROCESS and time
     caption() per batch size — the no-HTTP baseline the daemon numbers
-    are compared against."""
+    are compared against.  With ``bank``, also time caption_ids (the
+    fused gather+decode path) at b=1 and a bulk burst: the no-HTTP ids
+    ceiling that separates HTTP cost from dispatch cost in the
+    bank-resident daemon numbers."""
     return f"""
 import json, time, sys
 import numpy as np
@@ -713,6 +716,26 @@ for b in {list(sizes)!r}:
         "p95_ms": round(lat[max(0, int(len(lat) * 0.95) - 1)], 2),
         "captions_per_sec": round(b * reps / wall, 1)}}
 print("DIRECT_JSON:" + json.dumps(res))
+if {bank!r}:
+    from stvd.data.bank import FeatureBank
+    cap.attach_bank(FeatureBank.load({bank!r}))
+    ids = cap.bank_ids
+    bulk = max({list(sizes)!r})
+    burst = [ids[i % len(ids)] for i in range(bulk)]
+    cap.caption_ids(ids[:1]); cap.caption_ids(burst)   # warm both buckets
+    lat = []
+    for _ in range({n_lat}):
+        t1 = time.perf_counter()
+        cap.caption_ids(ids[:1])
+        lat.append((time.perf_counter() - t1) * 1e3)
+    lat.sort()
+    t0 = time.perf_counter()
+    cap.caption_ids(burst)
+    wall = time.perf_counter() - t0
+    print("DIRECT_IDS_JSON:" + json.dumps({{
+        "b1_p50_ms": round(lat[len(lat) // 2], 2),
+        "bulk": bulk,
+        "bulk_captions_per_sec": round(bulk / wall, 1)}}))
 """
 
 
@@ -888,13 +911,16 @@ def bench_serve(run_dir: str, platform: str, sizes=(1, 32, 256),
     out["export_s"] = round(time.perf_counter() - t0, 1)
 
     r = subprocess.run(
-        [sys.executable, "-c", _serve_direct_code(art, sizes, n_lat)],
+        [sys.executable, "-c", _serve_direct_code(art, sizes, n_lat,
+                                                  bank=bank)],
         capture_output=True, text=True)
     for line in r.stdout.splitlines():
         if line.startswith("DIRECT_JSON:"):
             out["direct"] = json.loads(line[len("DIRECT_JSON:"):])
-            break
-    else:
+        elif line.startswith("DIRECT_IDS_JSON:"):
+            out["direct_ids"] = json.loads(
+                line[len("DIRECT_IDS_JSON:"):])
+    if "direct" not in out:
         raise RuntimeError(f"direct probe failed:\n{r.stdout}\n{r.stderr}")
 
     def start_daemon(extra):
