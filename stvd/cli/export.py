@@ -41,6 +41,11 @@ def main(argv=None) -> int:
                     help="export sharded over a 1-D data mesh of N "
                          "devices (multi-chip serving; batch sizes "
                          "must divide by N; loader needs >= N devices)")
+    ap.add_argument("--model-parallel", type=int, default=0,
+                    help="export tensor-parallel over a 2-D data x model "
+                         "mesh (params sharded per TP_RULES; combines "
+                         "with --data-parallel; loader needs >= N*M "
+                         "devices; implies the XLA step, no Pallas)")
     ap.add_argument("--best", action="store_true", default=True)
     ap.add_argument("--check", action="store_true",
                     help="roundtrip-verify vs the live Captioner")
@@ -63,7 +68,8 @@ def main(argv=None) -> int:
                              batch_sizes=sizes,
                              use_kernel=use_kernel,
                              nbest=args.nbest,
-                             data_parallel=args.data_parallel)
+                             data_parallel=args.data_parallel,
+                             model_parallel=args.model_parallel)
     print(f"exported {args.run_dir} -> {args.out} "
           f"(platforms={manifest['platforms']} "
           f"batch_sizes={manifest['batch_sizes']} "

@@ -129,14 +129,42 @@ def _serving_mesh(data_parallel: int):
     return Mesh(np.array(devs[:data_parallel]), ("data",))
 
 
-def _dp_jit(run, mesh):
-    """jit ``run`` with serving-DP shardings: params replicated, every
-    batch leaf and every output sharded on its leading (batch) dim."""
+def _serving_mesh_2d(data_parallel: int, model_parallel: int):
+    """A 2-D Mesh(('data', 'model')) over the first dp*mp local devices
+    (serving TP: params sharded per train.parallel.TP_RULES, batch on
+    the data axis)."""
+    import jax
+    devs = jax.devices()
+    need = data_parallel * model_parallel
+    if len(devs) < need:
+        raise ValueError(
+            f"data_parallel={data_parallel} x model_parallel="
+            f"{model_parallel} needs {need} devices; "
+            f"{len(devs)} visible")
+    from jax.sharding import Mesh
+    return Mesh(np.array(devs[:need]).reshape(data_parallel,
+                                              model_parallel),
+                ("data", "model"))
+
+
+def _mesh_jit(run, mesh, params=None):
+    """jit ``run`` with serving-mesh shardings.
+
+    1-D ('data',) mesh: params replicated, batch + outputs sharded on
+    the leading (batch) dim.  2-D ('data', 'model') mesh: params placed
+    per ``train.parallel.TP_RULES`` (gates GEMMs row-sharded — one psum
+    per matmul over 'model', vocab logits column-sharded; see
+    decode/parallel.py for the decode-side TP rationale), batch and
+    outputs on 'data' and replicated over 'model'."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
-    rep = NamedSharding(mesh, P())
     sh = NamedSharding(mesh, P("data"))
-    return jax.jit(run, in_shardings=(rep, sh), out_shardings=sh)
+    if "model" in mesh.axis_names:
+        from .train.parallel import state_shardings
+        pshard = state_shardings(params, mesh)
+    else:
+        pshard = NamedSharding(mesh, P())
+    return jax.jit(run, in_shardings=(pshard, sh), out_shardings=sh)
 
 
 def export_decoder(params, cfg: Config,
@@ -153,26 +181,34 @@ def export_decoder(params, cfg: Config,
     the export targets TPU only.  Multi-platform exports must use the
     XLA path (Mosaic custom calls only lower for TPU).
 
-    ``mesh`` (a 1-D ``Mesh(('data',))``) exports a data-parallel
-    serving graph: batch sharded over 'data', params replicated,
-    XLA collectives baked into the StableHLO.  The artifact then
-    requires the same device count at load time.
+    ``mesh`` (a 1-D ``Mesh(('data',))`` or 2-D ``Mesh(('data',
+    'model'))``) exports a sharded serving graph: batch over 'data';
+    params replicated (1-D) or placed per ``train.parallel.TP_RULES``
+    (2-D), with XLA collectives baked into the StableHLO.  The artifact
+    then requires the same device count at load time.
     """
     import jax
     from jax import export as jexport
 
     from .model.kernel import get_step_fn
     platforms = tuple(platforms)
+    tp = mesh is not None and "model" in mesh.axis_names
     if use_kernel is None:
-        use_kernel = platforms == ("tpu",)
+        use_kernel = platforms == ("tpu",) and not tp
     if use_kernel and any(p != "tpu" for p in platforms):
         raise ValueError(
             f"Pallas kernels only lower for TPU; platforms={platforms} "
             "requires use_kernel=False")
+    if use_kernel and tp:
+        # same boundary as decode/parallel.py: a pallas_call does not
+        # auto-partition under SPMD sharding propagation — TP serving
+        # graphs run the jnp oracle step (the TP win is XLA's GEMM
+        # partitioning, not the kernels' selection structure)
+        raise ValueError("model-parallel export requires use_kernel=False")
     run = _decode_run_fn(cfg, get_step_fn(use_kernel))
     batch = _example if _example is not None \
         else example_batch(cfg, batch_size)
-    jrun = _dp_jit(run, mesh) if mesh is not None else jax.jit(run)
+    jrun = _mesh_jit(run, mesh, params) if mesh is not None else jax.jit(run)
     return jexport.export(jrun, platforms=list(platforms))(params, batch)
 
 
@@ -182,7 +218,8 @@ def save_artifact(out_dir: str, params, cfg: Config, vocab: Vocab,
                   use_kernel: Optional[bool] = None,
                   batch_sizes: Optional[Sequence[int]] = None,
                   nbest: bool = False,
-                  data_parallel: int = 0) -> Dict:
+                  data_parallel: int = 0,
+                  model_parallel: int = 0) -> Dict:
     """Export the decoder and write the full serving artifact directory.
 
     ``batch_sizes`` (e.g. ``(1, 64, 256)``) exports one graph per
@@ -203,26 +240,42 @@ def save_artifact(out_dir: str, params, cfg: Config, vocab: Vocab,
     size must be divisible by N; the loader rebuilds the mesh and
     requires >= N devices.
 
+    ``model_parallel=M`` (with ``data_parallel`` defaulting to 1)
+    exports over a 2-D ``Mesh(('data', 'model'))`` of N*M devices with
+    params sharded per ``train.parallel.TP_RULES`` — tensor-parallel
+    serving for decoder dims that outgrow one chip (the jnp oracle
+    step; see decode/parallel.py for why the Pallas kernels don't
+    apply here).
+
     Returns the manifest dict.
     """
     import jax
     os.makedirs(out_dir, exist_ok=True)
     platforms = tuple(platforms)
     if use_kernel is None:
-        use_kernel = platforms == ("tpu",)
+        use_kernel = platforms == ("tpu",) and model_parallel <= 1
     if batch_sizes is None:
         batch_sizes = (batch_size or cfg.decode.decode_batch,)
     sizes = sorted(set(int(b) for b in batch_sizes))
     if not sizes or sizes[0] < 1:
         raise ValueError(f"batch_sizes must be positive ints: {batch_sizes}")
     mesh = None
-    if data_parallel:
-        bad = [b for b in sizes if b % data_parallel]
+    dp = int(data_parallel or 0)
+    if model_parallel and model_parallel > 1:
+        dp = dp or 1
+        bad = [b for b in sizes if b % dp]
         if bad:
             raise ValueError(
-                f"data_parallel={data_parallel} requires divisible batch "
+                f"data_parallel={dp} requires divisible batch "
                 f"sizes; got {bad}")
-        mesh = _serving_mesh(data_parallel)
+        mesh = _serving_mesh_2d(dp, int(model_parallel))
+    elif dp:
+        bad = [b for b in sizes if b % dp]
+        if bad:
+            raise ValueError(
+                f"data_parallel={dp} requires divisible batch "
+                f"sizes; got {bad}")
+        mesh = _serving_mesh(dp)
     inputs = {}
     for b in sizes:
         # one example batch per size serves trace AND manifest (at
@@ -242,7 +295,7 @@ def save_artifact(out_dir: str, params, cfg: Config, vocab: Vocab,
             from jax import export as jexport
             from .model.kernel import get_step_fn
             nrun = _nbest_run_fn(cfg, get_step_fn(use_kernel))
-            njit = _dp_jit(nrun, mesh) if mesh is not None \
+            njit = _mesh_jit(nrun, mesh, params) if mesh is not None \
                 else jax.jit(nrun)
             nexp = jexport.export(njit,
                                   platforms=list(platforms))(params, example)
@@ -267,7 +320,8 @@ def save_artifact(out_dir: str, params, cfg: Config, vocab: Vocab,
         "maxlen": cfg.decode.maxlen,
         "use_kernel": bool(use_kernel),
         "nbest": bool(nbest),
-        "data_parallel": int(data_parallel),
+        "data_parallel": int(dp),
+        "model_parallel": int(model_parallel or 0),
         "param_count": int(sum(int(np.prod(v.shape))
                                for v in params.values())),
         "inputs": inputs,
@@ -296,10 +350,16 @@ class ExportedCaptioner(_api.BankResident):
         self._mesh = mesh
         self._call_cache = {}             # id(Exported) -> wrapped call
         if mesh is not None:
-            # replicate the weights across the serving mesh once
+            # place the weights across the serving mesh once:
+            # replicated (DP) or per TP_RULES (2-D data x model mesh)
             import jax
             from jax.sharding import NamedSharding, PartitionSpec as P
-            params = jax.device_put(params, NamedSharding(mesh, P()))
+            if "model" in mesh.axis_names:
+                from .train.parallel import state_shardings
+                params = jax.device_put(params,
+                                        state_shardings(params, mesh))
+            else:
+                params = jax.device_put(params, NamedSharding(mesh, P()))
         self.params = params
         self.cfg = cfg
         self.vocab = vocab
@@ -502,7 +562,10 @@ def load_artifact(path: str, params=None) -> ExportedCaptioner:
     vocab = Vocab.load_pickle(os.path.join(path, "vocab.pkl"))
     mesh = None
     dp = int(manifest.get("data_parallel") or 0)
-    if dp:
+    mp = int(manifest.get("model_parallel") or 0)
+    if mp > 1:
+        mesh = _serving_mesh_2d(dp or 1, mp)   # raises if < dp*mp devices
+    elif dp:
         mesh = _serving_mesh(dp)   # raises if < dp devices visible
     return ExportedCaptioner(exported, params, cfg, vocab, manifest,
                              nbest_exported=nbest_exported, mesh=mesh)

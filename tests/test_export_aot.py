@@ -335,3 +335,59 @@ def test_dp_artifact_weight_swap(tmp_path):
     swapped = load_artifact(out, params=p2)
     live2 = Captioner(p2, cfg, _vocab())
     assert swapped.caption(feats) == live2.caption(feats)
+
+
+def test_model_parallel_artifact_matches_single_device(tmp_path):
+    """model_parallel=4 x data_parallel=2 export on the virtual 8-device
+    CPU mesh: the TP-sharded graph's captions equal the single-device
+    live Captioner's (params split per TP_RULES, batch over 'data'),
+    including bucketed routing and the manifest round-trip."""
+    cfg = Config(model=MCFG, decode=DecodeConfig(beam_size=3, maxlen=8,
+                                                 decode_batch=4,
+                                                 length_norm=0.6))
+    params = init_params(jax.random.PRNGKey(31), MCFG)
+    vocab = _vocab()
+    out = str(tmp_path / "artifact")
+    manifest = save_artifact(out, params, cfg, vocab, platforms=("cpu",),
+                             batch_sizes=(2, 4), data_parallel=2,
+                             model_parallel=4)
+    assert manifest["model_parallel"] == 4
+    assert manifest["data_parallel"] == 2
+    assert manifest["use_kernel"] is False
+    served = load_artifact(out)
+    assert served._mesh is not None
+    assert served._mesh.shape["data"] == 2
+    assert served._mesh.shape["model"] == 4
+
+    live = Captioner(params, cfg, vocab)
+    feats, _, _ = _feats(6, MCFG, seed=31)   # bulk 4 + remainder on b=2
+    assert served.caption(feats) == live.caption(feats)
+
+
+def test_model_parallel_rejects_kernel(tmp_path):
+    """TP serving graphs run the jnp oracle step (pallas_call does not
+    auto-partition under SPMD propagation) — explicit use_kernel=True
+    with model_parallel must fail loudly, not silently mis-shard."""
+    cfg = Config(model=MCFG, decode=DecodeConfig(beam_size=2, maxlen=8,
+                                                 decode_batch=4))
+    params = init_params(jax.random.PRNGKey(32), MCFG)
+    with pytest.raises(ValueError, match="use_kernel"):
+        save_artifact(str(tmp_path / "a"), params, cfg, _vocab(),
+                      platforms=("cpu",), batch_sizes=(4,),
+                      model_parallel=4, use_kernel=True)
+
+
+def test_model_parallel_weight_swap(tmp_path):
+    """params= override composes with the TP mesh: swapped weights are
+    re-sharded per TP_RULES at load and match the live Captioner."""
+    cfg = Config(model=MCFG, decode=DecodeConfig(beam_size=2, maxlen=8,
+                                                 decode_batch=4))
+    p1 = init_params(jax.random.PRNGKey(33), MCFG)
+    p2 = init_params(jax.random.PRNGKey(34), MCFG)
+    out = str(tmp_path / "artifact")
+    save_artifact(out, p1, cfg, _vocab(), platforms=("cpu",),
+                  batch_sizes=(4,), model_parallel=8)
+    feats, _, _ = _feats(4, MCFG, seed=35)
+    swapped = load_artifact(out, params=p2)
+    live2 = Captioner(p2, cfg, _vocab())
+    assert swapped.caption(feats) == live2.caption(feats)
