@@ -137,6 +137,13 @@ def pack_request(model_cfg, features, regions=None, motion=None) -> Dict:
     return batch
 
 
+def _step_jnp():
+    """The pure-jnp oracle step (the SPMD-partitionable one — Pallas
+    kernels don't auto-partition under sharding propagation)."""
+    from .model import step as step_mod
+    return step_mod.step
+
+
 class BankResident:
     """Mixin: device-resident feature bank + id-addressed captioning.
 
@@ -154,14 +161,35 @@ class BankResident:
 
     _bank_dev = None
     _bank_index: Optional[Dict[str, int]] = None
+    _bank_mesh = None
+    _ids_params = None
 
-    def attach_bank(self, bank, dtype=None) -> int:
+    def attach_bank(self, bank, dtype=None, mesh=None) -> int:
         """device_put a FeatureBank once (cast to compute dtype);
-        returns the number of resident videos."""
+        returns the number of resident videos.
+
+        ``mesh`` (a 1-D ``Mesh(('data',))``) shards the bank's VIDEO
+        axis across the mesh — for banks that outgrow one chip's HBM
+        (an MSR-VTT-scale spatial bank is ~56 GB vs 16 GB/chip; see
+        ``FeatureBank.to_device_sharded``).  Id requests then run a
+        sharded on-device gather (each chip looks up the rows it owns;
+        one ``psum_scatter`` over ICI lands each chip its slice of the
+        decode batch) fused into the same dispatch as the decode."""
         import jax.numpy as jnp
         dt = jnp.dtype(dtype or self.cfg.model.compute_dtype)
         self._bank_index = bank.index()
-        self._bank_dev = bank.to_device(dtype=dt)
+        self._bank_mesh = mesh
+        self._bank_dev = (bank.to_device(dtype=dt) if mesh is None
+                          else bank.to_device_sharded(mesh, dtype=dt))
+        # a mesh-sharded batch cannot meet single-device params in one
+        # jit: the ids path needs a mesh-replicated weight copy (the
+        # AOT loader already places params on its serving mesh — reuse)
+        self._ids_params = None
+        if mesh is not None and getattr(self, "_mesh", None) is None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._ids_params = jax.device_put(
+                self.params, NamedSharding(mesh, P()))
         # fused gather+decode executables close over the previous
         # bank's stream-key set — rebuild on re-attach
         self._ids_jit = None
@@ -203,10 +231,68 @@ class BankResident:
                              + ("..." if len(missing) > 5 else ""))
         return np.asarray([idx[v] for v in ids], np.int32)
 
+    def _bank_gather_fn(self, keys: Sequence[str]):
+        """Jittable ``(bank, rows) -> batch`` row gather.
+
+        Single-device bank: plain row indexing (fuses into the decode
+        jit).  Sharded bank (``attach_bank(mesh=...)``): an explicit
+        ``shard_map`` — each shard gathers the rows it owns (rows
+        outside its range clamp to a valid index and mask to zero) and
+        ONE ``psum_scatter`` over the 'data' ICI axis lands each chip
+        its contiguous slice of the decode batch, so the decode runs
+        data-parallel directly on the scattered output.  Explicit
+        collectives rather than GSPMD propagation: left to itself the
+        partitioner may all-gather the sharded operand, which is
+        exactly the HBM blow-up a sharded bank exists to avoid.  Chunk
+        sizes not divisible by the data axis fall back to a plain
+        ``psum`` (batch replicated — correct, just not sharded).
+        """
+        keys = tuple(keys)
+        mesh = self._bank_mesh
+        if mesh is None:
+            def gather(bank, rows):
+                return {k: bank[k][rows] for k in keys}
+            return gather
+
+        import jax
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        nd = int(mesh.shape["data"])
+
+        def gather(bank, rows):
+            scatter = rows.shape[0] % nd == 0
+
+            def local(rows, bank):
+                d = jax.lax.axis_index("data")
+                out = {}
+                for k in keys:
+                    leaf = bank[k]
+                    sn = leaf.shape[0]
+                    li = rows - d * sn
+                    valid = (li >= 0) & (li < sn)
+                    g = leaf[jnp.clip(li, 0, sn - 1)]
+                    g = g * valid.reshape(
+                        (-1,) + (1,) * (g.ndim - 1)).astype(g.dtype)
+                    out[k] = (jax.lax.psum_scatter(
+                        g, "data", scatter_dimension=0, tiled=True)
+                        if scatter else jax.lax.psum(g, "data"))
+                return out
+
+            sm = shard_map(
+                local, mesh=mesh,
+                in_specs=(P(), {k: P("data") for k in keys}),
+                out_specs={k: (P("data") if scatter else P())
+                           for k in keys})
+            return sm(rows, {k: bank[k] for k in keys})
+
+        return gather
+
     def _gather_ids(self, ids: Sequence[str]) -> Dict:
         import jax.numpy as jnp
         rows = jnp.asarray(self._rows_for(ids))
-        return {k: self._bank_dev[k][rows] for k in self._bank_keys()}
+        bank = {k: self._bank_dev[k] for k in self._bank_keys()}
+        return self._bank_gather_fn(self._bank_keys())(bank, rows)
 
     def caption_ids(self, ids: Sequence[str]) -> List[str]:
         """Caption resident-bank videos by id (zero feature transfer —
@@ -219,7 +305,15 @@ class BankResident:
 
     def nbest_ids(self, ids: Sequence[str], n: Optional[int] = None,
                   norm: bool = True) -> List[List[tuple]]:
-        return self.caption_nbest(self._gather_ids(ids), n=n, norm=norm)
+        batch = self._gather_ids(ids)
+        if self._bank_mesh is not None and getattr(self, "_mesh", None) is None:
+            # rehome the mesh-sharded gather onto the default device —
+            # caption_nbest's jit runs against single-device params
+            # (correctness path; bulk id serving is caption_ids).  The
+            # AOT loader's own mesh handles placement itself.
+            import jax
+            batch = jax.device_get(batch)
+        return self.caption_nbest(batch, n=n, norm=norm)
 
 
 class Captioner(BankResident):
@@ -236,6 +330,13 @@ class Captioner(BankResident):
         # None = auto: fused Pallas kernels on TPU, XLA path elsewhere
         step_fn = step_fn or get_step_fn(None)
         self.step_fn = step_fn
+        self._run_fn = self._make_run(step_fn)  # unjitted: composed by
+        self._run = jax.jit(self._run_fn)       # the fused ids path
+        self._ids_jit = None
+
+    def _make_run(self, step_fn):
+        """(params, batch) -> (tokens, scores) with the given step fn."""
+        cfg = self.cfg
         d = cfg.decode
 
         def run(params, batch):
@@ -248,9 +349,7 @@ class Captioner(BankResident):
                               length_norm=d.length_norm, step_fn=step_fn)
             return out.tokens, out.norm_scores
 
-        self._run_fn = run            # unjitted: composed by the fused
-        self._run = jax.jit(run)      # ids path (_caption_rows)
-        self._ids_jit = None
+        return run
 
     @staticmethod
     def from_run_dir(run_dir: str, best: bool = True,
@@ -301,18 +400,28 @@ class Captioner(BankResident):
         """Fused gather+decode over resident-bank row indices: the
         bank lookup traces INTO the decode jit, so an id request is one
         dispatch per chunk (separate gather ops cost ~6.5 ms each
-        through the relay — measured +17 ms/request, battery r4e)."""
+        through the relay — measured +17 ms/request, battery r4e).
+
+        With a SHARDED bank (attach_bank(mesh=...)) the gather's
+        psum_scatter leaves the batch sharded over 'data' and the
+        decode runs data-parallel on it — using the jnp oracle step
+        (same boundary as decode/parallel.py: a pallas_call does not
+        auto-partition under SPMD sharding propagation)."""
         import jax
         if self._ids_jit is None:
-            keys = self._bank_keys()
+            gather = self._bank_gather_fn(self._bank_keys())
+            run_decode = self._run_fn
+            if self._bank_mesh is not None and self.step_fn is not _step_jnp():
+                run_decode = self._make_run(_step_jnp())
 
             def run_ids(params, bank, rows):
-                return self._run_fn(params, {k: bank[k][rows]
-                                             for k in keys})
+                return run_decode(params, gather(bank, rows))
 
             self._ids_jit = jax.jit(run_ids)
         bank = {k: self._bank_dev[k] for k in self._bank_keys()}
-        return chunked_caption_ids(self._ids_jit, self.params, bank,
+        params = (self._ids_params if self._ids_params is not None
+                  else self.params)
+        return chunked_caption_ids(self._ids_jit, params, bank,
                                    rows, self.cfg.decode.decode_batch,
                                    self.vocab)
 

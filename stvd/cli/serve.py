@@ -581,13 +581,38 @@ def request_caption_ids(host: str, port: int, ids: Sequence[str],
         conn.close()
 
 
-def _attach_bank(cap, bank_path: str, manifest: Dict) -> None:
+def _attach_bank(cap, bank_path: str, manifest: Dict,
+                 shards: int = 0) -> None:
     from ..data.bank import FeatureBank
-    n = cap.attach_bank(FeatureBank.load(bank_path))
+    mesh = None
+    if shards and shards > 1:
+        # shard the bank's video axis across the serving mesh — for
+        # banks that outgrow one chip's HBM (FeatureBank
+        # .to_device_sharded).  On an AOT captioner the artifact's own
+        # serving mesh is reused (its data axis must match); live mode
+        # builds a 1-D data mesh over the first N devices.
+        mesh = getattr(cap, "_mesh", None)
+        if mesh is not None:
+            if int(mesh.shape.get("data", 1)) != shards:
+                raise ValueError(
+                    f"--bank-shards {shards} != the artifact's "
+                    f"data-parallel degree {mesh.shape.get('data', 1)} "
+                    "(a sharded bank rides the artifact's serving mesh)")
+        else:
+            import jax
+            from ..train.parallel import make_mesh
+            if len(jax.devices()) < shards:
+                raise ValueError(
+                    f"--bank-shards {shards} needs {shards} devices; "
+                    f"{len(jax.devices())} visible")
+            mesh = make_mesh(jax.devices()[:shards])
+    n = cap.attach_bank(FeatureBank.load(bank_path), mesh=mesh)
     manifest["bank_videos"] = n
     manifest["bank_ids"] = cap.bank_ids
+    manifest["bank_shards"] = int(shards or 0)
     print(f"bank resident: {n} videos from {bank_path} "
-          f"(POST /caption_ids)")
+          + (f"sharded over {shards} chips " if mesh is not None else "")
+          + "(POST /caption_ids)")
 
 
 def build_server(args) -> CaptionServer:
@@ -610,7 +635,8 @@ def build_server(args) -> CaptionServer:
         cap = load_artifact(args.artifact, params=params)
         manifest = dict(cap.manifest)
         if getattr(args, "bank", None):
-            _attach_bank(cap, args.bank, manifest)
+            _attach_bank(cap, args.bank, manifest,
+                         shards=getattr(args, 'bank_shards', 0))
         return cls(cap, args.host, args.port, mode="aot",
                    manifest=manifest, verbose=args.verbose,
                    allow_shutdown=getattr(args, "allow_shutdown", False),
@@ -622,7 +648,8 @@ def build_server(args) -> CaptionServer:
                "decode_batch": cap.cfg.decode.decode_batch,
                "maxlen": cap.cfg.decode.maxlen}
     if getattr(args, "bank", None):
-        _attach_bank(cap, args.bank, summary)
+        _attach_bank(cap, args.bank, summary,
+                     shards=getattr(args, 'bank_shards', 0))
     return cls(cap, args.host, args.port, mode="live",
                manifest=summary, verbose=args.verbose,
                allow_shutdown=getattr(args, "allow_shutdown", False),
@@ -641,6 +668,13 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                          "feature transfer per request; the "
                          "production-shaped serving mode for "
                          "pre-extracted features")
+    ap.add_argument("--bank-shards", type=int, default=0, metavar="N",
+                    help="shard the resident bank's video axis over N "
+                         "chips (1-D data mesh; banks bigger than one "
+                         "chip's HBM) — id requests gather rows via "
+                         "one ICI psum_scatter fused into the decode "
+                         "dispatch.  With --artifact, N must equal the "
+                         "artifact's --data-parallel degree")
     ap.add_argument("--params", default=None,
                     help="override weights: an .npz of same-architecture "
                          "params (aot mode; no re-export needed)")

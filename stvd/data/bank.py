@@ -106,6 +106,52 @@ class FeatureBank:
         self._dev_cache[key] = out
         return out
 
+    def to_device_sharded(self, mesh, dtype=None):
+        """device_put the bank with its VIDEO axis sharded over the
+        mesh's 'data' axis — each chip holds ``N/n_data`` videos.
+
+        This is the SURVEY.md §5 "if feature banks exceed HBM, shard
+        the bank across chips" path made first-class: at MSR-VTT scale
+        a spatial region bank is ~5.6 MB/video x 10k videos = ~56 GB,
+        far past one v5e chip's 16 GB HBM, but 8 chips hold it at
+        ~7 GB/chip.  Row lookups then run as an on-device sharded
+        gather (see ``api.BankResident``) — requests still carry only
+        int32 ids.
+
+        Rows are zero-padded up to a multiple of the data-axis size
+        (NamedSharding needs equal shards); padded rows are never
+        addressed (``BankResident._rows_for`` validates ids against the
+        real index).  Cached per (dtype, mesh) like ``to_device``.
+        """
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        nd = int(mesh.shape["data"])
+        key = ("sharded", None if dtype is None else jnp.dtype(dtype), mesh)
+        cached = self._dev_cache.get(key)
+        if cached is not None:
+            return cached
+
+        pad = (-self.n_videos) % nd
+        sh = NamedSharding(mesh, P("data"))
+
+        def put(x, cast):
+            if pad:
+                x = np.concatenate(
+                    [x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+            return jax.device_put(
+                jnp.asarray(x, dtype=dtype if cast else None), sh)
+
+        out = {"frames": put(self.frames, True),
+               "frame_mask": put(self.frame_mask, False)}
+        if self.regions is not None:
+            out["regions"] = put(self.regions, True)
+        if self.motion is not None:
+            out["motion"] = put(self.motion, True)
+        self._dev_cache[key] = out
+        return out
+
 
 def subsample_frames(feat: np.ndarray, k: int) -> np.ndarray:
     """Evenly subsample (or keep) up to ``k`` frames from ``(F, ...)``.

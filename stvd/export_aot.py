@@ -427,11 +427,11 @@ class ExportedCaptioner(_api.BankResident):
         if cached is not None:
             return cached
         import jax
-        keys = self._bank_keys()
+        gather = self._bank_gather_fn(self._bank_keys())
         inner = self._call_fn(exported)
 
-        def run_ids(params, bank, rows, _inner=inner, _keys=tuple(keys)):
-            return _inner(params, {k: bank[k][rows] for k in _keys})
+        def run_ids(params, bank, rows, _inner=inner, _gather=gather):
+            return _inner(params, _gather(bank, rows))
 
         run = jax.jit(run_ids)
         self._call_cache[key] = run
