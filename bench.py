@@ -178,7 +178,7 @@ def _batch(mcfg, tcfg, b, seed=0):
 
 def bench_decode(small: bool, use_kernel: bool, iters: int = 8,
                  batch: int = 0, quant: str = "none",
-                 gates_kernel: str = "off"):
+                 gates_kernel: str = "off", beam_gather: str = "take"):
     import dataclasses
 
     import jax
@@ -191,6 +191,8 @@ def bench_decode(small: bool, use_kernel: bool, iters: int = 8,
         mcfg = dataclasses.replace(mcfg, decode_quant=quant)
     if gates_kernel != "off":
         mcfg = dataclasses.replace(mcfg, gates_kernel=gates_kernel)
+    if beam_gather != "take":
+        mcfg = dataclasses.replace(mcfg, beam_gather=beam_gather)
     params = dict(init_params(jax.random.PRNGKey(0), mcfg))
     # random weights emit EOS immediately and the early-exit while_loop
     # finishes in ~1 step (3.6M "captions"/s of empty strings). Suppress
@@ -1049,6 +1051,11 @@ def main():
                     help="with --what decode: toggle the fused Pallas "
                          "gates+LSTM kernel (model.gates_kernel) for "
                          "before/after evidence")
+    ap.add_argument("--beam-gather", default="take",
+                    choices=["take", "flat", "onehot"],
+                    help="with --what decode: beam parent-state reorder "
+                         "lowering (model.beam_gather) for the battery-"
+                         "r4g bookkeeping A/B")
     ap.add_argument("--pin-repo-cache", action="store_true",
                     help="also write the TPU headline record to the "
                          "committed runs/last_tpu_bench.json (the "
@@ -1180,7 +1187,8 @@ def main():
                 "unit": "steps/s", "vs_baseline": None, **extras}))
             return
     cps, per_batch = bench_decode(args.small, args.kernel, args.iters,
-                                  gates_kernel=args.gates_kernel)
+                                  gates_kernel=args.gates_kernel,
+                                  beam_gather=args.beam_gather)
     out = {
         "metric": "decode_captions_per_sec_per_chip",
         "value": round(cps, 2),
@@ -1198,7 +1206,8 @@ def main():
         for b in (256, 384):
             cps_b, pb = bench_decode(False, args.kernel, args.iters,
                                      batch=b,
-                                     gates_kernel=args.gates_kernel)
+                                     gates_kernel=args.gates_kernel,
+                                     beam_gather=args.beam_gather)
             out[f"captions_per_sec_batch{b}"] = round(cps_b, 2)
             if cps_b > out["value"]:
                 out["value"] = round(cps_b, 2)
@@ -1251,7 +1260,8 @@ def main():
         # (greedy token agreement >=90% pinned in tests/test_decode.py).
         q_cps, q_pb = bench_decode(False, True, args.iters,
                                    batch=384, quant="int8",
-                                   gates_kernel=args.gates_kernel)
+                                   gates_kernel=args.gates_kernel,
+                                   beam_gather=args.beam_gather)
         out["captions_per_sec_int8"] = round(q_cps, 2)
         mxu_q, vpu_q, hbm_q = decode_cost_model(mcfg, 384, dcfg.beam_size,
                                                 quant="int8")

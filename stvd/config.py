@@ -124,6 +124,17 @@ class ModelConfig:
     # Mosaic's small-tile dot pipeline cannot touch XLA's monolithic
     # GEMM at this shape; the 273-of-394-TOPS gap is XLA-internal
     # headroom, not harvestable via Pallas here.  Kept opt-in.
+    beam_gather: str = "take"       # beam-search parent-state reorder
+    # lowering (decode/beam.py): 'take' = take_along_axis on the
+    # (B, k, dim) view (XLA gather, production default); 'flat' = row
+    # gather from the (B*k, dim) 2-D view with flattened b*k+parent
+    # indices; 'onehot' = einsum against a one-hot(parent) permutation
+    # matrix (MXU matmul instead of a gather; exact — each output row
+    # is 1.0*x + 0.0*rest in f32).  All three are token/score-exact
+    # (pinned in tests/test_decode.py); the knob exists to A/B the
+    # ~0.17 ms/step beam-bookkeeping headroom quantified in BASELINE.md
+    # round-2 decode decomposition (probe: tools/probe_beam_bookkeeping
+    # .py, battery r4g).
     remat: bool = False             # jax.checkpoint the train-scan body:
     # recompute per-step activations in the backward instead of saving
     # them (required for config 2 at full scale+batch 64: the spatial
@@ -301,6 +312,8 @@ def validate(cfg: Config) -> Config:
     if m.train_fwd_kernel not in ("auto", "on", "off"):
         raise ValueError(
             f"unknown train_fwd_kernel {m.train_fwd_kernel!r}")
+    if m.beam_gather not in ("take", "flat", "onehot"):
+        raise ValueError(f"unknown beam_gather {m.beam_gather!r}")
     if m.gates_kernel not in ("auto", "on", "off"):
         raise ValueError(f"unknown gates_kernel {m.gates_kernel!r}")
     if m.train_tail_kernel not in ("auto", "on", "off"):

@@ -170,13 +170,31 @@ def beam_decode(
         new_finished = jnp.logical_or(par_finished, word == EOS_ID)
         new_lengths = g(lengths) + jnp.logical_not(par_finished)
 
-        # reorder recurrent state by parent beam
-        def gs(x):
-            xk = x.reshape(B, k, -1)
-            return jnp.take_along_axis(
-                xk, parent[..., None], axis=1).reshape(B * k, -1)
+        # reorder recurrent state by parent beam — three exact lowerings
+        # (cfg.beam_gather; A/B'd on chip, see BASELINE.md battery r4g)
+        mode = getattr(cfg, "beam_gather", "take")
+        if mode == "flat":
+            rows = (jnp.arange(B, dtype=jnp.int32)[:, None] * k
+                    + parent).reshape(B * k)
+            new_h, new_c = out.h[rows], out.c[rows]
+        elif mode == "onehot":
+            oh = jax.nn.one_hot(parent, k, dtype=out.h.dtype)  # (B, k, k)
 
-        new_h, new_c = gs(out.h), gs(out.c)
+            def gs(x):
+                xk = x.reshape(B, k, -1)
+                return jnp.einsum(
+                    "bij,bjd->bid", oh, xk,
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype).reshape(B * k, -1)
+
+            new_h, new_c = gs(out.h), gs(out.c)
+        else:
+            def gs(x):
+                xk = x.reshape(B, k, -1)
+                return jnp.take_along_axis(
+                    xk, parent[..., None], axis=1).reshape(B * k, -1)
+
+            new_h, new_c = gs(out.h), gs(out.c)
         emit = jnp.where(par_finished, EOS_ID, word)
         new_buf = jnp.take_along_axis(buf, parent[..., None], axis=1)
         new_buf = jax.lax.dynamic_update_index_in_dim(
