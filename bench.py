@@ -178,7 +178,7 @@ def _batch(mcfg, tcfg, b, seed=0):
 
 def bench_decode(small: bool, use_kernel: bool, iters: int = 8,
                  batch: int = 0, quant: str = "none",
-                 gates_kernel: str = "off", beam_gather: str = "take"):
+                 gates_kernel: str = "off", beam_gather: str = "config"):
     import dataclasses
 
     import jax
@@ -191,7 +191,7 @@ def bench_decode(small: bool, use_kernel: bool, iters: int = 8,
         mcfg = dataclasses.replace(mcfg, decode_quant=quant)
     if gates_kernel != "off":
         mcfg = dataclasses.replace(mcfg, gates_kernel=gates_kernel)
-    if beam_gather != "take":
+    if beam_gather != "config":
         mcfg = dataclasses.replace(mcfg, beam_gather=beam_gather)
     params = dict(init_params(jax.random.PRNGKey(0), mcfg))
     # random weights emit EOS immediately and the early-exit while_loop
@@ -1051,11 +1051,12 @@ def main():
                     help="with --what decode: toggle the fused Pallas "
                          "gates+LSTM kernel (model.gates_kernel) for "
                          "before/after evidence")
-    ap.add_argument("--beam-gather", default="take",
-                    choices=["take", "flat", "onehot"],
-                    help="with --what decode: beam parent-state reorder "
-                         "lowering (model.beam_gather) for the battery-"
-                         "r4g bookkeeping A/B")
+    ap.add_argument("--beam-gather", default="config",
+                    choices=["config", "take", "flat", "onehot"],
+                    help="with --what decode: override the beam parent-"
+                         "state reorder lowering (model.beam_gather; "
+                         "'config' = the ModelConfig default, flat "
+                         "since battery r4g measured it +9.2% beam-5)")
     ap.add_argument("--pin-repo-cache", action="store_true",
                     help="also write the TPU headline record to the "
                          "committed runs/last_tpu_bench.json (the "

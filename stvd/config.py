@@ -124,17 +124,20 @@ class ModelConfig:
     # Mosaic's small-tile dot pipeline cannot touch XLA's monolithic
     # GEMM at this shape; the 273-of-394-TOPS gap is XLA-internal
     # headroom, not harvestable via Pallas here.  Kept opt-in.
-    beam_gather: str = "take"       # beam-search parent-state reorder
-    # lowering (decode/beam.py): 'take' = take_along_axis on the
-    # (B, k, dim) view (XLA gather, production default); 'flat' = row
-    # gather from the (B*k, dim) 2-D view with flattened b*k+parent
-    # indices; 'onehot' = einsum against a one-hot(parent) permutation
+    beam_gather: str = "flat"       # beam-search parent-state reorder
+    # lowering (decode/beam.py): 'flat' = row gather from the
+    # (B*k, dim) 2-D view with flattened b*k+parent indices
+    # (production default); 'take' = take_along_axis on the (B, k, dim)
+    # 3-D view; 'onehot' = einsum against a one-hot(parent) permutation
     # matrix (MXU matmul instead of a gather; exact — each output row
     # is 1.0*x + 0.0*rest in f32).  All three are token/score-exact
-    # (pinned in tests/test_decode.py); the knob exists to A/B the
-    # ~0.17 ms/step beam-bookkeeping headroom quantified in BASELINE.md
-    # round-2 decode decomposition (probe: tools/probe_beam_bookkeeping
-    # .py, battery r4g).
+    # (pinned in tests/test_decode.py).  Measured verdict (battery r4g,
+    # v5e-1): XLA lowers the 3-D batched gather ~1.7x off the isolated
+    # flat-row gather (0.450 vs 0.262 ms/step at headline shape); on
+    # the full headline the flip is +9.2% beam-5 (4,234.7 -> 4,625.0
+    # captions/s, serial roofline 1.23 -> 1.13) and +9.4% int8
+    # (5,384.9 -> 5,890.2, serial 1.33 -> 1.21).  Probe:
+    # tools/probe_beam_bookkeeping.py.
     remat: bool = False             # jax.checkpoint the train-scan body:
     # recompute per-step activations in the backward instead of saving
     # them (required for config 2 at full scale+batch 64: the spatial

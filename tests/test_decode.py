@@ -148,14 +148,16 @@ def test_beam_topk_chunks_equivalent(cfg):
 @pytest.mark.parametrize("mode", ["flat", "onehot"])
 def test_beam_gather_variants_exact(cfg, mode):
     """The three parent-state reorder lowerings (model.beam_gather) are
-    token/score-exact: 'flat' is the same gather on a flattened view;
-    'onehot' multiplies by a 0/1 permutation matrix with f32 accumulate
-    (1.0*x + 0.0*rest == x bitwise, and the bf16->f32->bf16 round-trip
-    of an unchanged value is exact)."""
+    token/score-exact against the take_along_axis reference: 'flat'
+    (the production default, battery r4g) is the same gather on a
+    flattened view; 'onehot' multiplies by a 0/1 permutation matrix
+    with f32 accumulate (1.0*x + 0.0*rest == x bitwise, and the
+    bf16->f32->bf16 round-trip of an unchanged value is exact)."""
     import dataclasses
 
     params, batch = _setup(cfg)
-    ref = beam_decode(params, cfg, batch, beam_size=3, maxlen=8)
+    ref_cfg = dataclasses.replace(cfg, beam_gather="take")
+    ref = beam_decode(params, ref_cfg, batch, beam_size=3, maxlen=8)
     alt_cfg = dataclasses.replace(cfg, beam_gather=mode)
     alt = beam_decode(params, alt_cfg, batch, beam_size=3, maxlen=8)
     np.testing.assert_array_equal(np.asarray(ref.all_tokens),
