@@ -178,7 +178,8 @@ def _batch(mcfg, tcfg, b, seed=0):
 
 def bench_decode(small: bool, use_kernel: bool, iters: int = 8,
                  batch: int = 0, quant: str = "none",
-                 gates_kernel: str = "off", beam_gather: str = "config"):
+                 gates_kernel: str = "off", beam_gather: str = "config",
+                 beam_buf: str = "config"):
     import dataclasses
 
     import jax
@@ -193,6 +194,8 @@ def bench_decode(small: bool, use_kernel: bool, iters: int = 8,
         mcfg = dataclasses.replace(mcfg, gates_kernel=gates_kernel)
     if beam_gather != "config":
         mcfg = dataclasses.replace(mcfg, beam_gather=beam_gather)
+    if beam_buf != "config":
+        mcfg = dataclasses.replace(mcfg, beam_buf=beam_buf)
     params = dict(init_params(jax.random.PRNGKey(0), mcfg))
     # random weights emit EOS immediately and the early-exit while_loop
     # finishes in ~1 step (3.6M "captions"/s of empty strings). Suppress
@@ -1057,6 +1060,11 @@ def main():
                          "state reorder lowering (model.beam_gather; "
                          "'config' = the ModelConfig default, flat "
                          "since battery r4g measured it +9.2% beam-5)")
+    ap.add_argument("--beam-buf", default="config",
+                    choices=["config", "reorder", "backptr"],
+                    help="with --what decode: override the beam token "
+                         "bookkeeping scheme (model.beam_buf) for the "
+                         "battery-r4h A/B")
     ap.add_argument("--pin-repo-cache", action="store_true",
                     help="also write the TPU headline record to the "
                          "committed runs/last_tpu_bench.json (the "
@@ -1189,7 +1197,8 @@ def main():
             return
     cps, per_batch = bench_decode(args.small, args.kernel, args.iters,
                                   gates_kernel=args.gates_kernel,
-                                  beam_gather=args.beam_gather)
+                                  beam_gather=args.beam_gather,
+                                  beam_buf=args.beam_buf)
     out = {
         "metric": "decode_captions_per_sec_per_chip",
         "value": round(cps, 2),
@@ -1208,7 +1217,8 @@ def main():
             cps_b, pb = bench_decode(False, args.kernel, args.iters,
                                      batch=b,
                                      gates_kernel=args.gates_kernel,
-                                     beam_gather=args.beam_gather)
+                                     beam_gather=args.beam_gather,
+                                     beam_buf=args.beam_buf)
             out[f"captions_per_sec_batch{b}"] = round(cps_b, 2)
             if cps_b > out["value"]:
                 out["value"] = round(cps_b, 2)
@@ -1262,7 +1272,8 @@ def main():
         q_cps, q_pb = bench_decode(False, True, args.iters,
                                    batch=384, quant="int8",
                                    gates_kernel=args.gates_kernel,
-                                   beam_gather=args.beam_gather)
+                                   beam_gather=args.beam_gather,
+                                   beam_buf=args.beam_buf)
         out["captions_per_sec_int8"] = round(q_cps, 2)
         mxu_q, vpu_q, hbm_q = decode_cost_model(mcfg, 384, dcfg.beam_size,
                                                 quant="int8")

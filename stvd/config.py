@@ -138,6 +138,14 @@ class ModelConfig:
     # captions/s, serial roofline 1.23 -> 1.13) and +9.4% int8
     # (5,384.9 -> 5,890.2, serial 1.33 -> 1.21).  Probe:
     # tools/probe_beam_bookkeeping.py.
+    beam_buf: str = "reorder"       # beam token bookkeeping scheme
+    # (decode/beam.py): 'reorder' carries the (B, k, maxlen) prefix
+    # buffer and gathers it by parent each step; 'backptr' writes only
+    # (word, parent) at position t and reconstructs prefixes once after
+    # the loop by backtracking (probe bound v6: dropping the per-step
+    # buffer reorder is worth ~0.048 ms/step at headline shape).
+    # Token/score-exact either way (pinned); default decided by the
+    # battery-r4h headline A/B.
     remat: bool = False             # jax.checkpoint the train-scan body:
     # recompute per-step activations in the backward instead of saving
     # them (required for config 2 at full scale+batch 64: the spatial
@@ -317,6 +325,8 @@ def validate(cfg: Config) -> Config:
             f"unknown train_fwd_kernel {m.train_fwd_kernel!r}")
     if m.beam_gather not in ("take", "flat", "onehot"):
         raise ValueError(f"unknown beam_gather {m.beam_gather!r}")
+    if m.beam_buf not in ("reorder", "backptr"):
+        raise ValueError(f"unknown beam_buf {m.beam_buf!r}")
     if m.gates_kernel not in ("auto", "on", "off"):
         raise ValueError(f"unknown gates_kernel {m.gates_kernel!r}")
     if m.train_tail_kernel not in ("auto", "on", "off"):

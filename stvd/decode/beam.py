@@ -123,8 +123,11 @@ def beam_decode(
         return jnp.logical_and(t < maxlen,
                                jnp.logical_not(jnp.all(finished)))
 
+    backptr = getattr(cfg, "beam_buf", "reorder") == "backptr"
+
     def body(carry):
-        t, h, c, prev, scores, finished, lengths, buf = carry
+        t, h, c, prev, scores, finished, lengths = carry[:7]
+        bufs = carry[7:]
         emb_t = jnp.where(
             t == 0, jnp.zeros((B * k, cfg.dim_word), params["Wemb"].dtype),
             params["Wemb"][prev.reshape(B * k)])
@@ -196,18 +199,63 @@ def beam_decode(
 
             new_h, new_c = gs(out.h), gs(out.c)
         emit = jnp.where(par_finished, EOS_ID, word)
-        new_buf = jnp.take_along_axis(buf, parent[..., None], axis=1)
-        new_buf = jax.lax.dynamic_update_index_in_dim(
-            new_buf, emit, t, axis=2)
+        # token bookkeeping — two schemes (cfg.beam_buf, battery r4h):
+        #   'reorder': carry the full (B, k, maxlen) prefix buffer and
+        #     gather it by parent every step (the reference's hypothesis
+        #     -list semantics, vectorized).
+        #   'backptr': write only (emit, parent) at position t — no
+        #     per-step buffer gather; prefixes are reconstructed once
+        #     after the loop by backtracking the parent pointers.
+        if backptr:
+            words, parents = bufs
+            new_bufs = (
+                jax.lax.dynamic_update_index_in_dim(words, emit, t, axis=2),
+                jax.lax.dynamic_update_index_in_dim(parents, parent, t,
+                                                    axis=2))
+        else:
+            buf, = bufs
+            if mode == "flat":
+                new_buf = buf.reshape(B * k, maxlen)[rows].reshape(
+                    B, k, maxlen)
+            else:
+                new_buf = jnp.take_along_axis(buf, parent[..., None], axis=1)
+            new_bufs = (jax.lax.dynamic_update_index_in_dim(
+                new_buf, emit, t, axis=2),)
         return (t + 1, new_h, new_c, word, new_scores, new_finished,
-                new_lengths, new_buf)
+                new_lengths) + new_bufs
 
+    if backptr:
+        # parents init to identity: backtracking through never-executed
+        # steps (early exit) must keep the beam slot fixed
+        bufs0 = (jnp.zeros((B, k, maxlen), jnp.int32),
+                 jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None, :,
+                                                                 None],
+                                  (B, k, maxlen)))
+    else:
+        bufs0 = (jnp.zeros((B, k, maxlen), jnp.int32),)
     init = (jnp.zeros((), jnp.int32), h0, c0,
             jnp.zeros((B, k), jnp.int32), scores0,
-            jnp.zeros((B, k), bool), jnp.zeros((B, k), jnp.int32),
-            jnp.zeros((B, k, maxlen), jnp.int32))
-    _, _, _, _, scores, finished, lengths, buf = jax.lax.while_loop(
-        cond, body, init)
+            jnp.zeros((B, k), bool), jnp.zeros((B, k), jnp.int32)) + bufs0
+    final = jax.lax.while_loop(cond, body, init)
+    scores, finished, lengths = final[4], final[5], final[6]
+    if backptr:
+        words, parents = final[7], final[8]
+
+        def back(beams, t):
+            w_t = jax.lax.dynamic_index_in_dim(words, t, axis=2,
+                                               keepdims=False)
+            p_t = jax.lax.dynamic_index_in_dim(parents, t, axis=2,
+                                               keepdims=False)
+            tok = jnp.take_along_axis(w_t, beams, axis=1)
+            return jnp.take_along_axis(p_t, beams, axis=1), tok
+
+        beams0 = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None, :],
+                                  (B, k))
+        _, toks = jax.lax.scan(
+            back, beams0, jnp.arange(maxlen - 1, -1, -1, dtype=jnp.int32))
+        buf = jnp.flip(toks, axis=0).transpose(1, 2, 0)  # (B, k, maxlen)
+    else:
+        buf = final[7]
 
     lp = _length_penalty(lengths, length_norm, norm_mode)
     norm = scores / lp

@@ -168,6 +168,30 @@ def test_beam_gather_variants_exact(cfg, mode):
                                   np.asarray(alt.lengths))
 
 
+@pytest.mark.parametrize("maxlen", [8, 30])
+def test_beam_backptr_exact(cfg, maxlen):
+    """beam_buf='backptr' (write word+parent, backtrack once after the
+    loop) reproduces the reorder scheme's full (B, k, maxlen) token
+    buffer bitwise — including the early-exit region (identity parents
+    keep the slot fixed through never-executed steps) and EOS padding
+    of finished beams.  maxlen=30 forces the early-exit path on the
+    tiny fixtures; maxlen=8 exercises truncation."""
+    import dataclasses
+
+    params, batch = _setup(cfg)
+    ref = beam_decode(params, cfg, batch, beam_size=3, maxlen=maxlen)
+    alt_cfg = dataclasses.replace(cfg, beam_buf="backptr")
+    alt = beam_decode(params, alt_cfg, batch, beam_size=3, maxlen=maxlen)
+    np.testing.assert_array_equal(np.asarray(ref.all_tokens),
+                                  np.asarray(alt.all_tokens))
+    np.testing.assert_array_equal(np.asarray(ref.tokens),
+                                  np.asarray(alt.tokens))
+    np.testing.assert_array_equal(np.asarray(ref.all_scores),
+                                  np.asarray(alt.all_scores))
+    np.testing.assert_array_equal(np.asarray(ref.lengths),
+                                  np.asarray(alt.lengths))
+
+
 def test_decode_deterministic(cfg):
     """Same params + features -> identical tokens across invocations
     (production serving requirement; no hidden RNG in decode)."""

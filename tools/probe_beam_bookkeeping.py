@@ -32,6 +32,16 @@ the gathered state so nothing DCEs:
                gathered by one take_along_axis (no concat copy; tests
                whether one 4-D gather beats two 3-D gathers)
 
+After v1_flat won the state-reorder A/B (battery r4g, default flipped
+to 'flat'), the residual question is the token-buffer reorder (still a
+3-D take_along_axis in the flat context):
+
+  v5_flat_fb   v1_flat state + buf ALSO row-gathered from the
+               (B*k, maxlen) 2-D view with the same flat rows
+  v6_flat_nobuf v1_flat state, buf untouched (bound: what dropping the
+               buf reorder entirely would buy — backpointer
+               reconstruction territory)
+
 One JAX process only (machine rule).
 """
 import os
@@ -99,7 +109,7 @@ def _bookkeeping(h, c, scores, finished, lengths, buf, t, variant):
             return jnp.take_along_axis(
                 xk, parent[..., None], axis=1).reshape(B * K, -1)
         new_h, new_c = gs(h), gs(c)
-    elif variant == "v1_flat":
+    elif variant in ("v1_flat", "v5_flat_fb", "v6_flat_nobuf"):
         rows = (jnp.arange(B, dtype=jnp.int32)[:, None] * K
                 + parent).reshape(B * K)
         new_h, new_c = h[rows], c[rows]
@@ -121,8 +131,12 @@ def _bookkeeping(h, c, scores, finished, lengths, buf, t, variant):
         raise ValueError(variant)
 
     emit = jnp.where(par_finished, EOS_ID, word)
-    if variant == "v3_nobuf":
+    if variant in ("v3_nobuf", "v6_flat_nobuf"):
         new_buf = buf
+    elif variant == "v5_flat_fb":
+        new_buf = buf.reshape(B * K, MAXLEN)[rows].reshape(B, K, MAXLEN)
+        new_buf = jax.lax.dynamic_update_index_in_dim(
+            new_buf, emit, t % MAXLEN, axis=2)
     else:
         new_buf = jnp.take_along_axis(buf, parent[..., None], axis=1)
         new_buf = jax.lax.dynamic_update_index_in_dim(
@@ -168,7 +182,7 @@ def main():
           f"buf r+w {buf_mb:.1f} MB, HBM floor {floor_ms:.3f} ms/step",
           flush=True)
     for variant in ("v0_current", "v1_flat", "v2_onehot", "v3_nobuf",
-                    "v4_joint"):
+                    "v4_joint", "v5_flat_fb", "v6_flat_nobuf"):
         ms = timeit(make_run(variant), h0, c0)
         print(f"{variant:11s}: {ms:6.3f} ms/step", flush=True)
     print("BEAM_BOOKKEEPING_PROBE_DONE", flush=True)
