@@ -144,8 +144,11 @@ class ModelConfig:
     # (word, parent) at position t and reconstructs prefixes once after
     # the loop by backtracking (probe bound v6: dropping the per-step
     # buffer reorder is worth ~0.048 ms/step at headline shape).
-    # Token/score-exact either way (pinned); default decided by the
-    # battery-r4h headline A/B.
+    # Token/score-exact either way (pinned).  Measured verdict (battery
+    # r4i, v5e-1): a WASH at headline scale — 4,564.4 captions/s vs
+    # the reorder scheme's 4,595-4,625 same-day band; the isolated
+    # probe win is repaid by the post-loop backtrack scan + the second
+    # i32 carry buffer.  Default stays 'reorder'.
     remat: bool = False             # jax.checkpoint the train-scan body:
     # recompute per-step activations in the backward instead of saving
     # them (required for config 2 at full scale+batch 64: the spatial
