@@ -1270,12 +1270,14 @@ def main():
         # separate field, not the headline: it is a quality tradeoff
         # (greedy token agreement >=90% pinned in tests/test_decode.py).
         q_cps, q_pb = bench_decode(False, True, args.iters,
-                                   batch=384, quant="int8",
+                                   batch=448, quant="int8",
                                    gates_kernel=args.gates_kernel,
                                    beam_gather=args.beam_gather,
                                    beam_buf=args.beam_buf)
         out["captions_per_sec_int8"] = round(q_cps, 2)
-        mxu_q, vpu_q, hbm_q = decode_cost_model(mcfg, 384, dcfg.beam_size,
+        # int8 sweet spot is 448, not bf16's 384 (battery r4j sweep:
+        # 448 +1.5% over 384; 512+ spills for both dtypes)
+        mxu_q, vpu_q, hbm_q = decode_cost_model(mcfg, 448, dcfg.beam_size,
                                                 quant="int8")
         _, _, _, r_q, s_q = roofline(mxu_q, vpu_q, hbm_q,
                                      q_pb / dcfg.maxlen)
