@@ -144,6 +144,39 @@ def _step_jnp():
     return step_mod.step
 
 
+def _bank_local_gather(keys, scatter: bool):
+    """Per-shard body of the sharded-bank row gather (runs INSIDE a
+    ``shard_map`` over the 1-D 'data' mesh): each shard looks up the
+    rows it owns (out-of-range rows clamp to a valid index and mask to
+    zero) and ONE collective over ICI assembles the batch —
+    ``psum_scatter`` landing each chip its contiguous slice when the
+    chunk divides the axis, plain ``psum`` (replicated) otherwise.
+
+    Factored out of the standalone gather so the fused
+    gather+decode executable (``Captioner._caption_rows``) can run it
+    in the SAME shard_map region as the per-shard decode."""
+    import jax
+    import jax.numpy as jnp
+
+    def local(rows, bank):
+        d = jax.lax.axis_index("data")
+        out = {}
+        for k in keys:
+            leaf = bank[k]
+            sn = leaf.shape[0]
+            li = rows - d * sn
+            valid = (li >= 0) & (li < sn)
+            g = leaf[jnp.clip(li, 0, sn - 1)]
+            g = g * valid.reshape(
+                (-1,) + (1,) * (g.ndim - 1)).astype(g.dtype)
+            out[k] = (jax.lax.psum_scatter(
+                g, "data", scatter_dimension=0, tiled=True)
+                if scatter else jax.lax.psum(g, "data"))
+        return out
+
+    return local
+
+
 class BankResident:
     """Mixin: device-resident feature bank + id-addressed captioning.
 
@@ -193,6 +226,7 @@ class BankResident:
         # fused gather+decode executables close over the previous
         # bank's stream-key set — rebuild on re-attach
         self._ids_jit = None
+        self._nbest_ids_jit = {}
         if hasattr(self, "_call_cache"):
             self._call_cache = {k: v for k, v in self._call_cache.items()
                                 if not (isinstance(k, tuple)
@@ -255,29 +289,13 @@ class BankResident:
             return gather
 
         import jax
-        import jax.numpy as jnp
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
         nd = int(mesh.shape["data"])
 
         def gather(bank, rows):
             scatter = rows.shape[0] % nd == 0
-
-            def local(rows, bank):
-                d = jax.lax.axis_index("data")
-                out = {}
-                for k in keys:
-                    leaf = bank[k]
-                    sn = leaf.shape[0]
-                    li = rows - d * sn
-                    valid = (li >= 0) & (li < sn)
-                    g = leaf[jnp.clip(li, 0, sn - 1)]
-                    g = g * valid.reshape(
-                        (-1,) + (1,) * (g.ndim - 1)).astype(g.dtype)
-                    out[k] = (jax.lax.psum_scatter(
-                        g, "data", scatter_dimension=0, tiled=True)
-                        if scatter else jax.lax.psum(g, "data"))
-                return out
+            local = _bank_local_gather(keys, scatter)
 
             sm = shard_map(
                 local, mesh=mesh,
@@ -305,12 +323,19 @@ class BankResident:
 
     def nbest_ids(self, ids: Sequence[str], n: Optional[int] = None,
                   norm: bool = True) -> List[List[tuple]]:
+        rows = self._rows_for(ids)
+        if (self._bank_mesh is not None
+                and getattr(self, "_nbest_rows", None) is not None):
+            # fused shard_map gather + per-shard beam n-best: no
+            # feature bytes move to host (round-4 rehomed the sharded
+            # gather via device_get here — the one id-addressed route
+            # that paid the relay transfer the sharded bank avoids)
+            return self._nbest_rows(rows, n=n, norm=norm)
         batch = self._gather_ids(ids)
         if self._bank_mesh is not None and getattr(self, "_mesh", None) is None:
             # rehome the mesh-sharded gather onto the default device —
-            # caption_nbest's jit runs against single-device params
-            # (correctness path; bulk id serving is caption_ids).  The
-            # AOT loader's own mesh handles placement itself.
+            # caption_nbest's jit runs against single-device params.
+            # Only reachable for loaders without a fused n-best path.
             import jax
             batch = jax.device_get(batch)
         return self.caption_nbest(batch, n=n, norm=norm)
@@ -333,6 +358,7 @@ class Captioner(BankResident):
         self._run_fn = self._make_run(step_fn)  # unjitted: composed by
         self._run = jax.jit(self._run_fn)       # the fused ids path
         self._ids_jit = None
+        self._nbest_ids_jit = {}
 
     def _make_run(self, step_fn):
         """(params, batch) -> (tokens, scores) with the given step fn."""
@@ -386,6 +412,23 @@ class Captioner(BankResident):
                 raise ValueError("no vocab.pkl in run dir; pass vocab=")
         return Captioner(state["params"], cfg, vocab, step_fn)
 
+    def swap_params(self, params) -> None:
+        """Hot-swap same-architecture weights mid-run (live mode).
+        Key set and shapes must match; compiled executables are
+        untouched (params are call-time jit inputs).  The ids-path
+        mesh-replicated copy, if any, is re-placed."""
+        import jax
+        import jax.numpy as jnp
+        from .export_aot import _check_swap_compatible
+        new = {k: jnp.asarray(v) for k, v in dict(params).items()}
+        _check_swap_compatible(self.params, new)
+        new = {k: v.astype(self.params[k].dtype) for k, v in new.items()}
+        self.params = new
+        if self._ids_params is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._ids_params = jax.device_put(
+                new, NamedSharding(self._bank_mesh, P()))
+
     def caption_batch(self, batch: Dict) -> List[str]:
         """Caption a prepared device batch (frames/frame_mask/...).
 
@@ -402,20 +445,47 @@ class Captioner(BankResident):
         dispatch per chunk (separate gather ops cost ~6.5 ms each
         through the relay — measured +17 ms/request, battery r4e).
 
-        With a SHARDED bank (attach_bank(mesh=...)) the gather's
-        psum_scatter leaves the batch sharded over 'data' and the
-        decode runs data-parallel on it — using the jnp oracle step
-        (same boundary as decode/parallel.py: a pallas_call does not
-        auto-partition under SPMD sharding propagation)."""
+        With a SHARDED bank (attach_bank(mesh=...)) gather AND decode
+        run in ONE ``shard_map`` region over the 'data' mesh: the
+        gather's psum_scatter lands each chip its slice of the batch
+        and the decode runs PER SHARD on it — so the fused Pallas
+        kernels (attention core + logit tail) stay engaged under SPMD
+        (round-4 forced the jnp oracle here because a bare pallas_call
+        does not auto-partition under sharding propagation; inside
+        shard_map every shard runs the kernel on its local rows).
+        Chunks that don't divide the data axis fall back to a
+        replicated batch (psum gather + redundant identical decode on
+        every chip — correct, just not sharded)."""
         import jax
         if self._ids_jit is None:
-            gather = self._bank_gather_fn(self._bank_keys())
+            keys = self._bank_keys()
+            mesh = self._bank_mesh
             run_decode = self._run_fn
-            if self._bank_mesh is not None and self.step_fn is not _step_jnp():
-                run_decode = self._make_run(_step_jnp())
+            if mesh is None:
+                gather = self._bank_gather_fn(keys)
 
-            def run_ids(params, bank, rows):
-                return run_decode(params, gather(bank, rows))
+                def run_ids(params, bank, rows):
+                    return run_decode(params, gather(bank, rows))
+            else:
+                from jax.sharding import PartitionSpec as P
+                nd = int(mesh.shape["data"])
+
+                def run_ids(params, bank, rows):
+                    scatter = rows.shape[0] % nd == 0
+                    gather_local = _bank_local_gather(keys, scatter)
+
+                    def local(params, bank, rows):
+                        return run_decode(params,
+                                          gather_local(rows, bank))
+
+                    sm = jax.shard_map(
+                        local, mesh=mesh,
+                        in_specs=(P(), {k: P("data") for k in keys},
+                                  P()),
+                        out_specs=((P("data"), P("data")) if scatter
+                                   else (P(), P())),
+                        check_vma=False)   # pallas_call has no vma rule
+                    return sm(params, bank, rows)
 
             self._ids_jit = jax.jit(run_ids)
         bank = {k: self._bank_dev[k] for k in self._bank_keys()}
@@ -424,6 +494,70 @@ class Captioner(BankResident):
         return chunked_caption_ids(self._ids_jit, params, bank,
                                    rows, self.cfg.decode.decode_batch,
                                    self.vocab)
+
+    def _nbest_rows(self, rows: np.ndarray, n: Optional[int] = None,
+                    norm: bool = True) -> List[List[tuple]]:
+        """Sharded-bank n-best by row index: the shard_map gather and a
+        PER-SHARD beam decode (all hypotheses) run in one executable,
+        so bulk n-best over a sharded bank moves int32 ids in and
+        tokens out — never feature bytes (see ``nbest_ids``).  Chunked
+        at ``decode_batch`` like ``caption_ids``."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+        cfg = self.cfg
+        if cfg.decode.beam_size <= 1:
+            raise ValueError("n-best export requires beam_size > 1")
+        mesh = self._bank_mesh
+        if bool(norm) not in self._nbest_ids_jit:
+            keys = self._bank_keys()
+            nd = int(mesh.shape["data"])
+            step_fn = self.step_fn
+
+            def run_ids(params, bank, rows):
+                scatter = rows.shape[0] % nd == 0
+                gather_local = _bank_local_gather(keys, scatter)
+
+                def local(params, bank, rows):
+                    out = beam_decode(
+                        params, cfg.model, gather_local(rows, bank),
+                        beam_size=cfg.decode.beam_size,
+                        maxlen=cfg.decode.maxlen,
+                        length_norm=cfg.decode.length_norm,
+                        step_fn=step_fn)
+                    return out.all_tokens, (out.all_norm_scores if norm
+                                            else out.all_scores)
+
+                sm = jax.shard_map(
+                    local, mesh=mesh,
+                    in_specs=(P(), {k: P("data") for k in keys}, P()),
+                    out_specs=((P("data"), P("data")) if scatter
+                               else (P(), P())),
+                    check_vma=False)
+                return sm(params, bank, rows)
+
+            self._nbest_ids_jit[bool(norm)] = jax.jit(run_ids)
+        run = self._nbest_ids_jit[bool(norm)]
+        params = (self._ids_params if self._ids_params is not None
+                  else self.params)
+        bank = {k: self._bank_dev[k] for k in self._bank_keys()}
+        bsz = self.cfg.decode.decode_batch
+        out: List[List[tuple]] = []
+        total = int(rows.shape[0])
+        for s in range(0, total, bsz):
+            e = min(s + bsz, total)
+            chunk = rows[s:e]
+            if e - s < bsz:   # pad by repeating row 0 (a valid row)
+                chunk = np.concatenate(
+                    [chunk, np.zeros(bsz - (e - s), np.int32)])
+            toks, scores = run(params, bank, jnp.asarray(chunk))
+            toks, scores = np.asarray(toks), np.asarray(scores)
+            k = n or toks.shape[1]
+            for b in range(e - s):
+                order = np.argsort(-scores[b])[:k]
+                out.append([(" ".join(self.vocab.decode(toks[b, j])),
+                             float(scores[b, j])) for j in order])
+        return out
 
     def caption_nbest(self, batch: Dict, n: Optional[int] = None,
                       norm: bool = True) -> List[List[tuple]]:

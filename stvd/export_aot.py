@@ -331,6 +331,35 @@ def save_artifact(out_dir: str, params, cfg: Config, vocab: Vocab,
     return manifest
 
 
+def _place_params(params, mesh):
+    """Place a params dict for serving: replicated over a 1-D DP mesh,
+    per TP_RULES over a 2-D data x model mesh, untouched otherwise."""
+    if mesh is None:
+        return params
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    if "model" in mesh.axis_names:
+        from .train.parallel import state_shardings
+        return jax.device_put(params, state_shardings(params, mesh))
+    return jax.device_put(params, NamedSharding(mesh, P()))
+
+
+def _check_swap_compatible(cur, new) -> None:
+    """Same-architecture check for hot weight swaps: identical key set
+    and per-leaf shapes (shapes are the architecture contract; dtypes
+    may differ — callers cast to their serving dtype)."""
+    missing = sorted(set(cur) - set(new))
+    extra = sorted(set(new) - set(cur))
+    if missing or extra:
+        raise ValueError(f"swap params key mismatch: missing={missing} "
+                         f"extra={extra}")
+    for k in cur:
+        if tuple(cur[k].shape) != tuple(new[k].shape):
+            raise ValueError(
+                f"swap params shape mismatch at {k!r}: "
+                f"{tuple(cur[k].shape)} -> {tuple(new[k].shape)}")
+
+
 class ExportedCaptioner(_api.BankResident):
     """Serve captions from an AOT artifact (see module docstring).
 
@@ -349,21 +378,24 @@ class ExportedCaptioner(_api.BankResident):
         self._nbest = dict(nbest_exported or {})
         self._mesh = mesh
         self._call_cache = {}             # id(Exported) -> wrapped call
-        if mesh is not None:
-            # place the weights across the serving mesh once:
-            # replicated (DP) or per TP_RULES (2-D data x model mesh)
-            import jax
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            if "model" in mesh.axis_names:
-                from .train.parallel import state_shardings
-                params = jax.device_put(params,
-                                        state_shardings(params, mesh))
-            else:
-                params = jax.device_put(params, NamedSharding(mesh, P()))
-        self.params = params
+        self.params = _place_params(params, mesh)
         self.cfg = cfg
         self.vocab = vocab
         self.manifest = manifest or {}
+
+    def swap_params(self, params) -> None:
+        """Hot-swap same-architecture weights on a LIVE loader (mid-run
+        weight swap, no re-export, no restart — weights are call-time
+        inputs of the exported graphs by design).  Validates the key
+        set and shapes against the current params, then re-places
+        across the serving mesh under the same rules as construction.
+        Compiled graphs and resident banks are untouched."""
+        import jax.numpy as jnp
+        new = {k: jnp.asarray(v) for k, v in dict(params).items()}
+        _check_swap_compatible(self.params, new)
+        # graphs pin the input avals: cast to the exported dtype
+        new = {k: v.astype(self.params[k].dtype) for k, v in new.items()}
+        self.params = _place_params(new, self._mesh)
 
     def _call_fn(self, exported):
         """exported.call, wrapped for the serving mesh when the

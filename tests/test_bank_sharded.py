@@ -106,6 +106,61 @@ def test_sharded_bank_nbest_ids_match():
             assert abs(gs - ws) < 1e-4
 
 
+def test_sharded_bank_pallas_step_matches():
+    """The fused Pallas kernels stay engaged under a SHARDED bank:
+    gather and decode run per shard inside ONE shard_map region, so
+    ``step_pallas`` (+ its fused logit tail) applies to each shard's
+    local rows (round 4 silently swapped to the jnp oracle here).
+    Pinned: sharded-bank captions with step_pallas == single-device
+    captions with step_pallas (both interpret mode on CPU)."""
+    from stvd.model.kernel import step_pallas
+
+    mcfg = dataclasses.replace(MCFG, n_words=256, dim_word=128)
+    cfg = Config(model=mcfg, decode=DecodeConfig(beam_size=2, maxlen=6,
+                                                 decode_batch=8))
+    ds = synthetic_dataset(n_videos=8, k=6, d=32, maxlen=8, seed=7)
+    params = init_params(jax.random.PRNGKey(3), mcfg)
+
+    cap_ref = Captioner(params, cfg, _vocab(), step_fn=step_pallas)
+    cap_ref.attach_bank(ds.bank)
+    ids = cap_ref.bank_ids
+    want = cap_ref.caption_ids(ids)
+
+    mesh = make_mesh(jax.devices()[:8])
+    cap = Captioner(params, cfg, _vocab(), step_fn=step_pallas)
+    cap.attach_bank(ds.bank, mesh=mesh)
+    assert cap.caption_ids(ids) == want
+
+
+def test_sharded_bank_nbest_fused_no_feature_rehome(monkeypatch):
+    """nbest_ids over a sharded bank runs the fused shard_map
+    gather+n-best executable — no jax.device_get rehome of feature
+    arrays (the round-4 path quietly paid the full relay transfer the
+    sharded bank exists to avoid)."""
+    ds = _dataset()
+    mesh = make_mesh(jax.devices()[:8])
+    cap_ref, _ = _captioner(4)
+    cap_ref.attach_bank(ds.bank)
+    ids = cap_ref.bank_ids
+    want = cap_ref.nbest_ids(ids[:5], n=2)
+
+    cap, _ = _captioner(4)
+    cap.attach_bank(ds.bank, mesh=mesh)
+    calls = []
+    monkeypatch.setattr(jax, "device_get",
+                        lambda *a, **k: calls.append(a) or
+                        (_ for _ in ()).throw(AssertionError(
+                            "feature rehome on the fused n-best path")))
+    got = cap.nbest_ids(ids[:5], n=2)
+    assert not calls
+    assert cap._nbest_ids_jit          # the fused executable was built
+    assert [[t for t, _ in row] for row in got] == \
+        [[t for t, _ in row] for row in want]
+    for grow, wrow in zip(got, want):
+        for (_, gs), (_, ws) in zip(grow, wrow):
+            assert abs(gs - ws) < 1e-4
+
+
 def test_sharded_bank_dp_artifact(tmp_path):
     """A data-parallel AOT artifact serves ids from a bank sharded
     over its own serving mesh; captions match the unsharded attach."""
