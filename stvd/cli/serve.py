@@ -39,6 +39,12 @@ Endpoints (all JSON responses):
                      upload was the serving bottleneck at ~35 MB/s
                      wire).  /nbest_ids is the n-best analogue.
 
+    POST /swap_params  (with ``--allow-swap``) body {"path": "x.npz"}
+                     -> hot-swap same-architecture weights mid-run:
+                     compiled graphs, resident banks and the listener
+                     stay up (weights are call-time graph inputs by
+                     design; the swap is a validated pointer flip).
+
 The server is deliberately SINGLE-THREADED by default: there is one
 chip, and decode requests would only contend on it — serialization at
 the HTTP layer is the honest queue (bucketed AOT artifacts already
@@ -65,6 +71,7 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import os
 import socketserver
 import sys
 import threading
@@ -300,6 +307,36 @@ class _Handler(BaseHTTPRequestHandler):
             threading.Thread(target=self.server.shutdown,
                              daemon=True).start()
             return
+        if url.path == "/swap_params":
+            # mid-run weight swap (opt-in): body {"path": "weights.npz"}
+            # of same-architecture params — graphs/banks stay loaded,
+            # in-flight requests finish on the old weights (the device
+            # lock serializes the pointer swap against dispatches)
+            if not self.server.allow_swap:
+                self._reply(403, {"error": "start with --allow-swap"})
+                return
+            try:
+                import numpy as np
+                length = int(self.headers.get("Content-Length", "0"))
+                obj = json.loads(self.rfile.read(length).decode("utf-8"))
+                path = obj.get("path")
+                if not isinstance(path, str) or not os.path.exists(path):
+                    raise ValueError(f"no such params file: {path!r}")
+                with np.load(path) as z:
+                    params = {k: z[k] for k in z.files}
+                coal = self.server.coalescer
+                if coal is not None:
+                    with coal._dev_lock:
+                        self.server.captioner.swap_params(params)
+                else:
+                    self.server.captioner.swap_params(params)
+                self._reply(200, {"status": "swapped",
+                                  "n_params": len(params)})
+            except (ValueError, KeyError) as e:
+                self._reply(400, {"error": str(e)})
+            except Exception as e:
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+            return
         if url.path in ("/caption_ids", "/nbest_ids"):
             # bank-resident mode: the request names videos whose
             # features already live on device (serve --bank) — bytes of
@@ -403,13 +440,15 @@ class CaptionServer(HTTPServer):
     def __init__(self, captioner, host: str = "127.0.0.1", port: int = 0,
                  mode: str = "aot", manifest: Optional[Dict] = None,
                  verbose: bool = False, allow_shutdown: bool = False,
-                 coalesce_wait_ms: float = 0.0):
+                 coalesce_wait_ms: float = 0.0,
+                 allow_swap: bool = False):
         super().__init__((host, port), _Handler)
         self.captioner = captioner
         self.mode = mode
         self.manifest = manifest or {}
         self.verbose = verbose
         self.allow_shutdown = allow_shutdown
+        self.allow_swap = allow_swap
         self.served = 0
         self.stats_lock = threading.Lock()
         self._lat = {}       # route -> deque of (n_videos, ms)
@@ -640,7 +679,8 @@ def build_server(args) -> CaptionServer:
         return cls(cap, args.host, args.port, mode="aot",
                    manifest=manifest, verbose=args.verbose,
                    allow_shutdown=getattr(args, "allow_shutdown", False),
-                   coalesce_wait_ms=wait_ms)
+                   coalesce_wait_ms=wait_ms,
+                   allow_swap=getattr(args, "allow_swap", False))
     from ..api import Captioner
     cap = Captioner.from_run_dir(args.run_dir, quant=args.quant)
     summary = {"mode": "live", "run_dir": args.run_dir,
@@ -653,7 +693,8 @@ def build_server(args) -> CaptionServer:
     return cls(cap, args.host, args.port, mode="live",
                manifest=summary, verbose=args.verbose,
                allow_shutdown=getattr(args, "allow_shutdown", False),
-               coalesce_wait_ms=wait_ms)
+               coalesce_wait_ms=wait_ms,
+               allow_swap=getattr(args, "allow_swap", False))
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
@@ -688,6 +729,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                          "within this window into one device call "
                          "(threaded server; adds up to this much "
                          "latency per request; 0 = single-threaded)")
+    ap.add_argument("--allow-swap", action="store_true",
+                    help="enable POST /swap_params {\"path\": x.npz} — "
+                         "mid-run same-architecture weight swap; "
+                         "graphs, banks and the listener stay up")
     ap.add_argument("--allow-shutdown", action="store_true",
                     help="enable POST /shutdown (signal-free clean "
                          "exit for scripted benches; signals can wedge "

@@ -236,6 +236,71 @@ def test_nbest_endpoint_aot_and_live(tmp_path):
     assert st == 400 and "no n-best graphs" in err["error"]
 
 
+def test_swap_params_endpoint(tmp_path):
+    """POST /swap_params hot-swaps weights mid-run: served captions
+    flip to the new model's output, no restart; disabled (403) without
+    --allow-swap; bad path / wrong architecture are a 400."""
+    out, params, cfg = _artifact(tmp_path)
+    cap = load_artifact(out)
+    feats = np.random.RandomState(0).randn(
+        3, MCFG.n_frames, MCFG.ctx_dim).astype(np.float32)
+    p2 = init_params(jax.random.PRNGKey(7), MCFG)
+    swap_path = str(tmp_path / "weights2.npz")
+    np.savez(swap_path, **{k: np.asarray(v) for k, v in p2.items()})
+    want_new = load_artifact(out, params=p2).caption(feats)
+
+    with _Srv(CaptionServer(cap, port=0, manifest=cap.manifest,
+                            allow_swap=True)) as s:
+        before = request_captions("127.0.0.1", s.port, feats)
+        code, resp = _post(s.port, "/swap_params",
+                           json.dumps({"path": swap_path}),
+                           "application/json")
+        assert code == 200 and resp["status"] == "swapped"
+        after = request_captions("127.0.0.1", s.port, feats)
+        code, resp = _post(s.port, "/swap_params",
+                           json.dumps({"path": "/no/such.npz"}),
+                           "application/json")
+        assert code == 400
+    assert after == want_new
+    assert before == load_artifact(out).caption(feats)
+
+    with _Srv(CaptionServer(cap, port=0)) as s:
+        code, resp = _post(s.port, "/swap_params",
+                           json.dumps({"path": swap_path}),
+                           "application/json")
+        assert code == 403
+
+
+def test_swap_params_validates_architecture(tmp_path):
+    out, params, cfg = _artifact(tmp_path)
+    cap = load_artifact(out)
+    import pytest
+    bad = {k: np.asarray(v) for k, v in params.items()}
+    bad.pop(sorted(bad)[0])
+    with pytest.raises(ValueError, match="key mismatch"):
+        cap.swap_params(bad)
+    bad = {k: np.asarray(v) for k, v in params.items()}
+    k0 = sorted(bad)[0]
+    bad[k0] = np.zeros(np.asarray(bad[k0]).shape + (2,), np.float32)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        cap.swap_params(bad)
+
+
+def test_swap_params_live_captioner():
+    from stvd.api import Captioner
+    cfg = Config(model=MCFG, decode=DecodeConfig(beam_size=2, maxlen=8,
+                                                 decode_batch=3))
+    p1 = init_params(jax.random.PRNGKey(1), MCFG)
+    p2 = init_params(jax.random.PRNGKey(2), MCFG)
+    feats = np.random.RandomState(3).randn(
+        3, MCFG.n_frames, MCFG.ctx_dim).astype(np.float32)
+    cap = Captioner(p1, cfg, _vocab())
+    want = Captioner(p2, cfg, _vocab()).caption(feats)
+    cap.caption(feats)
+    cap.swap_params({k: np.asarray(v) for k, v in p2.items()})
+    assert cap.caption(feats) == want
+
+
 def test_shutdown_endpoint(tmp_path):
     """POST /shutdown: 403 unless enabled; when enabled, replies then
     stops serve_forever (the signal-free exit for scripted benches)."""
