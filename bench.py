@@ -226,6 +226,87 @@ def bench_decode(small: bool, use_kernel: bool, iters: int = 8,
     return cps, dt / iters
 
 
+def bench_decode_trained(run_dir: str, iters: int = 8, batch: int = 0,
+                         bank_path: str = ""):
+    """Realistic-length decode headline (VERDICT r4 next #3): a TRAINED
+    checkpoint decoding with natural EOS, so the early-exit while_loop
+    actually exits at real caption lengths (the machinery built for
+    exactly this) — reported NEXT TO the EOS-suppressed all-maxlen-steps
+    worst case on the same weights, plus the measured mean caption
+    length.  The reference's throughput is defined by actual caption
+    lengths (``model_attention.py:§gen_sample``), so the honest headline
+    pair is (worst case, trained-early-exit).
+
+    Inputs: rows from the run's feature bank when available (cycled to
+    fill the batch), else synthetic features — a trained model still
+    emits natural-length captions either way (mean length is reported
+    so the reader can judge).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from stvd.api import Captioner
+    from stvd.data.bank import FeatureBank
+    from stvd.decode.beam import beam_decode
+
+    cap = Captioner.from_run_dir(run_dir)
+    mcfg, dcfg = cap.cfg.model, cap.cfg.decode
+    b = batch or 384
+    keys = ["frames", "frame_mask"]
+    if mcfg.use_spatial:
+        keys.append("regions")
+    if mcfg.use_motion:
+        keys.append("motion")
+
+    bank_path = bank_path or "data/msvd/bank.npz"
+    if os.path.exists(bank_path):
+        dev = FeatureBank.load(bank_path).to_device(
+            dtype=jnp.dtype(mcfg.compute_dtype))
+        n = dev["frames"].shape[0]
+        rows = jnp.asarray(np.arange(b) % n, jnp.int32)
+        dec = {k: dev[k][rows] for k in keys}
+        src = f"bank:{bank_path}"
+    else:
+        mc, tc, _ = _cfgs(False)
+        dec = {k: v for k, v in _batch(mcfg, tc, b).items() if k in keys}
+        src = "synthetic"
+
+    def timed(params):
+        @jax.jit
+        def run(params, dec):
+            out = beam_decode(params, mcfg, dec, beam_size=dcfg.beam_size,
+                              maxlen=dcfg.maxlen,
+                              length_norm=dcfg.length_norm,
+                              step_fn=cap.step_fn)
+            return out.tokens.sum(), out.lengths
+
+        _, lengths = run(params, dec)
+        float(_)                              # compile + warmup + sync
+        mean_len = float(jnp.mean(lengths.astype(jnp.float32)))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s, _l = run(params, dec)
+        float(s)
+        dt = time.perf_counter() - t0
+        return b * iters / dt, mean_len
+
+    cps_nat, mean_len = timed(cap.params)
+    worst = dict(cap.params)
+    worst["ff_logit_b"] = worst["ff_logit_b"].at[0].set(-1e9)
+    cps_worst, _ = timed(worst)
+    return {
+        "metric": "decode_captions_per_sec_trained",
+        "value": round(cps_nat, 2), "unit": "captions/s",
+        "vs_baseline": round(cps_nat / LEGACY_CAPTIONS_PER_SEC, 1),
+        "beam": dcfg.beam_size, "batch": b,
+        "mean_caption_len": round(mean_len, 2),
+        "maxlen": dcfg.maxlen,
+        "captions_per_sec_eos_suppressed": round(cps_worst, 2),
+        "early_exit_speedup": round(cps_nat / cps_worst, 2),
+        "run_dir": run_dir, "features": src,
+    }
+
+
 def bench_greedy(use_kernel: bool, iters: int = 16, batch: int = 1024,
                  quant: str = "none"):
     """Config-1 (greedy) decode throughput at reference scale."""
@@ -553,19 +634,34 @@ def bench_preset_train(name: str, use_kernel: bool, iters: int = 10,
             "grad_accum": tcfg.grad_accum}
 
 
-def probe_device(timeout_s: int = 150) -> bool:
-    """Run a trivial computation in a subprocess with a timeout.
+_ABANDONED_PROBES: list = []
 
-    A SIGKILLed TPU client can wedge this machine's axon tunnel so that
-    dispatches hang forever; probing in a subprocess lets the benchmark
-    fail fast with a valid JSON line instead of hanging the driver.
+
+def probe_device(timeout_s: int = 150) -> bool:
+    """Run a trivial computation in a subprocess with a soft deadline.
+
+    A KILLED TPU client (SIGKILL, or SIGTERM mid-compile) wedges this
+    machine's axon tunnel for 30-60+ minutes — and round 5 caught the
+    probe itself causing exactly that: subprocess.run(timeout=...)
+    SIGKILLs the child, so every timed-out probe EXTENDED the wedge it
+    was measuring, and retries could never succeed.  This version
+    NEVER kills: on deadline it abandons the child (parked in
+    _ABANDONED_PROBES; it exits cleanly on its own whenever the tunnel
+    recovers) and reports unhealthy.  Later probes first reap
+    abandoned children — a clean exit 0 from one of them is itself
+    proof of recovery.
     """
     import subprocess
-    # the probe subprocess must reuse the compile cache: a cold compile
-    # of even this trivial program occasionally exceeds the timeout
-    # through the relay, and subprocess.run's timeout SIGKILLs the
-    # child — a SIGKILLed TPU client is THE tunnel-wedging trigger
-    # (round 3: two battery jobs lost to probe-induced false negatives)
+    import tempfile
+    for p in list(_ABANDONED_PROBES):
+        rc = p.poll()
+        if rc is not None:
+            _ABANDONED_PROBES.remove(p)
+            if rc == 0:
+                return True      # an earlier probe finished fine
+    # reuse the compile cache: a cold compile of even this trivial
+    # program occasionally exceeds the deadline through the relay
+    # (round 3: two battery jobs lost to probe false negatives)
     cache = os.environ.get("STVD_CACHE_DIR", "/tmp/jax_cache")
     code = ("import jax, jax.numpy as jnp;"
             + (f"jax.config.update('jax_compilation_cache_dir',{cache!r});"
@@ -573,24 +669,40 @@ def probe_device(timeout_s: int = 150) -> bool:
                "'jax_persistent_cache_min_compile_time_secs',0.0);"
                if cache else "")
             + "print(float(jax.jit(lambda x: x.sum())(jnp.ones((8,)))))")
-    try:
-        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                           capture_output=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    out = tempfile.TemporaryFile()
+    p = subprocess.Popen([sys.executable, "-c", code], stdout=out,
+                         stderr=subprocess.STDOUT)
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        rc = p.poll()
+        if rc is not None:
+            return rc == 0
+        time.sleep(2)
+    _ABANDONED_PROBES.append(p)   # never kill a TPU client
+    return False
 
 
-def _probe_with_retries(attempts: int = 3, backoff_s: int = 45) -> bool:
+def _probe_with_retries(attempts: int = 8, backoff_s: int = 60) -> bool:
     """The axon tunnel wedges transiently (minutes-scale) on this
     machine; retry the health probe before falling back to the CPU
     lower bound so a flaky window doesn't cost the round its real
-    TPU measurement."""
+    TPU measurement.
+
+    Round-4 post-mortem: the driver's snapshot run fell back after 3
+    tries x 45 s while the wedge lasted ~40 min, so the official
+    scoreboard carried a CPU number.  Backoff now grows 1x,2x,3x,...
+    (~30 min total patience at the defaults, capped by
+    STVD_PROBE_BUDGET_S) — cheap relative to losing the round's
+    scoreboard entry, and a healthy tunnel still passes on try 1."""
+    budget = float(os.environ.get("STVD_PROBE_BUDGET_S", 1800))
+    t0 = time.time()
     for attempt in range(attempts):
         if probe_device():
             return True
-        if attempt < attempts - 1:
-            time.sleep(backoff_s)
+        wait = backoff_s * (attempt + 1)
+        if attempt == attempts - 1 or time.time() + wait - t0 > budget:
+            break
+        time.sleep(wait)
     return False
 
 
@@ -1009,6 +1121,15 @@ def main():
     ap.add_argument("--serve-bank", default="",
                     help="--what serve: packed bank .npz for the "
                          "bank-resident (id-addressed) phase")
+    ap.add_argument("--trained", default="",
+                    help="--what decode: run dir with a TRAINED "
+                         "checkpoint — report the realistic-length "
+                         "natural-EOS headline next to the "
+                         "EOS-suppressed worst case (same weights)")
+    ap.add_argument("--trained-bank", default="",
+                    help="--trained: packed bank .npz for real input "
+                         "features (default data/msvd/bank.npz if "
+                         "present, else synthetic)")
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--kernel", action="store_true", default=None,
                     help="force the Pallas fused kernels (default: auto "
@@ -1132,6 +1253,11 @@ def main():
         print(json.dumps(rec))
         return
 
+    if args.trained:
+        print(json.dumps(bench_decode_trained(
+            args.trained, args.iters, batch=args.batch,
+            bank_path=args.trained_bank)))
+        return
     if args.preset:
         if args.what == "train" and args.preset not in ("5", "msvd-dp"):
             print(json.dumps(bench_preset_train(args.preset, args.kernel,
