@@ -16,8 +16,14 @@ if [ -f "$PIDFILE" ] && kill -0 "$(cat "$PIDFILE")" 2>/dev/null; then
   exit 1
 fi
 OUT=$(mktemp)
+# reuse the persistent compile cache (same as bench.probe_device): a cold
+# compile of even this trivial program can take 2-3 min through the relay
+# and read as a false wedge (battery r5a attempt 1 lost 10 min to this)
+CACHE="${STVD_CACHE_DIR:-/tmp/jax_cache}"
 python -c "
 import jax, jax.numpy as jnp
+jax.config.update('jax_compilation_cache_dir', '$CACHE')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
 print(float(jax.jit(lambda x: x.sum())(jnp.ones((8,)))), 'TPU OK')" > "$OUT" 2>&1 &
 PID=$!
 echo "$PID" > "$PIDFILE"
