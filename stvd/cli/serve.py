@@ -437,6 +437,11 @@ class CaptionServer(HTTPServer):
     ``caption(features, regions=..., motion=...) -> [str]`` method
     (both ``api.Captioner`` and ``export_aot.ExportedCaptioner``)."""
 
+    # http.server's default listen backlog (5) makes a burst of
+    # pipelined clients eat SYN-retransmit delays on the single-threaded
+    # server, where the socket queue IS the request queue by design
+    request_queue_size = 128
+
     def __init__(self, captioner, host: str = "127.0.0.1", port: int = 0,
                  mode: str = "aot", manifest: Optional[Dict] = None,
                  verbose: bool = False, allow_shutdown: bool = False,
