@@ -17,4 +17,6 @@ echo "$(date -u +%H:%M:%S) chain: r5b done -> r5e" >> /tmp/battery_chain_r5.log
 bash tools/battery_r5e.sh /tmp/battery_r5e
 echo "$(date -u +%H:%M:%S) chain: r5e done -> r5d" >> /tmp/battery_chain_r5.log
 bash tools/battery_r5d.sh /tmp/battery_r5d
+echo "$(date -u +%H:%M:%S) chain: r5d done -> r5f" >> /tmp/battery_chain_r5.log
+bash tools/battery_r5f.sh /tmp/battery_r5f
 echo "$(date -u +%H:%M:%S) chain: ALL DONE" >> /tmp/battery_chain_r5.log
