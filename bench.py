@@ -227,7 +227,7 @@ def bench_decode(small: bool, use_kernel: bool, iters: int = 8,
 
 
 def bench_decode_trained(run_dir: str, iters: int = 8, batch: int = 0,
-                         bank_path: str = ""):
+                         bank_path: str = "", quant: str = ""):
     """Realistic-length decode headline (VERDICT r4 next #3): a TRAINED
     checkpoint decoding with natural EOS, so the early-exit while_loop
     actually exits at real caption lengths (the machinery built for
@@ -249,7 +249,7 @@ def bench_decode_trained(run_dir: str, iters: int = 8, batch: int = 0,
     from stvd.data.bank import FeatureBank
     from stvd.decode.beam import beam_decode
 
-    cap = Captioner.from_run_dir(run_dir)
+    cap = Captioner.from_run_dir(run_dir, quant=quant or None)
     mcfg, dcfg = cap.cfg.model, cap.cfg.decode
     b = batch or 384
     keys = ["frames", "frame_mask"]
@@ -303,6 +303,7 @@ def bench_decode_trained(run_dir: str, iters: int = 8, batch: int = 0,
         "maxlen": dcfg.maxlen,
         "captions_per_sec_eos_suppressed": round(cps_worst, 2),
         "early_exit_speedup": round(cps_nat / cps_worst, 2),
+        "quant": quant or "bf16",
         "run_dir": run_dir, "features": src,
     }
 
@@ -1126,6 +1127,9 @@ def main():
                          "checkpoint — report the realistic-length "
                          "natural-EOS headline next to the "
                          "EOS-suppressed worst case (same weights)")
+    ap.add_argument("--trained-quant", default="", choices=["", "int8"],
+                    help="--trained: decode_quant override (the W8A8 "
+                         "serving path under natural-EOS early exit)")
     ap.add_argument("--trained-bank", default="",
                     help="--trained: packed bank .npz for real input "
                          "features (default data/msvd/bank.npz if "
@@ -1180,7 +1184,7 @@ def main():
                     help="with --what decode: override the beam parent-"
                          "state reorder lowering (model.beam_gather; "
                          "'config' = the ModelConfig default, flat "
-                         "since battery r4g measured it +9.2% beam-5)")
+                         "since battery r4g measured it +9.2%% beam-5)")
     ap.add_argument("--beam-buf", default="config",
                     choices=["config", "reorder", "backptr"],
                     help="with --what decode: override the beam token "
@@ -1256,7 +1260,7 @@ def main():
     if args.trained:
         print(json.dumps(bench_decode_trained(
             args.trained, args.iters, batch=args.batch,
-            bank_path=args.trained_bank)))
+            bank_path=args.trained_bank, quant=args.trained_quant)))
         return
     if args.preset:
         if args.what == "train" and args.preset not in ("5", "msvd-dp"):

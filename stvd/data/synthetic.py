@@ -100,6 +100,28 @@ SCENES2 = ["park", "kitchen", "plaza", "pool", "stage", "garden",
            "gym", "beach", "forest", "market"]
 ADJECTIVES2 = ["happy", "tired", "graceful", "clumsy", "quiet", "loud"]
 
+# beam-trap surface forms (round-5): each subject has an ALTERNATIVE
+# first word producing a synonymous two-token form ("police officer" /
+# "uniformed officer").  With ``p_generic`` > 0 a reference names the
+# subject generically ("a person ...") with HIGH-ENTROPY continuations,
+# else one of the two specific forms (equal split).  At the first
+# subject token the marginal is then generic > either specific form,
+# but the generic branch's continuations spread probability while each
+# specific form continues deterministically — the canonical beam trap:
+# greedy commits to the generic prefix (argmax at the branch point) and
+# lands on a lower-joint caption; beam-5 keeps the specific branches
+# and recovers the higher-joint, higher-scoring caption.
+ALT_PREFIX2 = {"police": "uniformed", "street": "sidewalk",
+               "young": "little", "old": "elderly",
+               "tennis": "court", "circus": "carnival"}
+
+_V2_GENERIC_TEMPLATES = [
+    "a person is {v} in the {p}",
+    "a person {v} at the {p}",
+    "a person is seen {v}",
+    "a person is busy {v} outside",
+]
+
 _V2_TEMPLATES = [
     # (needs_adj, needs_scene, template)
     (False, True, "a {s0} {s1} is {v} in the {p}"),
@@ -115,11 +137,38 @@ _V2_TEMPLATES = [
 
 def _v2_captions(s0: str, s1: str, v: str, p: str, a: str,
                  rng: np.random.RandomState, n_refs: int = 5,
-                 p_scene: float = 0.7, p_adj: float = 0.4
-                 ) -> List[List[str]]:
+                 p_scene: float = 0.7, p_adj: float = 0.4,
+                 p_generic: float = 0.0) -> List[List[str]]:
     """n_refs paraphrases that DISAGREE like real MSVD annotators:
     each ref independently decides whether to mention the scene /
-    adjective, then draws a compatible template."""
+    adjective, then draws a compatible template.  With ``p_generic``
+    a ref instead names the subject generically ("a person", varied
+    continuations) — the beam-trap reference distribution; specific
+    refs then split between the canonical form (s0, s1) and the
+    ALT_PREFIX2 synonym form (stratified, see below), using the single
+    deterministic template so the specific branches continue with low
+    entropy."""
+    if p_generic:
+        # STRATIFIED assignment (not iid): exactly round(p_generic *
+        # n_refs) generic refs per video and the specific refs split
+        # between the two surface forms as evenly as n allows (the odd
+        # ref's form drawn per video) — the trap precondition
+        # (generic marginal > either form, < their sum) then holds for
+        # EVERY subject by construction, not in expectation.
+        n_gen = int(round(p_generic * n_refs))
+        forms = [s0, ALT_PREFIX2[s0]]
+        if rng.rand() < 0.5:
+            forms.reverse()
+        out = []
+        for j in range(n_refs):
+            if j < n_gen:
+                t = _V2_GENERIC_TEMPLATES[
+                    rng.randint(len(_V2_GENERIC_TEMPLATES))]
+                out.append(t.format(v=v, p=p).split())
+            else:
+                f0 = forms[j % 2]
+                out.append(f"a {f0} {s1} is {v} in the {p}".split())
+        return out
     out = []
     for _ in range(n_refs):
         scene = rng.rand() < p_scene
@@ -149,6 +198,7 @@ def discriminative_splits(
     verb_in: str = "frames",
     confusable: float = 0.5,
     adj_coef: float = 0.5,
+    p_generic: float = 0.0,
     with_latents: bool = False,
 ):
     """Build the v2 discriminative train/valid/test splits.
@@ -161,9 +211,16 @@ def discriminative_splits(
     in the motion stream (requires motion_dim > 0) — the ±motion
     separator; 'frames' keeps it in appearance.  ``confusable`` is the
     probability a video's features mix in two garden-path distractor
-    subjects (beam-vs-greedy separator).  Valid/test (subject, verb,
-    scene) triples are disjoint from train (compositional held-out);
-    every individual concept is seen in training.
+    subjects (beam-vs-greedy separator).  ``p_generic`` > 0 switches
+    the REFERENCE distribution to the beam-trap construction (see
+    ``_v2_captions``): greedy's argmax at the subject branch point
+    commits to the generic form whose continuations spread probability;
+    beam keeps the two specific surface forms and recovers the
+    higher-joint caption — a beam-vs-greedy separator that survives
+    convergence (the feature-ambiguity 'confusable' mix does not).
+    Valid/test (subject, verb, scene) triples are disjoint from train
+    (compositional held-out); every individual concept is seen in
+    training.
     """
     if subject_in not in ("regions", "frames"):
         raise ValueError(f"subject_in {subject_in!r}")
@@ -206,7 +263,9 @@ def discriminative_splits(
             "test": triples[n_train + n_valid:need]}
 
     words = ([w for s in SUBJECTS2 for w in s] + VERBS2 + SCENES2
-             + ADJECTIVES2 + "a the is in at there".split())
+             + ADJECTIVES2 + "a the is in at there".split()
+             + list(ALT_PREFIX2.values())
+             + "person seen busy outside".split())
     vocab = Vocab.build([[w] for w in words], max_words=2000)
 
     out: Dict[str, Dataset] = {}
@@ -264,7 +323,8 @@ def discriminative_splits(
                 if verb_in == "motion":
                     motion[i] += memb[v]
 
-            caps = _v2_captions(s0, s1, v, p, a, rng)
+            caps = _v2_captions(s0, s1, v, p, a, rng,
+                                p_generic=p_generic)
             refs.append(caps)
             pairs.extend((vid, c) for c in caps)
             lat.append({"subject": (s0, s1), "verb": v, "scene": p,

@@ -101,3 +101,63 @@ def test_v2_validation_errors():
         discriminative_splits(verb_in="motion", motion_dim=0)
     with pytest.raises(ValueError, match="n_regions"):
         discriminative_splits(subject_in="regions", n_regions=0)
+
+
+def test_v2_beam_trap_reference_distribution():
+    """The beam-trap PRECONDITION is distributional (p_generic > 0):
+    at the subject branch point (token after the article) the generic
+    token's marginal must exceed EITHER specific surface form's
+    marginal (greedy commits generic) while staying below their sum
+    (the subject signal dominates jointly, so beam recovers it), and
+    the continuation after the generic token must carry more entropy
+    than after a specific first word."""
+    from collections import Counter
+
+    from stvd.data.synthetic import ALT_PREFIX2
+
+    splits, lat = discriminative_splits(
+        n_train=160, n_valid=16, n_test=16, n_regions=0,
+        subject_in="frames", confusable=0.0, p_generic=0.4,
+        with_latents=True, seed=7)
+    refs = splits["train"].references
+    # per-SUBJECT branch-token distribution: the model's conditional at
+    # the branch point aggregates over all videos sharing a subject
+    per_subj = {}               # subject -> Counter(branch token)
+    nxt = {}                    # 'generic'/'specific' -> Counter(next)
+    for caps, l in zip(refs, lat["train"]):
+        s0, _s1 = l["subject"]
+        cnt = per_subj.setdefault(l["subject"], Counter())
+        for c in caps:
+            assert c[0] == "a"
+            t = c[1]
+            if t == "person":
+                cnt["generic"] += 1
+                nxt.setdefault("generic", Counter())[c[2]] += 1
+            else:
+                assert t in (s0, ALT_PREFIX2[s0]), (t, s0)
+                cnt[t] += 1
+                nxt.setdefault("specific", Counter())[c[2]] += 1
+    ok = 0
+    for subj, cnt in per_subj.items():
+        s0 = subj[0]
+        g, fa, fb = cnt["generic"], cnt[s0], cnt[ALT_PREFIX2[s0]]
+        if g > fa and g > fb and g < fa + fb:
+            ok += 1
+    # the trap precondition must hold for the vast majority of
+    # subjects (finite-sample ref noise allows a straggler)
+    assert ok >= len(per_subj) - 2, (ok, len(per_subj))
+
+    def entropy(cnt):
+        n = sum(cnt.values())
+        ps = np.array([v / n for v in cnt.values()])
+        return float(-(ps * np.log(ps)).sum())
+
+    # the generic branch must spread continuation probability; the
+    # specific branch continues (conditionally) deterministically —
+    # dataset-aggregate: specific next token is the subject head noun
+    h_gen = entropy(nxt["generic"])
+    assert h_gen > 0.8, h_gen
+    # conditional on the video, the specific continuation is exact:
+    # every specific next-token is one of the 12 subject head nouns
+    heads = {s1 for _s0, s1 in SUBJECTS2}
+    assert set(nxt["specific"]) <= heads

@@ -48,6 +48,13 @@ def make_data(which: str, seed: int = 0):
         return discriminative_splits(
             n_regions=0, motion_dim=64, subject_in="frames",
             verb_in="motion", seed=seed)
+    if which == "C":        # beam-trap reference distribution:
+        # clean subject features (no confusable mix — the trap lives
+        # in the reference distribution, not the features), generic
+        # form in 40% of refs with high-entropy continuations
+        return discriminative_splits(
+            n_regions=0, subject_in="frames", verb_in="frames",
+            confusable=0.0, p_generic=0.4, seed=seed)
     raise ValueError(which)
 
 
@@ -109,6 +116,7 @@ CELLS = {
                                ss_prob=0.25)),
     "no_motion": ("B", dict(spatial=False, motion=False)),
     "motion": ("B", dict(spatial=False, motion=True)),
+    "beamtrap": ("C", dict(spatial=False, motion=False)),
 }
 
 
@@ -140,9 +148,11 @@ def main():
             print(json.dumps({"cell": name, "seed": seed, **{
                 k: (round(v, 4) if isinstance(v, float) else v)
                 for k, v in scores.items()}}), flush=True)
-            if name == "spatial" and seed == 0:
-                # decode ablation on the SAME trained weights:
-                # beam-5 (cell config) vs greedy
+            if (name == "spatial" and seed == 0) or name == "beamtrap":
+                # decode ablation on the SAME trained weights: beam-5
+                # (cell config) vs greedy.  For the beamtrap cell this
+                # runs for EVERY seed — paired per-seed deltas remove
+                # the training noise from the comparison entirely.
                 from stvd.model.kernel import get_step_fn
                 from stvd.train.evaluate import evaluate_split
                 g_cfg = dataclasses.replace(
@@ -151,8 +161,9 @@ def main():
                 g = evaluate_split(params, g_cfg, data[dset]["test"],
                                    split="test",
                                    step_fn=get_step_fn(None))
-                results["spatial_greedy"] = [g]
-                print(json.dumps({"cell": "spatial_greedy", "seed": 0,
+                results.setdefault(f"{name}_greedy", []).append(g)
+                print(json.dumps({"cell": f"{name}_greedy",
+                                  "seed": seed,
                                   **{k: round(v, 4) for k, v in
                                      g.items()
                                      if isinstance(v, float)}}),
@@ -181,7 +192,8 @@ def main():
     noise = max(stats.get(("spatial", "METEOR"), (0, 0))[1], 1e-4)
     pairs = [("spatial", "temporal"), ("motion", "no_motion"),
              ("spatial", "spatial_greedy"),
-             ("spatial", "spatial_ss25")]
+             ("spatial", "spatial_ss25"),
+             ("beamtrap", "beamtrap_greedy")]
     lines.append("")
     lines.append(f"seed-to-seed METEOR noise (spatial): ±{noise:.4f}")
     for a, b in pairs:
@@ -189,6 +201,18 @@ def main():
             d = stats[(a, "METEOR")][0] - stats[(b, "METEOR")][0]
             lines.append(f"- {a} vs {b}: ΔMETEOR {d:+.4f} "
                          f"({abs(d) / noise:.1f}x noise)")
+    if ("beamtrap" in results and "beamtrap_greedy" in results
+            and len(results["beamtrap"]) == len(
+                results["beamtrap_greedy"])):
+        # paired per-seed beam-greedy deltas (same trained weights)
+        lines.append("")
+        for k in met:
+            ds = [b[k] - g[k] for b, g in zip(results["beamtrap"],
+                                              results["beamtrap_greedy"])]
+            ds = np.array(ds)
+            lines.append(f"- beamtrap paired beam−greedy {k}: "
+                         f"{ds.mean():+.4f} ±{ds.std():.4f} "
+                         f"(seeds: {[round(float(x), 4) for x in ds]})")
     table = "\n".join(lines)
     with open(os.path.join(args.out, "ablation_table.md"), "w") as f:
         f.write(table + "\n")
