@@ -54,6 +54,12 @@ def main(argv=None) -> int:
     ap.add_argument("--nll", action="store_true",
                     help="also report teacher-forced NLL + perplexity "
                          "for the split (reference pred_probs)")
+    ap.add_argument("--quant", default=None, choices=["none", "int8"],
+                    help="override model.decode_quant for this decode "
+                         "(int8 = the W8A8 serving path; scores print "
+                         "but the run dir's samples/scores artifacts "
+                         "are NOT overwritten, so the committed "
+                         "artifacts stay the config's own)")
     ap.add_argument("--synonyms", default=None, metavar="TABLE.json",
                     help="JSON {word: [synonyms...]} to activate "
                          "METEOR's stage-2 synonym matching on boxes "
@@ -69,6 +75,11 @@ def main(argv=None) -> int:
     if args.beam is not None:
         cfg = dataclasses.replace(
             cfg, decode=dataclasses.replace(cfg.decode, beam_size=args.beam))
+    if args.quant is not None:
+        from ..config import validate
+        cfg = validate(dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           decode_quant=args.quant)))
 
     if args.synonyms:
         from ..metrics.meteor import load_synonym_table
@@ -82,8 +93,9 @@ def main(argv=None) -> int:
     state = restore_checkpoint(os.path.join(args.run_dir, name), template)
     step_fn = get_step_fn(args.use_kernel)
     ds = splits[args.split]
-    scores = evaluate_split(state["params"], cfg, ds, split=args.split,
-                            save_dir=args.run_dir, step_fn=step_fn)
+    scores = evaluate_split(
+        state["params"], cfg, ds, split=args.split,
+        save_dir=None if args.quant else args.run_dir, step_fn=step_fn)
     if args.nll:
         from ..train.loop import evaluate_nll_stats, perplexity
         num, ex, tok = evaluate_nll_stats(
