@@ -222,9 +222,14 @@ def main(argv=None) -> int:
     if prov.get("synthetic"):
         meta["caveat"] = ("synthetic corpus — harness pin, NOT "
                           "paper-comparable quality")
-    score_path = os.path.join(args.run_dir, f"{args.split}_scores.json")
-    with open(score_path, "w") as f:
-        json.dump(meta, f, indent=2, sort_keys=True)
+    if not args.quant:
+        # --quant decodes through an overridden dtype path; the run
+        # dir's committed samples/scores artifacts stay the config's
+        # own (scores still print below for the caller to capture)
+        score_path = os.path.join(args.run_dir,
+                                  f"{args.split}_scores.json")
+        with open(score_path, "w") as f:
+            json.dump(meta, f, indent=2, sort_keys=True)
     print(json.dumps(scores, indent=2, sort_keys=True))
     return 0
 

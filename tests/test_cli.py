@@ -161,3 +161,21 @@ def test_export_cli_roundtrip_check(run_dir, tmp_path, capsys):
         assert os.path.exists(os.path.join(out, name)), name
     stdout = capsys.readouterr().out
     assert "artifact captions match live" in stdout
+
+
+def test_sample_cli_quant_does_not_overwrite_artifacts(run_dir, capsys):
+    """--quant int8 decodes through the W8A8 serving path and prints
+    scores, but must NOT overwrite the run dir's committed
+    samples/scores artifacts (they belong to the config's own dtype;
+    round-5 int8-parity measurements rely on this)."""
+    path = os.path.join(run_dir, "valid_scores.json")
+    before = open(path).read() if os.path.exists(path) else None
+    mtime = os.path.getmtime(path) if before is not None else None
+    assert sample_main(["--run-dir", run_dir, "--split", "valid",
+                        "--beam", "2", "--quant", "int8"]) == 0
+    out = capsys.readouterr().out
+    scores = json.loads(out[out.index("{"):])
+    assert "Bleu_4" in scores and "METEOR" in scores
+    if before is not None:
+        assert open(path).read() == before
+        assert os.path.getmtime(path) == mtime
