@@ -56,10 +56,11 @@ def main(argv=None) -> int:
                          "for the split (reference pred_probs)")
     ap.add_argument("--quant", default=None, choices=["none", "int8"],
                     help="override model.decode_quant for this decode "
-                         "(int8 = the W8A8 serving path; scores print "
-                         "but the run dir's samples/scores artifacts "
-                         "are NOT overwritten, so the committed "
-                         "artifacts stay the config's own)")
+                         "(int8 = the W8A8 serving path).  The config's "
+                         "own committed artifacts are never clobbered: "
+                         "samples/scores writes are skipped, and "
+                         "nbest/sampled/attention artifacts get a "
+                         "'.{quant}' filename suffix")
     ap.add_argument("--synonyms", default=None, metavar="TABLE.json",
                     help="JSON {word: [synonyms...]} to activate "
                          "METEOR's stage-2 synonym matching on boxes "
@@ -80,6 +81,10 @@ def main(argv=None) -> int:
         cfg = validate(dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model,
                                            decode_quant=args.quant)))
+    # artifacts from a dtype-overridden decode carry the override in
+    # their filename so they never clobber the config's own committed
+    # artifacts (round-5 int8-parity measurements rely on this)
+    qtag = f".{args.quant}" if args.quant else ""
 
     if args.synonyms:
         from ..metrics.meteor import load_synonym_table
@@ -135,7 +140,7 @@ def main(argv=None) -> int:
                       "norm_score": float(nrm[i, j])}
                      for j in order]
             rows.append({"image_id": ds.bank.ids[i], "beams": beams})
-        path = os.path.join(args.run_dir, f"{args.split}_nbest.json")
+        path = os.path.join(args.run_dir, f"{args.split}_nbest{qtag}.json")
         with open(path, "w") as f:
             json.dump(rows, f, indent=1)
         print(f"n-best lists -> {path}")
@@ -178,7 +183,7 @@ def main(argv=None) -> int:
                         "logprob": float(scrs[i, j])}
                        for j in range(toks.shape[1])]
             rows.append({"image_id": ds.bank.ids[i], "samples": samples})
-        path = os.path.join(args.run_dir, f"{args.split}_sampled.json")
+        path = os.path.join(args.run_dir, f"{args.split}_sampled{qtag}.json")
         with open(path, "w") as f:
             json.dump(rows, f, indent=1)
         print(f"stochastic samples (T={args.temperature}, "
@@ -197,7 +202,7 @@ def main(argv=None) -> int:
         out = greedy_decode(state["params"], cfg.model, b,
                             maxlen=cfg.decode.maxlen, step_fn=step_fn,
                             return_alphas=True)
-        path = os.path.join(args.run_dir, f"{args.split}_attention.npz")
+        path = os.path.join(args.run_dir, f"{args.split}_attention{qtag}.npz")
         np.savez_compressed(
             path, ids=np.asarray(ds.bank.ids[:n]),
             tokens=np.asarray(out.tokens), alphas=np.asarray(out.alphas),

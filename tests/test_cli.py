@@ -179,3 +179,22 @@ def test_sample_cli_quant_does_not_overwrite_artifacts(run_dir, capsys):
     if before is not None:
         assert open(path).read() == before
         assert os.path.getmtime(path) == mtime
+
+
+def test_sample_cli_quant_suffixes_extra_artifacts(run_dir, capsys):
+    """--quant + --nbest writes the n-best artifact under a
+    '.{quant}' suffix and leaves the unsuffixed artifact alone."""
+    plain = os.path.join(run_dir, "valid_nbest.json")
+    # produce (or refresh) the config-dtype artifact first
+    assert sample_main(["--run-dir", run_dir, "--split", "valid",
+                        "--beam", "2", "--nbest", "2"]) == 0
+    before = open(plain).read()
+    assert sample_main(["--run-dir", run_dir, "--split", "valid",
+                        "--beam", "2", "--nbest", "2",
+                        "--quant", "int8"]) == 0
+    capsys.readouterr()
+    assert open(plain).read() == before
+    q = os.path.join(run_dir, "valid_nbest.int8.json")
+    assert os.path.exists(q)
+    rows = json.load(open(q))
+    assert rows and rows[0]["beams"]
