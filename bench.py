@@ -998,7 +998,7 @@ def _ids_measure(port: int, n_lat: int, bulk: int):
 
 def bench_serve(run_dir: str, platform: str, sizes=(1, 32, 256),
                 n_lat: int = 30, coalesce_ms: float = 4.0,
-                bank: str = ""):
+                bank: str = "", quant: str = ""):
     """Serving E2E benchmark (``--what serve``): export a REAL artifact
     from ``run_dir``, then measure (a) direct in-process artifact
     captions/s + latency, (b) the HTTP daemon end-to-end over the raw
@@ -1016,13 +1016,15 @@ def bench_serve(run_dir: str, platform: str, sizes=(1, 32, 256),
     out = {"metric": "serve_captions_per_sec",
            "unit": "captions/s", "vs_baseline": None,
            "run_dir": run_dir, "platform": platform,
-           "batch_sizes": list(sizes), "wire": "raw"}
+           "batch_sizes": list(sizes), "wire": "raw",
+           "quant": quant or "config"}
 
     t0 = time.perf_counter()
     r = subprocess.run(
         [sys.executable, "-m", "stvd.cli.export", "--run-dir", run_dir,
          "--out", art, "--platforms", platform,
-         "--batch", ",".join(str(s) for s in sizes)],
+         "--batch", ",".join(str(s) for s in sizes)]
+        + (["--quant", quant] if quant else []),
         capture_output=True, text=True)
     if r.returncode != 0:
         raise RuntimeError(f"export failed:\n{r.stdout}\n{r.stderr}")
@@ -1122,6 +1124,9 @@ def main():
     ap.add_argument("--serve-bank", default="",
                     help="--what serve: packed bank .npz for the "
                          "bank-resident (id-addressed) phase")
+    ap.add_argument("--serve-quant", default="", choices=["", "int8"],
+                    help="--what serve: bake decode_quant into the "
+                         "exported artifact (W8A8 serving)")
     ap.add_argument("--trained", default="",
                     help="--what decode: run dir with a TRAINED "
                          "checkpoint — report the realistic-length "
@@ -1215,7 +1220,8 @@ def main():
         sizes = (1, 8) if args.small else (1, 32, 256)
         print(json.dumps(bench_serve(args.run_dir, plat, sizes=sizes,
                                      coalesce_ms=args.coalesce_ms,
-                                     bank=args.serve_bank)))
+                                     bank=args.serve_bank,
+                                     quant=args.serve_quant)))
         return
 
     # persistent compile cache: repeated bench invocations (driver runs,
