@@ -1,0 +1,53 @@
+#!/bin/bash
+# Battery r5k (round 5): the DUAL-STREAM (temporal+motion, MSR-VTT
+# recipe — BASELINE config 4 class) trained natural-EOS headline, the
+# one flagship config still missing a realistic-length number after
+# r5a (temporal) and r5j (spatial).  Regenerates the TRUE-Py2 msrvtt
+# corpus (VM wipes between rounds), retrains runs/msrvtt on chip,
+# rescoring test (keeps the committed artifact fresh), then measures
+# the trained decode pair bf16 + int8.
+set -u
+OUT=${1:-/tmp/battery_r5k}
+mkdir -p "$OUT"
+cd /root/repo
+
+for i in $(seq 1 20); do
+  if bash tools/tpu_probe.sh 110 > /dev/null 2>&1; then
+    echo "healthy at attempt $i" >> "$OUT/summary.txt"
+    break
+  fi
+  echo "wedged at attempt $i; sleeping 600s" >> "$OUT/summary.txt"
+  sleep 600
+done
+
+echo "=== regenerate msrvtt corpus + bank ===" >> "$OUT/summary.txt"
+python tools/make_synthetic_corpus.py --recipe recipes/msrvtt.json \
+  > "$OUT/corpus.log" 2>&1
+python -m stvd.cli.convert \
+  --features data/msrvtt/FEAT.pkl --motion data/msrvtt/MOTION.pkl \
+  --frames 28 --out data/msrvtt/bank.npz > "$OUT/convert.log" 2>&1
+tail -1 "$OUT/convert.log" >> "$OUT/summary.txt"
+
+echo "=== retrain runs/msrvtt ===" >> "$OUT/summary.txt"
+python -m stvd.cli.train --config runs/msrvtt/config.json \
+  --set train.save_dir=runs/msrvtt > "$OUT/train.log" 2>&1
+tail -2 "$OUT/train.log" >> "$OUT/summary.txt"
+
+echo "=== rescore test split ===" >> "$OUT/summary.txt"
+python -m stvd.cli.sample --run-dir runs/msrvtt --split test --best \
+  > "$OUT/score.log" 2>&1
+tail -9 "$OUT/score.log" >> "$OUT/summary.txt"
+
+echo "=== trained decode, dual-stream, bf16 b=384 ===" >> "$OUT/summary.txt"
+python bench.py --trained runs/msrvtt \
+  --trained-bank data/msrvtt/bank.npz --batch 384 \
+  > "$OUT/trained_bf16.json" 2> "$OUT/trained_bf16.err"
+tail -1 "$OUT/trained_bf16.json" >> "$OUT/summary.txt"
+
+echo "=== trained decode, dual-stream, int8 b=384 ===" >> "$OUT/summary.txt"
+python bench.py --trained runs/msrvtt \
+  --trained-bank data/msrvtt/bank.npz --trained-quant int8 --batch 384 \
+  > "$OUT/trained_int8.json" 2> "$OUT/trained_int8.err"
+tail -1 "$OUT/trained_int8.json" >> "$OUT/summary.txt"
+
+echo "BATTERY_R5K_DONE" >> "$OUT/summary.txt"
