@@ -259,9 +259,24 @@ def bench_decode_trained(run_dir: str, iters: int = 8, batch: int = 0,
         keys.append("motion")
 
     bank_path = bank_path or "data/msvd/bank.npz"
-    if os.path.exists(bank_path):
-        dev = FeatureBank.load(bank_path).to_device(
-            dtype=jnp.dtype(mcfg.compute_dtype))
+    bank = FeatureBank.load(bank_path) if os.path.exists(bank_path) \
+        else None
+    if bank is not None and (
+            bank.frames.shape[1] != mcfg.n_frames
+            or bank.frames.shape[2] != mcfg.ctx_dim
+            or ("regions" in keys and (
+                bank.regions is None
+                or bank.regions.shape[2:] != (mcfg.n_regions,
+                                              mcfg.region_dim)))
+            or ("motion" in keys and (
+                bank.motion is None
+                or bank.motion.shape[2] != mcfg.motion_dim))):
+        # the default bank may belong to a DIFFERENT config than the
+        # run dir (dims/streams mismatch) — fall back to synthetic
+        # rather than feeding wrong-shaped features
+        bank = None
+    if bank is not None:
+        dev = bank.to_device(dtype=jnp.dtype(mcfg.compute_dtype))
         n = dev["frames"].shape[0]
         rows = jnp.asarray(np.arange(b) % n, jnp.int32)
         dec = {k: dev[k][rows] for k in keys}

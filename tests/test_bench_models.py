@@ -98,3 +98,42 @@ def test_greedy_tail_cost_below_beam():
     m1, v1, h1 = bench.decode_cost_model(mcfg, 64, 1, k_sel=1)
     assert v1 < v5
     assert m1 == m5 and h1 == h5
+
+
+def test_bench_decode_trained_bank_dims_guard(tmp_path, capsys):
+    """bench_decode_trained must NOT feed a default bank whose dims
+    belong to a different config (the repo-root data/msvd bank is
+    reference-scale; a small run dir must fall back to synthetic
+    features instead of wrong-shaped rows), and the natural-EOS /
+    worst-case pair must come out ordered."""
+    import numpy as np
+
+    from stvd.cli.train import main as train_main
+    from stvd.data.bank import FeatureBank
+
+    d = str(tmp_path / "run")
+    rc = train_main([
+        "--preset", "msvd-beam",
+        "--set", "model.dim=48", "--set", "model.ctx_dim=32",
+        "--set", "model.n_frames=5", "--set", "model.n_words=48",
+        "--set", "model.dim_word=24",
+        "--set", "data.synthetic_videos=6",
+        "--set", "train.batch_size=6", "--set", "train.valid_freq=0",
+        "--set", "train.sample_freq=0",
+        "--set", f"train.save_dir={d}", "--max-updates", "4",
+    ])
+    assert rc == 0
+    bench = _bench()
+
+    # mismatched bank on disk: dims of a DIFFERENT config
+    bad = FeatureBank(ids=["v0"], frames=np.zeros((1, 9, 77), "f"),
+                      frame_mask=np.ones((1, 9), "f"))
+    bad_path = str(tmp_path / "bad_bank.npz")
+    bad.save(bad_path)
+    out = bench.bench_decode_trained(d, iters=1, batch=4,
+                                     bank_path=bad_path)
+    assert out["features"] == "synthetic"      # guard engaged
+    assert out["value"] > 0
+    assert out["captions_per_sec_eos_suppressed"] > 0
+    assert 0 < out["mean_caption_len"] <= out["maxlen"]
+    assert out["quant"] == "bf16"
