@@ -227,7 +227,8 @@ def bench_decode(small: bool, use_kernel: bool, iters: int = 8,
 
 
 def bench_decode_trained(run_dir: str, iters: int = 8, batch: int = 0,
-                         bank_path: str = "", quant: str = ""):
+                         bank_path: str = "", quant: str = "",
+                         mode: str = "beam"):
     """Realistic-length decode headline (VERDICT r4 next #3): a TRAINED
     checkpoint decoding with natural EOS, so the early-exit while_loop
     actually exits at real caption lengths (the machinery built for
@@ -241,6 +242,10 @@ def bench_decode_trained(run_dir: str, iters: int = 8, batch: int = 0,
     fill the batch), else synthetic features — a trained model still
     emits natural-length captions either way (mean length is reported
     so the reader can judge).
+
+    ``mode='greedy'`` measures the config-1 greedy path instead of
+    beam-5 (default batch moves to the measured greedy sweet spot,
+    b=1024 — battery r5i).
     """
     import jax
     import jax.numpy as jnp
@@ -248,10 +253,11 @@ def bench_decode_trained(run_dir: str, iters: int = 8, batch: int = 0,
     from stvd.api import Captioner
     from stvd.data.bank import FeatureBank
     from stvd.decode.beam import beam_decode
+    from stvd.decode.greedy import greedy_decode
 
     cap = Captioner.from_run_dir(run_dir, quant=quant or None)
     mcfg, dcfg = cap.cfg.model, cap.cfg.decode
-    b = batch or 384
+    b = batch or (1024 if mode == "greedy" else 384)
     keys = ["frames", "frame_mask"]
     if mcfg.use_spatial:
         keys.append("regions")
@@ -289,10 +295,16 @@ def bench_decode_trained(run_dir: str, iters: int = 8, batch: int = 0,
     def timed(params):
         @jax.jit
         def run(params, dec):
-            out = beam_decode(params, mcfg, dec, beam_size=dcfg.beam_size,
-                              maxlen=dcfg.maxlen,
-                              length_norm=dcfg.length_norm,
-                              step_fn=cap.step_fn)
+            if mode == "greedy":
+                out = greedy_decode(params, mcfg, dec,
+                                    maxlen=dcfg.maxlen,
+                                    step_fn=cap.step_fn)
+            else:
+                out = beam_decode(params, mcfg, dec,
+                                  beam_size=dcfg.beam_size,
+                                  maxlen=dcfg.maxlen,
+                                  length_norm=dcfg.length_norm,
+                                  step_fn=cap.step_fn)
             return out.tokens.sum(), out.lengths
 
         _, lengths = run(params, dec)
@@ -313,7 +325,8 @@ def bench_decode_trained(run_dir: str, iters: int = 8, batch: int = 0,
         "metric": "decode_captions_per_sec_trained",
         "value": round(cps_nat, 2), "unit": "captions/s",
         "vs_baseline": round(cps_nat / LEGACY_CAPTIONS_PER_SEC, 1),
-        "beam": dcfg.beam_size, "batch": b,
+        "mode": mode,
+        "beam": dcfg.beam_size if mode == "beam" else 1, "batch": b,
         "mean_caption_len": round(mean_len, 2),
         "maxlen": dcfg.maxlen,
         "captions_per_sec_eos_suppressed": round(cps_worst, 2),
@@ -1154,6 +1167,14 @@ def main():
                     help="--trained: packed bank .npz for real input "
                          "features (default data/msvd/bank.npz if "
                          "present, else synthetic)")
+    ap.add_argument("--trained-mode", default="beam",
+                    choices=["beam", "greedy"],
+                    help="--trained: decode mode (greedy = the config-1 "
+                         "path at its b=1024 sweet spot)")
+    ap.add_argument("--no-trained", action="store_true",
+                    help="headline run: skip the trained natural-EOS "
+                         "rider (it engages only when the committed "
+                         "flagship run dir + bank are present)")
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--kernel", action="store_true", default=None,
                     help="force the Pallas fused kernels (default: auto "
@@ -1281,7 +1302,8 @@ def main():
     if args.trained:
         print(json.dumps(bench_decode_trained(
             args.trained, args.iters, batch=args.batch,
-            bank_path=args.trained_bank, quant=args.trained_quant)))
+            bank_path=args.trained_bank, quant=args.trained_quant,
+            mode=args.trained_mode)))
         return
     if args.preset:
         if args.what == "train" and args.preset not in ("5", "msvd-dp"):
@@ -1437,6 +1459,27 @@ def main():
         gq_cps, _ = bench_greedy(True, iters=16, batch=1024,
                                  quant="int8")
         out["greedy_captions_per_sec_int8"] = round(gq_cps, 2)
+        # trained natural-EOS records ride along when the committed
+        # flagship checkpoint + bank are present (VERDICT r4 weak #1:
+        # the official scoreboard must carry the claimed records — the
+        # realistic-length headline included, not just the worst case).
+        # Guarded: any failure is recorded, never fatal to the headline.
+        tdir, tbank = "runs/msvd_r4_temporal", "data/msvd/bank.npz"
+        if not args.no_trained and not args.small \
+                and os.path.isdir(tdir) and os.path.exists(tbank):
+            try:
+                tr = bench_decode_trained(tdir, args.iters,
+                                          bank_path=tbank)
+                ti = bench_decode_trained(tdir, args.iters,
+                                          bank_path=tbank, quant="int8")
+                out["trained_captions_per_sec"] = tr["value"]
+                out["trained_captions_per_sec_int8"] = ti["value"]
+                out["trained_mean_caption_len"] = tr["mean_caption_len"]
+                out["trained_early_exit_speedup"] = tr[
+                    "early_exit_speedup"]
+                out["trained_run_dir"] = tdir
+            except Exception as e:          # pragma: no cover - guard
+                out["trained_error"] = f"{type(e).__name__}: {e}"
         out["vs_baseline"] = round(out["value"] / LEGACY_CAPTIONS_PER_SEC, 1)
         import jax as _jx
         if _jx.default_backend() == "tpu":

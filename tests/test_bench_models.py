@@ -137,3 +137,10 @@ def test_bench_decode_trained_bank_dims_guard(tmp_path, capsys):
     assert out["captions_per_sec_eos_suppressed"] > 0
     assert 0 < out["mean_caption_len"] <= out["maxlen"]
     assert out["quant"] == "bf16"
+
+    # greedy mode: same harness through greedy_decode (config-1 path)
+    g = bench.bench_decode_trained(d, iters=1, batch=4,
+                                   bank_path=bad_path, mode="greedy")
+    assert g["mode"] == "greedy" and g["beam"] == 1
+    assert g["value"] > 0
+    assert 0 < g["mean_caption_len"] <= g["maxlen"]
